@@ -1,0 +1,71 @@
+"""Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+
+def materialize(df) -> int:
+    """Force full execution without collecting rows to the driver."""
+    try:
+        df.write.mode("overwrite").format("noop").save()
+        return -1
+    except Exception:
+        return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from lakehouse_v3_spark.plans import load_all
+    from lakehouse_v3_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="lakehouse_v3_spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    )
+    registry = load_all()
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry):
+        qd = registry[name]
+        t0 = time.monotonic()
+        try:
+            materialize(qd.fn(spark, sf_dir))
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # keep the bench line parseable on failure
+            timings[name] = -1.0
+            print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_declared_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Declared query catalog.
+
+Every operator the engine claims (SURVEY.md §2 + the LLM-data-pipeline
+extensions) is registered here as a named query: a Spark callable
+``(spark, sf_dir) -> DataFrame`` plus (where ANSI-expressible) an
+equivalent DuckDB oracle SQL string over the same parquet fixtures.
+
+The driver runs both sides at sf=0.01 and compares row-count + schema +
+order-insensitive value-hash, so:
+  - every computed column is aliased identically on both sides;
+  - every floating-point output is explicitly ``round()``-ed on both
+    sides so independent summation orders can't flip the hash.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dsum(col, alias: str):
+    """Order-independent double sum: accumulate as DECIMAL(30,6), cast back.
+
+    A plain SUM(double) depends on partition/accumulation order, so Spark
+    and the DuckDB oracle can disagree at 1 ulp — which flips ROUND at
+    .xx5 boundaries. Summing decimals is exact and associative; the final
+    cast yields bit-identical doubles on both engines. Oracle-side
+    equivalent: CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE).
+    """
+    from pyspark.sql import functions as F
+
+    return F.sum(col.cast("decimal(30,6)")).cast("double").alias(alias)
+
+
+def davg(col, alias: str):
+    """Order-independent double mean: decimal sum ÷ non-null count.
+
+    Oracle-side: CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(x).
+    """
+    from pyspark.sql import functions as F
+
+    return (F.sum(col.cast("decimal(30,6)")).cast("double") / F.count(col)).alias(alias)
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → driver does a rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+_MODULES = [
+    "relational",
+    "cleaning",
+    "window_queries",
+    "joins_merge",
+    "text_queries",
+    "dedup_queries",
+    "similarity_queries",
+    "audit_queries",
+    "streaming_queries",
+    "multimodal_queries",
+]
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the catalog."""
+
+    def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QueryDef]:
+    """Import every query module (idempotent) and return the registry."""
+    for mod in _MODULES:
+        try:
+            importlib.import_module(f"{__name__}.{mod}")
+        except ModuleNotFoundError as e:
+            # Tolerate not-yet-written modules during incremental build-out,
+            # but never mask a genuine import error inside a module.
+            if f"plans.{mod}" not in str(e):
+                raise
+    return REGISTRY
