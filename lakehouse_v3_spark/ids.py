@@ -1,0 +1,75 @@
+"""Scalable dense surrogate ids.
+
+The reference assigns ids with
+``row_number().over(Window.orderBy(monotonically_increasing_id()))``
+(reference: spark/jobs/uber/csv_to_delta.py:61-78,
+uber/bronze2_to_silver.py:136-151, alphavantage/transform_into_delta.py:122-138)
+— a global-order window that collapses to a SINGLE partition and cannot
+scale (SURVEY.md §4 anti-pattern #1).
+
+Same semantics here — dense 1..N ids, monotone in a declared ordering,
+offset by the existing MAX(id) — but computed distributed:
+
+  1. range-partition by the ordering key (repartitionByRange),
+  2. count rows per partition (small driver-side collect: one long per
+     partition),
+  3. row_number within each partition + the partition's cumulative
+     offset.
+
+Cost: one extra count job over the (cached) partitioned frame. Every
+window is per-partition; nothing global. Works identically on
+local[32] and a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "_lh_pid"
+
+
+def with_dense_id(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "cd_id",
+    offset: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``id_col`` = offset + dense rank 1..N of ``order_cols`` ordering.
+
+    ``order_cols`` should be a unique key for a fully deterministic
+    assignment (ties are assigned arbitrarily-but-densely otherwise).
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    counts = {r[_PID]: r["cnt"] for r in part.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    cum = 0
+    offsets: dict[int, int] = {}
+    for pid in sorted(counts):  # range partitions are ordered by key
+        offsets[pid] = cum
+        cum += counts[pid]
+    if not offsets:
+        return df.withColumn(id_col, F.lit(None).cast("long"))
+    mapping = F.create_map(*[F.lit(x) for pid_off in offsets.items() for x in pid_off])
+    w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
+    out = (
+        part.withColumn(
+            id_col,
+            F.row_number().over(w).cast("long") + mapping[F.col(_PID)] + F.lit(offset).cast("long"),
+        )
+        .drop(_PID)
+    )
+    return out
+
+
+def max_id_seed(df: DataFrame, id_col: str) -> int:
+    """COALESCE(MAX(id), 0) — the surrogate-key seed read
+    (reference: uber/csv_to_delta.py:61-73)."""
+    row = df.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m")).collect()[0]
+    return int(row["m"])

@@ -1,0 +1,1 @@
+"""Composable DataFrame operator library (SURVEY.md §2 inventory)."""
