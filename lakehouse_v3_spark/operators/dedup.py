@@ -1,0 +1,166 @@
+"""Deduplication operators for training-data pipelines: exact dedup,
+word n-gram shingling, MinHash+LSH near-dup, SimHash signatures.
+
+All hashing is md5-derived (cross-engine deterministic: the DuckDB
+oracle computes identical ints), all stages are built-in DataFrame ops
+— explode / groupBy / join — so the same plan scales by shuffle on
+shingle/band keys. No UDFs anywhere.
+
+Scale notes (100 TB corpora):
+  - shingling/minhash is a map-side projection (array functions);
+  - the only shuffles are groupBy(doc) for signatures and the band
+    bucket self-join; band buckets bound candidate-pair fan-out, so
+    cost is Σ bucket² not n² (salting a hot bucket if a band value
+    skews);
+  - exact jaccard verification joins only candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# MinHash parameters — shared with the DuckDB oracle SQL (plans/dedup_queries).
+MINHASH_PRIME = 1_000_003
+# (a, b) pairs for h_j(x) = (a*x + b) % PRIME; a*x stays < 2^63.
+MINHASH_SEEDS = [
+    (443_021, 911_227),
+    (151_253, 202_021),
+    (733_211, 617_093),
+    (379_721, 827_191),
+    (997_003, 103_561),
+    (563_167, 491_731),
+    (281_407, 743_909),
+    (859_433, 314_159),
+]
+BAND_SIZE = 2  # 8 hashes → 4 bands of 2
+
+
+def md5_int(col, mod: int = MINHASH_PRIME):
+    """First 8 hex digits of md5 → BIGINT % mod (DuckDB:
+    ('0x' || substr(md5(x),1,8))::BIGINT % mod)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % mod
+
+
+def word_shingles(tok_arr, k: int = 3):
+    """Array of k-word shingles ('w1 w2 ... wk') from a token array.
+    Empty when the document has fewer than k tokens."""
+    if k == 1:
+        return tok_arr
+    n = F.size(tok_arr)
+    idx = F.sequence(F.lit(1), n - (k - 1))  # 1-based start positions
+    mk = lambda i: F.concat_ws(" ", *[F.element_at(tok_arr, i + j) for j in range(k)])  # noqa: E731
+    return F.when(n >= k, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, content_key) -> DataFrame:
+    """Exact dedup by content hash: one keeper (min id) + group size
+    (reference A14 dropDuplicates, uber/drop_dup.py:58-65, made
+    deterministic). Returns (content_key, keeper_id, n_dups)."""
+    return (
+        df.select(content_key.alias("content_key"), F.col(id_col))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias(f"keeper_{id_col}"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def doc_shingle_sets(df: DataFrame, id_col: str, shingle_arr) -> DataFrame:
+    """(id, shingle) distinct pairs — the set representation used by both
+    minhash signatures and exact jaccard."""
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingle_sets: DataFrame, id_col: str) -> DataFrame:
+    """k minhash values per document: min over shingles of
+    (a_j * md5int(shingle) + b_j) % PRIME."""
+    x = md5_int(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % MINHASH_PRIME).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+    return shingle_sets.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+    """LSH banding: documents sharing any band of the signature become a
+    candidate pair (id_a < id_b, distinct)."""
+    n_bands = len(MINHASH_SEEDS) // BAND_SIZE
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * BAND_SIZE + r}").cast("string") for r in range(BAND_SIZE)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(F.col(id_col), F.explode(bands).alias("band_key"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_key")
+    return (
+        a.join(b, on="band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingle_sets: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact jaccard for candidate pairs: |A∩B| / (|A|+|B|−|A∩B|).
+    Joins shingles only for candidate docs."""
+    sizes = shingle_sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    sa = shingle_sets.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingle_sets.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sa, on="id_a")
+        .join(sb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        candidates.join(inter, on=["id_a", "id_b"], how="left")
+        .fillna({"n_inter": 0})
+        .join(za, on="id_a")
+        .join(zb, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash16(tok_arr):
+    """16-bit SimHash over md5-derived token ints: bit i is set when the
+    token-count-weighted sum of (±1 per token bit i) is positive.
+    Generated per-bit so the identical expression renders in SQL for the
+    oracle (plans/dedup_queries.simhash_sql)."""
+    t16 = F.transform(tok_arr, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long"))
+
+    def contrib_for(b):
+        # closure factory: F.aggregate's merge lambda must be exactly 2-arg
+        return F.aggregate(
+            t16,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for bit in range(16):
+        out = out + F.when(contrib_for(bit) > 0, F.lit(2**bit)).otherwise(F.lit(0))
+    return out

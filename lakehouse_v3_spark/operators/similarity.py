@@ -1,0 +1,109 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and
+coarse-partition (IVF-style) restricted search (scale path).
+
+Vectors are ``array<float>`` columns. All arithmetic is element-wise
+JVM higher-order functions — cast to double FIRST, then a left-fold sum
+in index order, so the result is bit-identical to the DuckDB oracle's
+list_reduce (no UDFs, no reliance on engine-internal dot products).
+
+Scale notes (100 TB / billions of vectors):
+  - brute force is a broadcast of the (small) query set against the
+    corpus — one scan, no shuffle, top-k per query via window;
+  - the IVF variant adds a coarse cell equality to the join condition,
+    cutting the scanned corpus to matching cells only (cells from
+    k-means offline or any hash/label partition; partition pruning
+    applies when the corpus is written partitioned by cell);
+  - at extreme scale swap the window top-k for per-partition heaps
+    (mapInPandas) — semantics unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_product(a, b):
+    """Σ a[i]·b[i] as double, summed in index order (left fold)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a):
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine(a, b):
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Top-k corpus neighbours per query by cosine. ``cell_col`` adds a
+    coarse-cell equality (IVF-style restriction). Returns
+    (query_id, corpus_id, cosine_sim, rank)."""
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        *([F.col(cell_col).alias("_qcell")] if cell_col else []),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        *([F.col(cell_col).alias("_ccell")] if cell_col else []),
+    )
+    if cell_col:
+        joined = c.join(F.broadcast(q), F.col("_qcell") == F.col("_ccell"))
+    else:
+        joined = c.crossJoin(F.broadcast(q))
+    scored = joined.select(
+        F.col("_qid"),
+        F.col("_cid"),
+        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("cosine_sim").desc(), F.col("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias("neighbor_id"),
+            "cosine_sim",
+            "rank",
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b) above a threshold,
+    optionally blocked on ``block_col`` (label/LSH bucket) to bound the
+    pair fan-out — the O(n²)→Σ block² reduction."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        *([F.col(block_col).alias("_block")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        *([F.col(block_col).alias("_block")] if block_col else []),
+    )
+    joined = a.join(b, on=(["_block"] if block_col else []) or None, how="inner") if block_col else a.crossJoin(b)
+    pairs = joined.filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

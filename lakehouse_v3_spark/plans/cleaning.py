@@ -93,13 +93,13 @@ def p9_day_window_filter(spark, sf_dir):
 _P10_ORACLE = """
 SELECT
   COUNT(*) AS n_rows,
-  SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END)     AS bad_qty,
-  SUM(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
-  SUM(CASE WHEN l_discount < 0 OR l_discount > 0.06 THEN 1 ELSE 0 END)       AS bad_discount,
-  SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END)                                 AS bad_tax,
-  SUM(CASE WHEN l_quantity > 0 AND l_extendedprice > 0
+  CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)     AS bad_qty,
+  CAST(SUM(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.06 THEN 1 ELSE 0 END) AS BIGINT)       AS bad_discount,
+  CAST(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT)                                 AS bad_tax,
+  CAST(SUM(CASE WHEN l_quantity > 0 AND l_extendedprice > 0
             AND l_discount BETWEEN 0 AND 0.06 AND l_tax >= 0
-           THEN 1 ELSE 0 END)                                                AS n_valid
+           THEN 1 ELSE 0 END) AS BIGINT)                                                AS n_valid
 FROM lineitem
 """
 
@@ -134,9 +134,9 @@ def p10_validity_filter(spark, sf_dir):
 _P11_ORACLE = """
 SELECT
   COUNT(*) AS n_rows,
-  SUM(CASE WHEN text IS NULL OR trim(text) = ''
+  CAST(SUM(CASE WHEN text IS NULL OR trim(text) = ''
           OR lang IS NULL OR trim(lang) = ''
-          OR source IS NULL OR trim(source) = '' THEN 1 ELSE 0 END) AS n_violating
+          OR source IS NULL OR trim(source) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
 FROM documents
 """
 

@@ -1,0 +1,239 @@
+"""Dedup queries on the documents table: exact content dedup, MinHash+LSH
+near-dup (bucketed candidates + exact jaccard verify), direct n-gram
+jaccard, SimHash signatures.
+
+The DuckDB oracle SQL is partially GENERATED from the same constants as
+the Spark operators (operators/dedup.py MINHASH_SEEDS etc.) so both
+engines compute identical md5-derived hashes — the oracle is a true
+independent re-execution, not a stub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..io_utils import load
+from ..operators.dedup import (
+    BAND_SIZE,
+    MINHASH_PRIME,
+    MINHASH_SEEDS,
+    doc_shingle_sets,
+    exact_dedup_groups,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+    word_shingles,
+)
+from . import register
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+_MD5_8 = "(('0x' || substr(md5(shingle), 1, 8))::BIGINT % {p})".format(p=MINHASH_PRIME)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup by normalized-content hash
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                  ' +', ' ', 'g'))) AS content_key,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*)    AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact_content", oracle=_EXACT_ORACLE)
+def dedup_exact_content(spark, sf_dir):
+    """Exact dedup via hash-groupBy on normalized content — the
+    deterministic form of the reference's dropDuplicates (A14,
+    uber/drop_dup.py:58-65): one keeper (min id) per content hash.
+    Scales as a single shuffle on the 32-byte hash key."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return exact_dedup_groups(d, "doc_id", F.sha2(norm, 256))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (unigram shingles → signatures → bands →
+# candidate pairs → exact jaccard verify → top pairs)
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle() -> str:
+    sig_lines = ",\n    ".join(
+        f"MIN(({a} * {_MD5_8} + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    n_bands = len(MINHASH_SEEDS) // BAND_SIZE
+    band_items = ",\n     ".join(
+        "concat_ws('|', '%d', %s)"
+        % (b, ", ".join(f"mh{b * BAND_SIZE + r}::VARCHAR" for r in range(BAND_SIZE)))
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sets AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({_TOKS})) AS shingle
+  FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+    {sig_lines}
+  FROM sets GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([
+     {band_items}]) AS band_key
+  FROM sigs
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) AS jaccard
+FROM cands c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes za ON za.doc_id = c.id_a
+JOIN sizes zb ON zb.doc_id = c.id_b
+ORDER BY jaccard DESC, c.id_a, c.id_b
+LIMIT 200
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → 8 minhashes → 4 bands of 2 →
+    band-bucket candidate pairs → exact jaccard verify → top-200 pairs.
+    All md5-based hashing is recomputed identically by the oracle.
+    Candidate cost is Σ bucket², never n² (operators/dedup.py)."""
+    d = load(spark, sf_dir, "documents")
+    sets = doc_shingle_sets(d, "doc_id", word_shingles(tokens(F.col("text")), k=1))
+    sigs = minhash_signatures(sets, "doc_id")
+    cands = lsh_candidate_pairs(sigs, "doc_id")
+    verified = jaccard_verify(cands, sets, "doc_id")
+    return (
+        verified.orderBy(F.col("jaccard").desc(), F.col("id_a"), F.col("id_b"))
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Direct n-gram jaccard (3-word shingles, language-blocked)
+# ---------------------------------------------------------------------------
+
+_NGRAM_ORACLE = f"""
+WITH sets AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len({_TOKS}) - 2, 0) + 1),
+           i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2])))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sets sa
+  JOIN sets sb ON sa.lang = sb.lang AND sa.shingle = sb.shingle
+              AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+ORDER BY jaccard DESC, i.id_a, i.id_b
+LIMIT 50
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Direct 3-gram jaccard near-dup with language blocking (the exact
+    counterpart the LSH path approximates): only same-lang pairs sharing
+    ≥1 shingle are scored. Blocking bounds the self-join fan-out."""
+    d = load(spark, sf_dir, "documents")
+    sh = word_shingles(tokens(F.col("text")), k=3)
+    sets = (
+        d.select("doc_id", "lang", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sets.select(F.col("doc_id").alias("id_a"), "lang", "shingle")
+    sb = sets.select(F.col("doc_id").alias("id_b"), "lang", "shingle")
+    inter = (
+        sa.join(sb, on=["lang", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(za, on="id_a")
+        .join(zb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("id_a"), F.col("id_b"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (16-bit, generated bit expressions on both engines)
+# ---------------------------------------------------------------------------
+
+def _simhash_oracle() -> str:
+    t16 = f"list_transform({_TOKS}, x -> ('0x' || substr(md5(x), 1, 4))::BIGINT)"
+    bit_terms = []
+    for bit in range(16):
+        contrib = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform({t16}, x -> CASE WHEN (x >> {bit}) & 1 = 1 THEN 1 ELSE -1 END)), "
+            f"(acc, v) -> acc + v)"
+        )
+        bit_terms.append(f"(CASE WHEN {contrib} > 0 THEN {2**bit} ELSE 0 END)")
+    simhash = " + ".join(bit_terms)
+    return f"""
+SELECT doc_id,
+       CAST({simhash} AS BIGINT) AS simhash,
+       CAST(({simhash}) // 256 AS BIGINT) AS band_hi,
+       CAST(({simhash}) % 256 AS BIGINT)  AS band_lo
+FROM documents
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash signatures + the two 8-bit bands used for
+    hamming-≤-k candidate pairing (pigeonhole: distance ≤1 ⇒ one band
+    equal). Bit expressions are generated from one loop on both engines
+    (operators/dedup.py simhash16)."""
+    d = load(spark, sf_dir, "documents")
+    sig = d.select("doc_id", simhash16(tokens(F.col("text"))).alias("simhash"))
+    return sig.select(
+        "doc_id",
+        "simhash",
+        F.expr("simhash div 256").alias("band_hi"),
+        (F.col("simhash") % 256).alias("band_lo"),
+    )

@@ -1,0 +1,125 @@
+"""Embedding similarity queries: brute-force cosine top-k, IVF-style
+cell-restricted top-k, cosine near-dup pairs with blocking.
+
+Vectors are array<float>; all arithmetic casts to double element-wise
+and left-folds in index order on BOTH engines (operators/similarity.py
+vs generated list_reduce SQL) so cosines are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from ..operators.similarity import cosine, knn_bruteforce, near_dup_pairs
+from . import register
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _cos(a: str, b: str) -> str:
+    return f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-5 (the baseline every ANN variant is checked
+# against)
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT qid, cid, {_cos('qv', 'cv')} AS cosine_sim
+  FROM c, q
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid AS vec_id, cid AS neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("knn_bruteforce_cosine", oracle=_KNN_ORACLE)
+def knn_bruteforce_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 per query vector (queries = vec_id<10
+    broadcast against the corpus; one corpus scan, window top-k). The
+    100 TB baseline: O(|Q|·|C|) flops but zero shuffle of the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    out = knn_bruteforce(
+        e.filter(F.col("vec_id") < 10),
+        e.filter(F.col("vec_id") >= 10),
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=5,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-style cell-restricted top-5 (label as the coarse cell)
+# ---------------------------------------------------------------------------
+
+_IVF_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv, label FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, embedding AS cv, label FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT qid, cid, {_cos('qv', 'cv')} AS cosine_sim
+  FROM c JOIN q ON c.label = q.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid AS vec_id, cid AS neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("knn_ivf_cells", oracle=_IVF_ORACLE)
+def knn_ivf_cells(spark, sf_dir):
+    """IVF-style ANN: search only the query's coarse cell (here the
+    label column stands in for a k-means cell id computed offline).
+    With the corpus written partitioned by cell, partition pruning makes
+    this sublinear in corpus size — the scale path over brute force."""
+    e = load(spark, sf_dir, "embeddings")
+    out = knn_bruteforce(
+        e.filter(F.col("vec_id") < 10),
+        e.filter(F.col("vec_id") >= 10),
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=5,
+        cell_col="label",
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (label-blocked)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos('a.embedding', 'b.embedding')} AS cosine_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
+"""
+
+
+@register("embedding_near_dup", oracle=_NEARDUP_ORACLE)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: same-cell pairs above a cosine
+    threshold (operators/similarity.py near_dup_pairs). Blocking turns
+    O(n²) into Σ cell² — with LSH bucketing as the drop-in block for
+    unlabeled corpora."""
+    e = load(spark, sf_dir, "embeddings")
+    return near_dup_pairs(e, "vec_id", block_col="label", threshold=0.4)

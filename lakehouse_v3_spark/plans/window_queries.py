@@ -195,8 +195,8 @@ WITH gaps AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM gaps
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
