@@ -1,0 +1,76 @@
+"""Multimodal columns: opaque binary payloads with typed metadata, and
+Arrow-batched feature extraction via mapInPandas.
+
+Design for image/audio/video at 100 TB:
+  - payloads are ``binary`` columns (or object-store URIs for >~1 MB
+    blobs) with a metadata struct (mime, n_bytes, checksum) alongside;
+  - decode / resize / frame-sample run as mapInPandas over Arrow record
+    batches — Python touches each batch once, partitioning and pushdown
+    stay with Spark;
+  - the actual codec step needs PIL/ffmpeg (not in this container), so
+    ``decode_image`` is a clearly-marked stub behind an import-try; the
+    Spark-side plumbing (schema, batch iteration, deterministic feature
+    columns) is real and oracle-checked via multimodal_binary_features.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, payload_sha string, fake_width long, fake_height long"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model an opaque media payload: utf-8 bytes of the text column plus
+    a typed metadata struct (stand-in for image/audio bytes)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("checksum"),
+    )
+    return df.withColumn("payload", payload).withColumn("media_meta", meta)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """STUB: real decode needs an image codec library not present in this
+    container. The mapInPandas plumbing around it is real."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires PIL/pillow (not installed in this harness)"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here on a full cluster image")
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches: deterministic
+    metadata features (byte count, sha prefix, fake decoded dimensions
+    derived from the payload hash). Swap the inner function for a real
+    decoder without touching the Spark plumbing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            shas = payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest())
+            n_bytes = payloads.map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": n_bytes,
+                    "payload_sha": shas,
+                    # deterministic stand-ins for decoded dimensions
+                    "fake_width": (n_bytes % 64 + 16).astype("int64"),
+                    "fake_height": shas.map(lambda s: int(s[:4], 16) % 64 + 16).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)

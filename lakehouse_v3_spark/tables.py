@@ -1,0 +1,170 @@
+"""Lakehouse table manager: read/write/append/overwrite/MERGE/register,
+partitioned writes, schema merge, compaction, vacuum.
+
+The reference manages Delta tables on object storage registered in a
+Hive metastore (SURVEY.md §2.1 S6-S15). This manager exposes the same
+surface and picks the best available backend:
+
+  - **delta** when the Delta Lake package is importable (real cluster):
+    ACID appends/overwrites, DeltaTable.merge, OPTIMIZE-style compaction,
+    VACUUM.
+  - **parquet** fallback (this harness): path-addressed tables with an
+    atomic-by-rename overwrite, MERGE rewritten as full-outer
+    source-wins join (operators/joins.merge_upsert), compaction as a
+    repartition rewrite.
+
+Scale notes: appends are partitioned writes (partition pruning on read);
+compaction targets the small-file problem (reference: VACUUM RETAIN 0
+after overwrite, uber/drop_dup.py:96-101) — here sized by
+``target_file_rows`` so file counts stay bounded as data grows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _delta_available() -> bool:
+    try:  # pragma: no cover - depends on environment
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TableManager:
+    def __init__(self, spark: SparkSession, warehouse_dir: str, backend: str | None = None):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir.rstrip("/")
+        self.backend = backend or ("delta" if _delta_available() else "parquet")
+        os.makedirs(self.warehouse_dir, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def path(self, table: str) -> str:
+        return f"{self.warehouse_dir}/{table.replace('.', '/')}"
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        if self.backend == "delta":
+            return os.path.exists(f"{p}/_delta_log")
+        return os.path.exists(p) and any(
+            f.endswith(".parquet") or f.startswith("part-") or "=" in f
+            for root, _, files in os.walk(p)
+            for f in files + [os.path.basename(root)]
+        )
+
+    # -- reads -----------------------------------------------------------
+    def read(self, table: str) -> DataFrame:
+        """S6 Delta/parquet scan by path, with schema merge across
+        appended files (reference mergeSchema convention, §1.3)."""
+        reader = self.spark.read.format(self.backend)
+        if self.backend == "parquet":
+            reader = reader.option("mergeSchema", "true")
+        return reader.load(self.path(table))
+
+    # -- writes ----------------------------------------------------------
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        merge_schema: bool = True,
+    ) -> None:
+        """S8 append sink with schema merge + optional partitionBy
+        (reference: uber/csv_to_delta.py:91-102)."""
+        w = df.write.format(self.backend).mode("append")
+        if merge_schema:
+            w = w.option("mergeSchema", "true")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(self.path(table))
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        overwrite_schema: bool = True,
+    ) -> None:
+        """S9 overwrite sink (reference: uber/drop_dup.py:77-89). For the
+        parquet backend the write goes to a temp dir then swaps in —
+        readers never see a half-written table."""
+        if self.backend == "delta":
+            w = df.write.format("delta").mode("overwrite")
+            if overwrite_schema:
+                w = w.option("overwriteSchema", "true")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.save(self.path(table))
+            return
+        target = self.path(table)
+        tmp = target + "__tmp_overwrite"
+        w = df.write.format("parquet").mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(tmp)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.replace(tmp, target)
+
+    def merge(self, source: DataFrame, table: str, key: list[str]) -> None:
+        """S10 MERGE upsert: whenMatchedUpdateAll/whenNotMatchedInsertAll
+        (reference: alphavantage/bronze2_to_silver.py:141-152). Delta uses
+        the native MERGE; parquet rewrites via full-outer join with
+        identical row semantics."""
+        if self.backend == "delta":  # pragma: no cover - needs delta jars
+            from delta.tables import DeltaTable
+
+            cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key)
+            (
+                DeltaTable.forPath(self.spark, self.path(table))
+                .alias("t")
+                .merge(source.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
+        from .operators.joins import merge_upsert
+
+        if not self.exists(table):
+            self.overwrite(source, table)
+            return
+        target = self.read(table)
+        merged = merge_upsert(target, source, key)
+        self.overwrite(merged, table)
+
+    # -- maintenance -----------------------------------------------------
+    def compact(self, table: str, target_file_rows: int = 1_000_000) -> int:
+        """OPTIMIZE-style small-file compaction: rewrite the table into
+        ⌈rows / target_file_rows⌉ files (BASELINE.json 'read/write/
+        compact'). Returns the new file count."""
+        df = self.read(table)
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // target_file_rows))
+        self.overwrite(df.repartition(n_files), table)
+        return n_files
+
+    def vacuum(self, table: str) -> None:
+        """S15 VACUUM: drop unreferenced files (reference:
+        uber/drop_dup.py:96-101 RETAIN 0 HOURS). Parquet overwrites
+        already swap atomically, so only stray temp dirs need removal."""
+        if self.backend == "delta":  # pragma: no cover
+            self.spark.sql(f"VACUUM delta.`{self.path(table)}` RETAIN 0 HOURS")
+            return
+        tmp = self.path(table) + "__tmp_overwrite"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+
+    # -- catalog ---------------------------------------------------------
+    def register(self, table: str, view_name: str | None = None) -> None:
+        """S12/S13 idempotent registration. Without a metastore in the
+        harness, tables register as session temp views; on a cluster this
+        is CREATE TABLE ... USING DELTA LOCATION (reference:
+        coin/convert_to_delta.py:167-173)."""
+        self.read(table).createOrReplaceTempView(view_name or table.replace(".", "_"))
