@@ -18,8 +18,11 @@ from pyspark.sql import functions as F
 
 
 def csv_file_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """S1: incremental CSV discovery (header, recursive, inferred schema;
-    spark.sql.streaming.schemaInference is set by the session factory)."""
+    """S1: incremental CSV discovery (header, recursive, inferred
+    schema). Sets streaming schema inference itself so the operator also
+    works on sessions not built by session.get_spark (reference relies on
+    the session conf, uber/csv_to_delta.py:119-120)."""
+    spark.conf.set("spark.sql.streaming.schemaInference", "true")
     return (
         spark.readStream.format("csv")
         .option("header", "true")
