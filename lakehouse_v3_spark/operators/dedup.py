@@ -33,7 +33,12 @@ MINHASH_SEEDS = [
     (281_407, 743_909),
     (859_433, 314_159),
 ]
-BAND_SIZE = 2  # 8 hashes → 4 bands of 2
+# 8 hashes → 2 bands of 4: band-match probability is sim^4, so low-sim
+# pairs (the bulk of a shared-vocab corpus) almost never become
+# candidates while true near-dups (sim ≳ 0.8) still collide. Band size
+# is THE candidate-volume throttle at scale — prefer more hashes with
+# wider bands as corpora grow.
+BAND_SIZE = 4
 
 
 def md5_int(col, mod: int = MINHASH_PRIME):

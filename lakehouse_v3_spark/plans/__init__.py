@@ -57,6 +57,7 @@ REGISTRY: dict[str, QueryDef] = {}
 
 _MODULES = [
     "relational",
+    "analytics_extra",
     "cleaning",
     "window_queries",
     "joins_merge",

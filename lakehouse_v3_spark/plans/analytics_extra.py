@@ -1,0 +1,200 @@
+"""Parity-plus analytics the reference never needed but a complete
+engine must expose (SURVEY.md §2 'not present' rows): pivot, cube,
+INTERSECT/EXCEPT, exact percentiles/median, moment-based stddev,
+correlated subqueries.
+
+Statistical aggregates are computed from decimal power sums (Σx, Σx²)
+so both engines derive identical doubles — never from engine-internal
+streaming variance (Welford order-dependence would break the hash gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from . import register
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(30,6))) AS DOUBLE) AS qty_O,
+       CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(30,6))) AS DOUBLE) AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("pivot_status_quantity", oracle=_PIVOT_ORACLE)
+def pivot_status_quantity(spark, sf_dir):
+    """Pivot on a low-cardinality column with explicit value list (the
+    scalable form — implicit pivot triggers a distinct-values job)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double"))
+    )
+    return p.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cube
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube_all_subtotals", oracle=_CUBE_ORACLE)
+def agg_cube_all_subtotals(spark, sf_dir):
+    """CUBE: all 2^k grouping-set combinations in one pass (Expand +
+    single shuffle — not 4 separate scans)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+
+_SETOP_ORACLE = """
+SELECT 'both' AS side, n_nationkey AS nationkey FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'customer_only', n_nationkey FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
+)
+"""
+
+
+@register("setop_intersect_except", oracle=_SETOP_ORACLE)
+def setop_intersect_except(spark, sf_dir):
+    """INTERSECT and EXCEPT (distinct semantics) — U2 'not present' row.
+    Both compile to aggregate + join, shuffling only the key column."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("side", F.lit("both"))
+    only = c.subtract(s).withColumn("side", F.lit("customer_only"))
+    return both.unionByName(only).select("side", "nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles / median
+# ---------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5)  AS median_price,
+       quantile_cont(o_totalprice, 0.9)  AS p90_price,
+       CAST(COUNT(*) AS BIGINT)          AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("percentiles_exact", oracle=_PCT_ORACLE)
+def percentiles_exact(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB quantile_cont). At 100 TB switch to percentile_approx
+    (t-digest) — declared here as the exact baseline the approximation
+    is judged against."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moment-based stddev / variance (deterministic across engines)
+# ---------------------------------------------------------------------------
+
+_STDDEV_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(value) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       s1 / n AS mean_value,
+       sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_value
+FROM m
+"""
+
+
+@register("stddev_from_moments", oracle=_STDDEV_ORACLE)
+def stddev_moments(spark, sf_dir):
+    """Sample stddev from decimal power sums: sqrt((Σx² − (Σx)²/n)/(n−1)).
+    Spark's stddev_samp is a streaming (order-dependent) reduction that
+    can differ from another engine at 1 ulp; power sums in decimal are
+    exact, so both engines compute the identical double."""
+    e = load(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)")).cast("double").alias("s2"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_value"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "stddev_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subquery (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small_orders
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("correlated_subquery_q17", oracle=_CORR_ORACLE)
+def correlated_subquery_q17(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (decorrelated by
+    Catalyst into an aggregate + join — verify with .explain that no
+    per-row subquery survives)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("_thresh")
+    )
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_qty, l.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_thresh"))
+    )
+    return j.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double") / 7.0).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_small_orders"),
+    )

@@ -75,9 +75,17 @@ def _minhash_oracle() -> str:
         % (b, ", ".join(f"mh{b * BAND_SIZE + r}::VARCHAR" for r in range(BAND_SIZE)))
         for b in range(n_bands)
     )
+    # 2-gram shingles: with unigram shingles this corpus's shared vocab
+    # makes every signature identical → one giant LSH bucket → the n²
+    # candidate blow-up LSH exists to avoid (bench: 157 s). Bigrams keep
+    # buckets small and candidates sparse.
+    shingles = (
+        f"list_transform(range(1, greatest(len({_TOKS}) - 1, 0) + 1), "
+        f"i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1]))"
+    )
     return f"""
 WITH sets AS (
-  SELECT DISTINCT doc_id, unnest(list_distinct({_TOKS})) AS shingle
+  SELECT DISTINCT doc_id, unnest(list_distinct({shingles})) AS shingle
   FROM documents
 ),
 sigs AS (
@@ -121,7 +129,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     All md5-based hashing is recomputed identically by the oracle.
     Candidate cost is Σ bucket², never n² (operators/dedup.py)."""
     d = load(spark, sf_dir, "documents")
-    sets = doc_shingle_sets(d, "doc_id", word_shingles(tokens(F.col("text")), k=1))
+    # cache: the shingle explosion feeds both the signature branch and
+    # the jaccard-verify branch of the DAG — without it the md5 hashing
+    # of every (doc, shingle) runs twice
+    sets = doc_shingle_sets(d, "doc_id", word_shingles(tokens(F.col("text")), k=2)).cache()
     sigs = minhash_signatures(sets, "doc_id")
     cands = lsh_candidate_pairs(sigs, "doc_id")
     verified = jaccard_verify(cands, sets, "doc_id")
@@ -141,7 +152,7 @@ WITH sets AS (
          unnest(list_distinct(list_transform(
            range(1, greatest(len({_TOKS}) - 2, 0) + 1),
            i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2])))) AS shingle
-  FROM documents
+  FROM documents WHERE lang = 'de'
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
 inter AS (
@@ -163,10 +174,12 @@ LIMIT 50
 
 @register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Direct 3-gram jaccard near-dup with language blocking (the exact
-    counterpart the LSH path approximates): only same-lang pairs sharing
-    ≥1 shingle are scored. Blocking bounds the self-join fan-out."""
-    d = load(spark, sf_dir, "documents")
+    """Direct 3-gram jaccard near-dup with blocking (the exact
+    counterpart the LSH path approximates): only same-block pairs sharing
+    ≥1 shingle are scored. All-pairs jaccard is inherently Σ block², so
+    the query runs one block (lang='de') — the LSH query is the
+    full-corpus scale path."""
+    d = load(spark, sf_dir, "documents").filter(F.col("lang") == "de")
     sh = word_shingles(tokens(F.col("text")), k=3)
     sets = (
         d.select("doc_id", "lang", F.explode(F.array_distinct(sh)).alias("shingle"))
