@@ -162,6 +162,43 @@ def stddev_moments(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SQL-API verification summary (A15: SQL strings via spark.sql)
+# ---------------------------------------------------------------------------
+
+_SQLAPI_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*)                         AS n_orders,
+       COUNT(DISTINCT o_custkey)        AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+       MAX(o_orderdate)                 AS latest_order
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("sql_api_summary", oracle=_SQLAPI_ORACLE)
+def sql_api_summary(spark, sf_dir):
+    """A15: the spark.sql string API over registered views — the
+    reference executes many of its verification queries this way
+    (004_fact...completeness_mandatory.py:182-189). Catalyst produces
+    the same plan as the DataFrame form."""
+    from ..io_utils import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_sql_api_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*)                  AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+               MAX(o_orderdate)          AS latest_order
+        FROM _sql_api_orders
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Correlated subquery (TPC-H Q17 shape)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,77 @@
+"""Source-format tests: JSON lines / multiLine arrays, corrupt-file
+tolerance, file provenance, JVM listing, zone creation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from lakehouse_v3_spark.sources import (
+    create_zone,
+    list_keys_jvm,
+    read_json_lines,
+    read_json_multiline,
+    with_source_file,
+)
+
+
+def test_json_lines_with_path_list(spark, tmp_path):
+    p1, p2 = tmp_path / "a.json", tmp_path / "b.json"
+    p1.write_text('{"id": 1, "q": {"usd": {"price": 9.5}}}\n{"id": 2, "q": {"usd": {"price": 1.0}}}')
+    p2.write_text('{"id": 3, "q": {"usd": {"price": 2.0}}}')
+    df = read_json_lines(spark, [str(p1), str(p2)])
+    assert df.count() == 3
+    # nested struct inference + dotted access (reference quote.usd.price)
+    assert df.filter(F.col("q.usd.price") > 5).count() == 1
+
+
+def test_json_multiline_array(spark, tmp_path):
+    p = tmp_path / "articles.json"
+    p.write_text(json.dumps([
+        {"title": "A", "source": {"id": "s1", "name": "Reuters"}},
+        {"title": "B", "source": {"id": "s2", "name": "AP"}},
+    ], indent=2))
+    df = read_json_multiline(spark, str(p))
+    assert df.count() == 2
+    assert {r[0] for r in df.select("source.name").collect()} == {"Reuters", "AP"}
+
+
+def test_corrupt_file_tolerance(spark, tmp_path):
+    # S20: session sets ignoreCorruptFiles=true (session factory) — a
+    # garbage parquet in the directory must not break the scan
+    good = tmp_path / "data"
+    spark.range(5).write.parquet(str(good))
+    (good / "corrupt.parquet").write_bytes(b"this is not parquet")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    # tolerance applies at scan time; schema inference would still trip
+    # on the corrupt footer, so declare the schema (the production norm)
+    assert spark.read.schema("id long").parquet(str(good)).count() == 5
+
+
+def test_input_file_provenance(spark, tmp_path):
+    (tmp_path / "x.json").write_text('{"id": 1}')
+    (tmp_path / "y.json").write_text('{"id": 2}')
+    df = with_source_file(read_json_lines(spark, str(tmp_path)))
+    paths = {os.path.basename(r._src_path) for r in df.collect()}
+    assert paths == {"x.json", "y.json"}
+
+
+def test_jvm_listing_sorted(spark, tmp_path):
+    (tmp_path / "b.csv").write_text("x")
+    (tmp_path / "a.csv").write_text("x")
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    (sub / "c.csv").write_text("x")
+    keys = list_keys_jvm(spark, str(tmp_path))
+    names = [os.path.basename(k) for k in keys]
+    assert names == sorted(names) and set(names) == {"a.csv", "b.csv", "c.csv"}
+
+
+def test_create_zone_idempotent(spark):
+    create_zone(spark, "bronze2_testzone")
+    create_zone(spark, "bronze2_testzone")  # IF NOT EXISTS
+    dbs = [r.namespace for r in spark.sql("SHOW DATABASES").collect()]
+    assert "bronze2_testzone" in dbs
+    spark.sql("DROP DATABASE bronze2_testzone")
