@@ -14,11 +14,17 @@ if REPO_DIR not in sys.path:
 def spark():
     from lakehouse_v3_spark.session import get_spark
 
+    import tempfile
+
     spark = get_spark(
         app_name="lakehouse_v3_spark-tests",
         master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[8]"),
         shuffle_partitions=8,
         driver_memory=os.environ.get("SPARK_GRAFT_TEST_DRIVER_MEM", "8g"),
+        extra_conf={
+            # keep saveAsTable/bucketing tests out of the repo dir
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
     )
     yield spark
     spark.stop()

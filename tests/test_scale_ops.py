@@ -1,0 +1,140 @@
+"""Scale-path operator tests: stateful streaming, skew salting,
+bucketed co-located joins, incremental-equals-full property."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    from lakehouse_v3_spark.streaming.stateful import running_user_totals
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double"
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+
+    ckpt = str(tmp_path / "ckpt")
+    collected: list = []
+
+    def run_once():
+        # foreachBatch sink: supports checkpoint recovery (memory doesn't)
+        stream = spark.readStream.schema("user_id long, value double").parquet(str(src))
+        q = (
+            running_user_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    r1 = {r.user_id: (r.n_events, r.total_value) for r in collected}
+    assert r1 == {1: (2, 15.0), 2: (1, 1.0)}
+
+    # second micro-batch: state persists via the checkpoint → totals accumulate
+    collected.clear()
+    b2 = spark.createDataFrame([(1, 2.0), (3, 7.0)], "user_id long, value double")
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    r2 = {r.user_id: (r.n_events, r.total_value) for r in collected}
+    assert r2[1] == (3, 17.0)  # accumulated across batches
+    assert r2[3] == (1, 7.0)
+
+
+def test_salted_sum_matches_plain_sum(spark, sf_dir):
+    from lakehouse_v3_spark.io_utils import load
+    from lakehouse_v3_spark.operators.skew import salted_sum_by_key
+
+    e = load(spark, sf_dir, "events")
+    salted = {
+        r.event_type: (r.total, r.n_rows)
+        for r in salted_sum_by_key(e, "event_type", F.col("value"), n_salts=16).collect()
+    }
+    plain = {
+        r.event_type: (r.total, r.n)
+        for r in e.groupBy("event_type")
+        .agg(F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert salted == plain  # bit-equal thanks to decimal accumulation
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from lakehouse_v3_spark.io_utils import load
+    from lakehouse_v3_spark.operators.skew import salted_join_hot_keys
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("user_n"))
+    )
+    salted = salted_join_hot_keys(e, dim, "user_id", n_salts=8)
+    plain = e.join(dim, on="user_id")
+    assert salted.count() == plain.count()
+    s = {r.event_id: r.user_n for r in salted.collect()}
+    p = {r.event_id: r.user_n for r in plain.collect()}
+    assert s == p
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    from lakehouse_v3_spark.io_utils import load
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    load(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("b_orders")
+    load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable("b_lineitem")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(spark.table("b_lineitem"), on="o_orderkey")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        # co-located bucketed join: no shuffle exchange on either side
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_incremental_equals_full_recompute(spark):
+    """SURVEY §5 property: running the stocks silver pipeline in two
+    increments produces the same table as one full run."""
+    from lakehouse_v3_spark.pipelines import stocks
+
+    def raw(rows):
+        return spark.createDataFrame(
+            rows,
+            "timestamp string, open double, high double, low double, close double, "
+            "volume long, symbol string, date_ny string, interval string, tz string",
+        )
+
+    rows1 = [(f"2024-03-01T10:{m:02d}:00.000", 10.0, 12.0, 9.0, 11.0, 100 + m, "AAPL", "x", "1m", "NY") for m in range(5)]
+    rows2 = [(f"2024-03-01T10:{m:02d}:00.000", 11.0, 13.0, 10.0, 12.0, 200 + m, "AAPL", "x", "1m", "NY") for m in range(5, 9)]
+
+    # incremental: batch1 then batch2
+    s1 = stocks.upsert_silver(None, stocks.silver_increment(stocks.bronze2(raw(rows1)), None))
+    inc2 = stocks.silver_increment(stocks.bronze2(raw(rows2)), s1)
+    s_incremental = stocks.upsert_silver(s1, inc2)
+
+    # full: all rows at once
+    s_full = stocks.upsert_silver(None, stocks.silver_increment(stocks.bronze2(raw(rows1 + rows2)), None))
+
+    a = sorted(map(tuple, s_incremental.select("symbol", "ts", "close", "volume").collect()))
+    b = sorted(map(tuple, s_full.select("symbol", "ts", "close", "volume").collect()))
+    assert a == b
