@@ -43,8 +43,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(registry):
         qd = registry[name]
-        t0 = time.monotonic()
         try:
+            # warmup run amortizes codegen/janino compile + file-listing
+            # (one-time costs that at cluster scale are noise but at
+            # sf0.1 dominate and vary ±10×); report the steady-state run
+            materialize(qd.fn(spark, sf_dir))
+            t0 = time.monotonic()
             materialize(qd.fn(spark, sf_dir))
             timings[name] = round(time.monotonic() - t0, 3)
         except Exception as exc:  # keep the bench line parseable on failure

@@ -58,6 +58,7 @@ REGISTRY: dict[str, QueryDef] = {}
 _MODULES = [
     "relational",
     "analytics_extra",
+    "tpch_shapes",
     "cleaning",
     "window_queries",
     "joins_merge",
