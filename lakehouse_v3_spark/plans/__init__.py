@@ -59,6 +59,7 @@ _MODULES = [
     "relational",
     "analytics_extra",
     "tpch_shapes",
+    "relevance_queries",
     "cleaning",
     "window_queries",
     "joins_merge",
