@@ -59,6 +59,7 @@ _MODULES = [
     "relational",
     "analytics_extra",
     "tpch_shapes",
+    "tpch_shapes2",
     "relevance_queries",
     "cleaning",
     "window_queries",
