@@ -62,25 +62,40 @@ def _pk_expr(pk_columns: tuple[str, ...]):
     return F.concat_ws("|", *[F.col(c).cast("string") for c in pk_columns])
 
 
-def _rule_aggs(rule_id: int, violation_pred, pk_columns: tuple[str, ...]):
-    """Per-rule conditional aggregates for the single-pass evaluator."""
-    pk = _pk_expr(pk_columns)
-    return [
-        F.sum(F.when(violation_pred, 1).otherwise(0)).cast("long").alias(f"_viol_{rule_id}"),
-        F.slice(
-            F.sort_array(F.collect_list(F.when(violation_pred, pk))),
-            1,
-            PK_SAMPLE_CAP,
-        ).alias(f"_pks_{rule_id}"),
-    ]
-
-
 def _evaluate_single_pass(df: DataFrame, preds: dict[int, object], pk_cols: dict[int, tuple[str, ...]]):
-    """One scan, all rules: Σ conditional counts + capped PK samples."""
-    aggs = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
+    """One scan, all rules: Σ conditional counts + capped PK samples.
+
+    The PK sample (the PK_SAMPLE_CAP lexicographically-smallest violated
+    pks, reference LIMIT_VAL=999 semantics) runs as a TWO-level
+    aggregation: per input partition first — each collect_list sees only
+    that partition's violations and is immediately sorted+capped — then a
+    merge of ≤ cap×P candidates. Correct because the global smallest K
+    are contained in the union of per-partition smallest K; scalable
+    because no single reducer ever materializes every violated pk (a
+    100 TB table with a 40%-violating rule would otherwise ship the full
+    pk set to one task)."""
+    part_aggs = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
+    merge_aggs = [F.sum("_n_rows").cast("long").alias("_n_rows")]
     for rid, pred in preds.items():
-        aggs.extend(_rule_aggs(rid, pred, pk_cols[rid]))
-    return df.agg(*aggs).collect()[0]
+        pk = _pk_expr(pk_cols[rid])
+        part_aggs.append(
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"_viol_{rid}")
+        )
+        part_aggs.append(
+            F.slice(
+                F.sort_array(F.collect_list(F.when(pred, pk))), 1, PK_SAMPLE_CAP
+            ).alias(f"_pks_{rid}")
+        )
+        merge_aggs.append(F.sum(f"_viol_{rid}").cast("long").alias(f"_viol_{rid}"))
+        merge_aggs.append(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list(f"_pks_{rid}"))),
+                1,
+                PK_SAMPLE_CAP,
+            ).alias(f"_pks_{rid}")
+        )
+    per_part = df.groupBy(F.spark_partition_id().alias("_pid")).agg(*part_aggs)
+    return per_part.agg(*merge_aggs).collect()[0]
 
 
 def run_completeness_rules(

@@ -156,16 +156,26 @@ def simhash16(tok_arr):
     oracle (plans/dedup_queries.simhash_sql)."""
     t16 = F.transform(tok_arr, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long"))
 
-    def contrib_for(b):
-        # closure factory: F.aggregate's merge lambda must be exactly 2-arg
-        return F.aggregate(
-            t16,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc
-            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    # One traversal: per token, a 16-wide ±1 contribution array, summed
+    # elementwise into a 16-counter accumulator. (The per-bit F.aggregate
+    # formulation re-walked the array 16× and recomputed every token's
+    # md5 each time — 16× the hashing work and a 16×-larger codegen body.)
+    def bits_arr(x):
+        return F.array(
+            *[
+                F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(16)
+            ]
         )
 
+    counts = F.aggregate(
+        t16,
+        F.array_repeat(F.lit(0).cast("long"), 16),
+        lambda acc, x: F.zip_with(acc, bits_arr(x), lambda a, c: a + c),
+    )
     out = F.lit(0).cast("long")
     for bit in range(16):
-        out = out + F.when(contrib_for(bit) > 0, F.lit(2**bit)).otherwise(F.lit(0))
+        out = out + F.when(F.element_at(counts, bit + 1) > 0, F.lit(2**bit)).otherwise(F.lit(0))
     return out

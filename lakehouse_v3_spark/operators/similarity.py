@@ -57,8 +57,13 @@ def knn_bruteforce(
     c = corpus.select(
         F.col(corpus_id).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
+        # norm once per vector BELOW the join (n evaluations, not n·k):
+        # the expression is identical to the one cosine() would emit per
+        # pair, so the quotient stays bit-identical to the oracle's
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
         *([F.col(cell_col).alias("_ccell")] if cell_col else []),
     )
+    q = q.withColumn("_qnorm", l2_norm(F.col("_qvec")))
     if cell_col:
         joined = c.join(F.broadcast(q), F.col("_qcell") == F.col("_ccell"))
     else:
@@ -66,7 +71,10 @@ def knn_bruteforce(
     scored = joined.select(
         F.col("_qid"),
         F.col("_cid"),
-        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+        (
+            dot_product(F.col("_qvec"), F.col("_cvec"))
+            / (F.col("_qnorm") * F.col("_cnorm"))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("_qid").orderBy(F.col("cosine_sim").desc(), F.col("_cid"))
     return (
@@ -94,16 +102,28 @@ def near_dup_pairs(
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
+        # norm once per vector (n), not once per pair (Σ block²); the
+        # expression matches cosine()'s exactly so results stay
+        # bit-identical to the per-pair formulation / the oracle
+        l2_norm(F.col(vec_col)).alias("_na"),
         *([F.col(block_col).alias("_block")] if block_col else []),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
         *([F.col(block_col).alias("_block")] if block_col else []),
     )
     joined = a.join(b, on=(["_block"] if block_col else []) or None, how="inner") if block_col else a.crossJoin(b)
     pairs = joined.filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+        pairs.select(
+            "id_a",
+            "id_b",
+            (
+                dot_product(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )

