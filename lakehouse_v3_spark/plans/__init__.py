@@ -60,6 +60,7 @@ _MODULES = [
     "analytics_extra",
     "tpch_shapes",
     "tpch_shapes2",
+    "scale_extras",
     "relevance_queries",
     "cleaning",
     "window_queries",

@@ -1,0 +1,319 @@
+"""Scale-path extras: iterative connected-components dedup clustering,
+deterministic hash sampling, time-range window frames, distribution
+ranks, GROUPING SETS, and HLL approximate distinct counts.
+
+These are the operations a 100 TB training-data pipeline layers on top
+of pairwise dedup: near-dup PAIRS must become CLUSTERS (one keeper per
+group), sampling must be reproducible across engines/runs (hash-based,
+not RNG-based), and cardinality estimates must come from sketches, not
+exact shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from ..operators.dedup import md5_int
+from ..operators.similarity import near_dup_pairs
+from . import dsum, register
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (iterative, driver-bounded)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, id_col: str, max_iters: int = 50
+) -> DataFrame:
+    """Min-label propagation to fixpoint: every node's component label is
+    the smallest node id reachable from it. Each iteration is one
+    (edges ⋈ labels) shuffle + a per-node min — the standard distributed
+    CC loop (GraphX connectedComponents semantics, diameter-bounded
+    iterations). The fixpoint test is an exact change-count, so the
+    result equals the oracle's transitive closure, not an approximation.
+
+    ``edges`` must be (src, dst) pairs; they are symmetrized here.
+    """
+    bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("comp")).cache()
+    labels.count()
+    for _ in range(max_iters):
+        nbr_min = (
+            bidir.join(labels, bidir.dst == labels.nid)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.nid == nbr_min.src, "left")
+            .select(
+                "nid",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            .cache()
+        )
+        new_labels.count()
+        changed = (
+            labels.withColumnRenamed("comp", "_old")
+            .join(new_labels, "nid")
+            .filter(F.col("_old") != F.col("comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("nid").alias(id_col), F.col("comp").alias("component"))
+
+
+def _cc_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cc_dot('a.embedding', 'b.embedding')}
+        / (sqrt({_cc_dot('a.embedding', 'a.embedding')})
+           * sqrt({_cc_dot('b.embedding', 'b.embedding')})) >= 0.4
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+reach AS (
+  SELECT vec_id, vec_id AS comp FROM embeddings
+  UNION
+  SELECT e.src AS vec_id, r.comp
+  FROM reach r JOIN edges e ON e.dst = r.vec_id
+)
+SELECT vec_id, MIN(comp) AS component
+FROM reach GROUP BY vec_id
+"""
+
+
+@register("components_near_dup_clusters", oracle=_CC_ORACLE)
+def components_near_dup_clusters(spark, sf_dir):
+    """Near-dup PAIRS → dedup CLUSTERS: connected components over the
+    cosine-threshold edge set (min reachable id = cluster label), the
+    step that turns pairwise similarity into one-keeper-per-group
+    dedup. Iterative label propagation on Spark; the DuckDB oracle
+    recomputes it as a recursive-CTE transitive closure."""
+    e = load(spark, sf_dir, "embeddings")
+    pairs = near_dup_pairs(e, "vec_id", block_col="label", threshold=0.4)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components(e.select("vec_id"), edges, "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-stratified sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(doc_id) AS BIGINT) AS first_kept
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+GROUP BY lang
+"""
+
+
+@register("sample_hash_stratified", oracle=_SAMPLE_ORACLE)
+def sample_hash_stratified(spark, sf_dir):
+    """Reproducible ~20% sample: keep rows whose md5(doc_id) bucket
+    < 20/100. Unlike df.sample()/TABLESAMPLE the predicate is a pure
+    function of the key — stable across runs, engines, partitionings,
+    and retries (the property training-data holdouts need), and it
+    pushes down like any filter. Per-stratum counts verify the rate."""
+    d = load(spark, sf_dir, "documents")
+    kept = d.filter(md5_int(F.col("doc_id").cast("string"), mod=100) < 20)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("first_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-range window frame (RANGE BETWEEN n seconds PRECEDING)
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS avg_1h
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+@register("window_range_frame_avg", oracle=_RANGE_FRAME_ORACLE)
+def window_range_frame_avg(spark, sf_dir):
+    """Trailing-hour rolling average per user via a RANGE frame keyed on
+    epoch seconds — the time-based frame the reference never uses
+    (SURVEY §2.5 'not present') but any telemetry/KPI pipeline needs.
+    One shuffle on user_id; frames evaluate in sorted order within the
+    partition."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution ranks: ntile / dense_rank / percent_rank
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4)      OVER w AS BIGINT) AS quartile,
+       CAST(dense_rank()  OVER w AS BIGINT) AS drank,
+       ROUND(percent_rank() OVER w, 6)      AS prank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@register("window_ntile_ranks", oracle=_NTILE_ORACLE)
+def window_ntile_ranks(spark, sf_dir):
+    """Quartile bucketing + dense/percent ranks per market segment.
+    The ORDER BY carries a c_custkey tiebreak: ntile() assigns ties at
+    bucket boundaries by physical order, so a non-deterministic sort
+    would be engine-dependent — the tiebreak makes it total."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping indicators
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("grouping_sets_explicit", oracle=_GSETS_ORACLE)
+def grouping_sets_explicit(spark, sf_dir):
+    """Explicit GROUPING SETS (a strict subset of CUBE — only the
+    subtotals asked for are computed) with GROUPING() null-vs-subtotal
+    indicators. Spark expands the sets in a single Expand+Aggregate, so
+    the fact table is scanned once for all three granularities."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL approximate distinct (sketch path; rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@register("approx_count_distinct_hll", oracle=None)
+def approx_count_distinct_hll(spark, sf_dir):
+    """HyperLogLog++ distinct-order-count per order priority next to the
+    exact count and the realized relative error. At 100 TB the exact
+    COUNT(DISTINCT) is a full shuffle of the key set; the sketch is a
+    fixed few-KB accumulator per group — this query IS the scale path,
+    the exact column its audit. No oracle: DuckDB's approx sketch is a
+    different estimator (rows-only driver check)."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "approx_custs",
+        "exact_custs",
+        F.round(
+            F.abs(F.col("approx_custs") - F.col("exact_custs"))
+            / F.col("exact_custs"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware dedup: keep the best document per exact-dup group
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                    ' +', ' ', 'g'))) AS content_key
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY content_key
+                               ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY content_key) AS group_size
+  FROM keyed
+)
+SELECT content_key, doc_id AS keeper_doc_id, n_chars AS keeper_chars,
+       CAST(group_size AS BIGINT) AS group_size
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best_doc", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best_doc(spark, sf_dir):
+    """Dedup with a QUALITY keeper policy: per content group keep the
+    longest document (ties → smallest id) rather than an arbitrary
+    dropDuplicates survivor — the keeper rule LLM dedup pipelines
+    actually want. Single shuffle on the content hash; the W3
+    latest-per-key pattern generalized to an arbitrary ranking."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    keyed = d.select("doc_id", "n_chars", F.sha2(norm, 256).alias("content_key"))
+    w = Window.partitionBy("content_key").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    wc = Window.partitionBy("content_key")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "content_key",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_chars").alias("keeper_chars"),
+            F.col("group_size").cast("long").alias("group_size"),
+        )
+    )
