@@ -37,8 +37,12 @@ def connected_components(
     ``edges`` must be (src, dst) pairs; they are symmetrized here.
     """
     bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("comp")).cache()
-    labels.count()
+    # localCheckpoint (eager), NOT cache: each iteration's plan refers to
+    # the previous iteration's, so without lineage truncation the logical
+    # plan doubles per round and planning itself OOMs near ~12 iterations
+    # (caught by test_connected_components_long_chain_converges). On a
+    # cluster use checkpoint() with a reliable dir for fault tolerance.
+    labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("comp")).localCheckpoint()
     for _ in range(max_iters):
         nbr_min = (
             bidir.join(labels, bidir.dst == labels.nid)
@@ -51,16 +55,14 @@ def connected_components(
                 "nid",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
             )
-            .cache()
+            .localCheckpoint()
         )
-        new_labels.count()
         changed = (
             labels.withColumnRenamed("comp", "_old")
             .join(new_labels, "nid")
             .filter(F.col("_old") != F.col("comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

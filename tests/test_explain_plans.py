@@ -69,3 +69,57 @@ def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
 def test_merge_upsert_single_shuffle_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "j4_merge_upsert")
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1][:300]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan"
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema  # projection pruned to 4 cols
+
+
+def test_q7_q8_dimensions_broadcast(spark, sf_dir):
+    # every dimension side of the star joins broadcasts; only the
+    # lineitem joins (orders) may sort-merge/shuffle
+    assert _plan(spark, sf_dir, "q7_nation_volume_shipping").count("BroadcastHashJoin") >= 4
+    assert _plan(spark, sf_dir, "q8_market_share").count("BroadcastHashJoin") >= 6
+
+
+def test_q9_like_filter_reaches_part_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q9_product_type_profit")
+    # the LIKE '%widget%' predicate must evaluate on the part scan,
+    # before the broadcast join against lineitem
+    pushed = plan.split("PushedFilters")
+    assert any("p_name" in seg[:200] for seg in pushed[1:]) or "Contains(p_name" in plan
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_parts_supplier_counts")
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+
+
+def test_q11_scalar_threshold_is_broadcast_not_collect(spark, sf_dir):
+    # the 0.5%-of-total threshold joins as a 1-row broadcast — the plan
+    # must contain a nested-loop/hash broadcast, proving no driver round-trip
+    plan = _plan(spark, sf_dir, "q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sample_filter_pushes_nothing_but_prunes(spark, sf_dir):
+    # hash sampling is a non-pushable expression filter, but column
+    # pruning must still reach the scan (only doc_id + lang read)
+    plan = _plan(spark, sf_dir, "sample_hash_stratified")
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" not in read_schema and "source" not in read_schema
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    # all three granularities from ONE scan: exactly one Expand node
+    plan = _plan(spark, sf_dir, "grouping_sets_explicit")
+    assert plan.count("Expand") >= 1
+    import re
+
+    scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scan_nodes) == 1, scan_nodes

@@ -138,3 +138,54 @@ def test_incremental_equals_full_recompute(spark):
     a = sorted(map(tuple, s_incremental.select("symbol", "ts", "close", "volume").collect()))
     b = sorted(map(tuple, s_full.select("symbol", "ts", "close", "volume").collect()))
     assert a == b
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3, pair 10-11, singleton 99 → labels are min ids."""
+    from pyspark.sql import Row
+
+    from lakehouse_v3_spark.plans.scale_extras import connected_components
+
+    nodes = spark.createDataFrame([Row(id=i) for i in [1, 2, 3, 10, 11, 99]])
+    edges = spark.createDataFrame(
+        [Row(src=2, dst=1), Row(src=2, dst=3), Row(src=10, dst=11)]
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges, "id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path graph needs ~diameter iterations — exercises the
+    fixpoint loop well past one round of propagation."""
+    from pyspark.sql import Row
+
+    from lakehouse_v3_spark.plans.scale_extras import connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
+    out = connected_components(nodes, edges, "id").collect()
+    assert all(r["component"] == 0 for r in out) and len(out) == n
+
+
+def test_hash_sample_is_deterministic_and_partition_invariant(spark, sf_dir):
+    """Same rows kept regardless of run or partitioning — the property
+    RNG-based df.sample() does NOT have."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_v3_spark.io_utils import load
+    from lakehouse_v3_spark.operators.dedup import md5_int
+
+    d = load(spark, sf_dir, "documents")
+    keep = lambda df: set(  # noqa: E731
+        r["doc_id"]
+        for r in df.filter(md5_int(F.col("doc_id").cast("string"), mod=100) < 20)
+        .select("doc_id")
+        .collect()
+    )
+    a = keep(d)
+    b = keep(d.repartition(13))
+    assert a == b and 0 < len(a) < d.count()
