@@ -61,6 +61,7 @@ _MODULES = [
     "tpch_shapes",
     "tpch_shapes2",
     "scale_extras",
+    "modern_extras",
     "relevance_queries",
     "cleaning",
     "window_queries",

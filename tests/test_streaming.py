@@ -85,3 +85,54 @@ def test_windowed_agg_on_stream(spark, tmp_path):
             for r in spark.sql("SELECT * FROM win_counts").collect()}
     assert rows[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert rows[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event ids arriving in
+    later micro-batches (within the watermark delay) are dropped by the
+    state store — streaming dedup, which batch dropDuplicates can't do
+    incrementally. Reference parity: A14/W3 dedup, streaming extension."""
+    import json
+
+    src = tmp_path / "json_in"
+    src.mkdir()
+    ck = tmp_path / "ck"
+    out: list = []
+
+    def write_batch(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    # batch 1: e1, e2; batch 2 re-delivers e2 and adds e3
+    write_batch("b1.json", [
+        {"event_id": "e1", "ts": "2026-01-01T00:00:00", "v": 1},
+        {"event_id": "e2", "ts": "2026-01-01T00:01:00", "v": 2},
+    ])
+
+    schema = "event_id string, ts timestamp, v long"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema).json(str(src))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _id: out.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    write_batch("b2.json", [
+        {"event_id": "e2", "ts": "2026-01-01T00:02:00", "v": 22},  # dup, dropped
+        {"event_id": "e3", "ts": "2026-01-01T00:03:00", "v": 3},
+    ])
+    drain()
+
+    rows = {r["event_id"]: r["v"] for r in out}
+    assert rows == {"e1": 1, "e2": 2, "e3": 3}
