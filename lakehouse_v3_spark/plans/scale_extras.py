@@ -36,7 +36,12 @@ def connected_components(
 
     ``edges`` must be (src, dst) pairs; they are symmetrized here.
     """
-    bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize the (possibly expensive) edge derivation ONCE — the
+    # loop below would otherwise re-execute the upstream plan (e.g. the
+    # full near-dup cosine join) on every iteration
+    bidir = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     # localCheckpoint (eager), NOT cache: each iteration's plan refers to
     # the previous iteration's, so without lineage truncation the logical
     # plan doubles per round and planning itself OOMs near ~12 iterations
@@ -318,4 +323,67 @@ def dedup_keep_best_doc(spark, sf_dir):
             F.col("n_chars").alias("keeper_chars"),
             F.col("group_size").cast("long").alias("group_size"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned GROUP BY lang, split
+"""
+
+
+@register("split_train_val_test", oracle=_SPLIT_ORACLE)
+def split_train_val_test(spark, sf_dir):
+    """80/10/10 train/val/test assignment as a pure function of the
+    document id (hash buckets) — membership is stable under re-runs,
+    engine changes, and incremental arrivals (a new doc never moves an
+    old one between splits), which RNG-based splitters cannot
+    guarantee. The counts-per-(lang, split) output audits the ratios."""
+    d = load(spark, sf_dir, "documents")
+    bucket = md5_int(F.col("doc_id").cast("string"), mod=100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-digest approximate percentile audit (sketch path; rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@register("approx_percentile_tdigest", oracle=None)
+def approx_percentile_tdigest(spark, sf_dir):
+    """percentile_approx (t-digest-style sketch) next to the exact
+    interpolated percentile and the realized absolute relative error.
+    Exact percentiles need the full value set per group (sort or
+    all-values aggregation buffer); the sketch is a bounded-size
+    accumulator mergeable across partitions — the only viable form at
+    100 TB. No oracle: sketch internals are engine-specific (rows-only
+    driver check); the exact column audits the approximation in-query."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile_approx(o_totalprice, 0.9, 1000)").alias("p90_approx"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_exact"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "p90_approx",
+        "p90_exact",
+        F.round(
+            F.abs(F.col("p90_approx") - F.col("p90_exact")) / F.col("p90_exact"), 6
+        ).alias("rel_err"),
     )
