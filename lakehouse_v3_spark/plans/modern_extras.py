@@ -190,3 +190,42 @@ def sample_reservoir_per_key(spark, sf_dir):
         .filter(F.col("pick") <= 3)
         .select("user_id", "event_id", F.col("pick").cast("long").alias("pick"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas: per-key median (exact order statistic)
+# ---------------------------------------------------------------------------
+
+_GROUPED_MAP_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       median(value)            AS median_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("applyinpandas_group_median", oracle=_GROUPED_MAP_ORACLE)
+def applyinpandas_group_median(spark, sf_dir):
+    """Grouped-map applyInPandas: each user's events arrive as ONE
+    pandas DataFrame (Arrow batch) and a python function returns the
+    group's summary — the escape hatch for per-group logic Spark
+    aggregates can't express (model fits, custom quantiles). The median
+    here is an exact order statistic (sort + middle element / midpoint
+    average) so pandas and DuckDB agree bit-for-bit — no summation-order
+    drift. One shuffle on the grouping key; each group must fit one
+    worker's memory (the documented applyInPandas contract)."""
+    import pandas as pd
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].sort_values().reset_index(drop=True)
+        n = len(v)
+        med = float(v[n // 2]) if n % 2 else float((v[n // 2 - 1] + v[n // 2]) / 2.0)
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "n_events": [n], "median_value": [med]}
+        )
+
+    e = load(spark, sf_dir, "events")
+    return e.select("user_id", "value").groupBy("user_id").applyInPandas(
+        summarize, schema="user_id long, n_events long, median_value double"
+    )
