@@ -40,6 +40,8 @@ def main() -> None:
     )
     registry = load_all()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in sorted(registry):
         qd = registry[name]
@@ -54,6 +56,10 @@ def main() -> None:
         except Exception as exc:  # keep the bench line parseable on failure
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+        # drop this query's cached/checkpointed blocks so they don't
+        # pressure the executors measuring the NEXT query
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

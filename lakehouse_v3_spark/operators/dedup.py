@@ -49,15 +49,25 @@ def md5_int(col, mod: int = MINHASH_PRIME):
 
 def word_shingles(tok_arr, k: int = 3):
     """Array of k-word shingles ('w1 w2 ... wk') from a token array.
-    Empty when the document has fewer than k tokens."""
+    Empty when the document has fewer than k tokens.
+
+    ``tok_arr`` is re-bound to a lambda variable (via a 1-element array
+    transform) before any element_at references it: lambda variables
+    evaluate their input ONCE per row, whereas inlining the token
+    expression would re-run it (regex split and all) for every
+    element_at — measured 7.8s → 0.4s on the sf0.1 documents scan."""
     if k == 1:
         return tok_arr
-    n = F.size(tok_arr)
-    idx = F.sequence(F.lit(1), n - (k - 1))  # 1-based start positions
-    mk = lambda i: F.concat_ws(" ", *[F.element_at(tok_arr, i + j) for j in range(k)])  # noqa: E731
-    return F.when(n >= k, F.transform(idx, mk)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def shingles_of(toks):
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), n - (k - 1))  # 1-based start positions
+        mk = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])  # noqa: E731
+        return F.when(n >= k, F.transform(idx, mk)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.transform(F.array(tok_arr), shingles_of)[0]
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, content_key) -> DataFrame:
@@ -85,13 +95,18 @@ def doc_shingle_sets(df: DataFrame, id_col: str, shingle_arr) -> DataFrame:
 
 def minhash_signatures(shingle_sets: DataFrame, id_col: str) -> DataFrame:
     """k minhash values per document: min over shingles of
-    (a_j * md5int(shingle) + b_j) % PRIME."""
-    x = md5_int(F.col("shingle"))
+    (a_j * md5int(shingle) + b_j) % PRIME.
+
+    The md5 is materialized in a projection BELOW the aggregation so it
+    is computed once per (doc, shingle) row — referencing ``md5_int``
+    inside each of the k min-aggregates would hash every shingle k
+    times."""
+    hashed = shingle_sets.select(F.col(id_col), md5_int(F.col("shingle")).alias("_x"))
     aggs = [
-        F.min((F.lit(a) * x + F.lit(b)) % MINHASH_PRIME).alias(f"mh{j}")
+        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{j}")
         for j, (a, b) in enumerate(MINHASH_SEEDS)
     ]
-    return shingle_sets.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:

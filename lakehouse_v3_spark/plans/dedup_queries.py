@@ -132,11 +132,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     # cache: the shingle explosion feeds both the signature branch and
     # the jaccard-verify branch of the DAG — without it the md5 hashing
     # of every (doc, shingle) runs twice
-    sets = doc_shingle_sets(d, "doc_id", word_shingles(tokens(F.col("text")), k=2)).cache()
-    # materialize the cache BEFORE the DAG branches: with a lazy cache the
-    # signature and verify branches race and each recomputes the shingle
-    # explosion (measured 7.5s → 1.8s steady-state at sf0.01)
-    sets.count()
+    # localCheckpoint, not cache(): the shingle explosion feeds three DAG
+    # branches (signatures, intersection, sizes). A lazy cache makes the
+    # branches race and recompute it; a cache-manager entry is also only
+    # reused when canonicalized-plan lookup succeeds, which proved
+    # bimodal across repeated invocations (3.7s hit / ~25s miss at
+    # sf0.1). Checkpointing pins the materialized rows to this plan
+    # unconditionally.
+    sets = doc_shingle_sets(
+        d, "doc_id", word_shingles(tokens(F.col("text")), k=2)
+    ).localCheckpoint()
     sigs = minhash_signatures(sets, "doc_id")
     cands = lsh_candidate_pairs(sigs, "doc_id")
     verified = jaccard_verify(cands, sets, "doc_id")

@@ -387,3 +387,30 @@ def approx_percentile_tdigest(spark, sf_dir):
             F.abs(F.col("p90_approx") - F.col("p90_exact")) / F.col("p90_exact"), 6
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation on a hot key
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("skew_salted_hot_key_agg", oracle=_SALTED_ORACLE)
+def skew_salted_hot_key_agg(spark, sf_dir):
+    """Two-phase salted aggregation over a 3-value (maximally hot) key:
+    groupBy(key, salt) partials → groupBy(key) final. AQE splits skewed
+    JOIN partitions but not skewed AGGREGATION keys — salting is the
+    tool there. Decimal accumulation makes the two-phase sum bit-equal
+    to the oracle's single-phase sum, which is exactly what the oracle
+    asserts (operators/skew.py)."""
+    from ..operators.skew import salted_sum_by_key
+
+    l = load(spark, sf_dir, "lineitem")
+    return salted_sum_by_key(l, "l_returnflag", F.col("l_extendedprice"), n_salts=16)
