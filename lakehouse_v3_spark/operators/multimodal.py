@@ -74,3 +74,44 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_sha string"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    stride: int = 64,
+    frame_len: int = 32,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Frame sampling as mapInPandas: each input row fans out to
+    1..max_frames rows, one per sampled frame (a fixed-stride slice of
+    the content hashed as the frame's fingerprint). This is the VIDEO
+    batch shape — one Arrow batch in, a multi-row batch out per record —
+    with the codec stubbed (decode_image) and the slicing deterministic
+    so the oracle can recompute it. On a real cluster the inner loop
+    becomes ffmpeg frame extraction; the Spark plumbing is unchanged."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, shas = [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                s = content or ""
+                n_frames = min(max_frames, max(1, len(s) // stride))
+                for i in range(n_frames):
+                    frame = s[i * stride : i * stride + frame_len]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    shas.append(hashlib.sha256(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_sha": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema=FRAME_SCHEMA)

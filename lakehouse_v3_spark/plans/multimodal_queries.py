@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io_utils import load
-from ..operators.multimodal import attach_binary_payload, extract_features
+from ..operators.multimodal import attach_binary_payload, extract_features, sample_frames
 from . import register
 
 _FEATURES_ORACLE = """
@@ -33,3 +33,28 @@ def multimodal_binary_features(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     with_payload = attach_binary_payload(d, text_col="text")
     return extract_features(with_payload, id_col="doc_id")
+
+
+_FRAME_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+         least(4, greatest(1, length(text) // 64)) AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       sha256(substring(text, CAST(i * 64 + 1 AS INT), 32)) AS frame_sha
+FROM base, UNNEST(range(0, n_frames)) AS u(i)
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling batch shape (video path): mapInPandas fans each
+    record out to one row per sampled frame — fixed-stride slices
+    fingerprinted by sha256 (operators/multimodal.py sample_frames; the
+    real decoder is the documented stub). The oracle recomputes every
+    frame fingerprint, so the multi-row-per-record Arrow plumbing is
+    value-checked end-to-end."""
+    d = load(spark, sf_dir, "documents")
+    return sample_frames(d, id_col="doc_id", content_col="text")
