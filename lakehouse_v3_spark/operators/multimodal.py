@@ -115,3 +115,40 @@ def sample_frames(
             )
 
     return df.select(id_col, content_col).mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, orig_len long, resized_len long, resized_sha string"
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    factor: int = 4,
+) -> DataFrame:
+    """Resize/downsample batch shape: keep every ``factor``-th sample of
+    the content (the 1-D stand-in for image downscaling — a real cluster
+    wires PIL/ffmpeg into the same loop, see decode_image) and
+    fingerprint the result. mapInPandas: one Arrow batch in, one row per
+    record out, deterministic so the oracle can recompute it."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, olens, rlens, shas = [], [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                s = content or ""
+                r = s[::factor]
+                ids.append(doc_id)
+                olens.append(len(s))
+                rlens.append(len(r))
+                shas.append(hashlib.sha256(r.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "orig_len": pd.Series(olens, dtype="int64"),
+                    "resized_len": pd.Series(rlens, dtype="int64"),
+                    "resized_sha": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema=RESIZE_SCHEMA)

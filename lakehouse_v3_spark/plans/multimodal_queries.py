@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io_utils import load
-from ..operators.multimodal import attach_binary_payload, extract_features, sample_frames
+from ..operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from . import register
 
 _FEATURES_ORACLE = """
@@ -58,3 +63,28 @@ def multimodal_frame_sample(spark, sf_dir):
     value-checked end-to-end."""
     d = load(spark, sf_dir, "documents")
     return sample_frames(d, id_col="doc_id", content_col="text")
+
+
+_RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS orig_len,
+       CAST(length(array_to_string(list_transform(
+              range(1, (length(text) + 3) // 4 + 1),
+              i -> substring(text, CAST((i - 1) * 4 + 1 AS INT), 1)), '')) AS BIGINT)
+           AS resized_len,
+       sha256(array_to_string(list_transform(
+              range(1, (length(text) + 3) // 4 + 1),
+              i -> substring(text, CAST((i - 1) * 4 + 1 AS INT), 1)), ''))
+           AS resized_sha
+FROM documents
+"""
+
+
+@register("multimodal_resize_downsample", oracle=_RESIZE_ORACLE)
+def multimodal_resize_downsample(spark, sf_dir):
+    """Resize/downsample path (operators/multimodal.py resize_media):
+    every-4th-sample decimation with a fingerprint of the result — the
+    1-D stand-in for image resizing, with the codec stubbed and the
+    Arrow plumbing oracle-checked."""
+    d = load(spark, sf_dir, "documents")
+    return resize_media(d, id_col="doc_id", content_col="text", factor=4)

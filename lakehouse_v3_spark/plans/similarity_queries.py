@@ -123,3 +123,94 @@ def embedding_near_dup(spark, sf_dir):
     unlabeled corpora."""
     e = load(spark, sf_dir, "embeddings")
     return near_dup_pairs(e, "vec_id", block_col="label", threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (SimHash-for-vectors) LSH bucketing
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(n_planes: int = 6, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes shared by both engines:
+    plane[j][d] = (md5int(f"{j}:{d}") % 2001 - 1000) / 1000 ∈ [-1, 1].
+    Generated once in Python and inlined as literals, so Spark and the
+    oracle use bit-identical coefficients."""
+    import hashlib
+
+    out = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+_PLANES = _hyperplanes()
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for j, plane in enumerate(_PLANES):
+        lit = "[" + ", ".join(f"{x:.3f}::DOUBLE" for x in plane) + "]"
+        dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, len({vec}) + 1), i -> {vec}[i]::DOUBLE * ({lit})[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _bucket_col(vec):
+    out = F.lit(0)
+    for j, plane in enumerate(_PLANES):
+        lit = F.array(*[F.lit(float(f"{x:.3f}")) for x in plane])
+        prods = F.zip_with(vec, lit, lambda a, b: a.cast("double") * b)
+        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        out = out + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+_HYPER_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM bucketed WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM bucketed WHERE vec_id >= 10),
+scored AS (
+  SELECT qid, cid, {_cos('qv', 'cv')} AS cosine_sim
+  FROM c JOIN q USING (bucket)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid AS vec_id, cid AS neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("knn_lsh_hyperplane", oracle=_HYPER_ORACLE)
+def knn_lsh_hyperplane(spark, sf_dir):
+    """Random-hyperplane LSH ANN: each vector's 6-bit bucket is the sign
+    pattern of 6 fixed pseudo-random hyperplane projections (cosine-LSH);
+    search is restricted to the query's bucket. Unlike the IVF variant
+    this needs NO offline clustering or label column — buckets are a
+    pure function of the vector, so new corpus rows bucket themselves on
+    ingest, and a corpus written partitioned by bucket gets partition
+    pruning. Expected recall rises with band count (multi-probe /
+    multiple tables at scale); the brute-force query is the recall
+    baseline to audit against."""
+    e = load(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "embedding", _bucket_col(F.col("embedding")).alias("bucket"))
+    out = knn_bruteforce(
+        bucketed.filter(F.col("vec_id") < 10),
+        bucketed.filter(F.col("vec_id") >= 10),
+        query_id="vec_id",
+        corpus_id="vec_id",
+        k=3,
+        cell_col="bucket",
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
