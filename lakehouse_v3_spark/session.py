@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.ignoreCorruptFiles", "true")
         .config("spark.sql.files.ignoreMissingFiles", "true")
+        # split small fixture files across cores (default 128m leaves a
+        # 10 MB sf0.1 parquet on ONE core of local[32]); on a cluster
+        # with properly sized files override via SPARK_GRAFT_MAX_PART_BYTES
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "16m"),
+        )
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.streaming.schemaInference", "true")
         .config("spark.ui.enabled", "false")
