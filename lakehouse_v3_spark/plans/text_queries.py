@@ -200,22 +200,24 @@ def text_lang_id(spark, sf_dir):
     tie-breaking (en > es > de > fr), 'und' when no hits. n-gram/stopword
     scoring stays a JVM projection — no model, no UDF."""
     d = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
 
-    def hit_count(words):
-        # single-arg lambda: F.filter treats a 2-arg lambda as (elem, idx)
-        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+    def lang_of(tk):
+        # tk is a lambda variable: the token array (regex split) is
+        # evaluated ONCE per row; the per-lexicon filters below re-walk
+        # only the small token array, never the raw text
+        h = {
+            lang: F.size(F.filter(tk, lambda x: x.isin(*words)))
+            for lang, words in _LANG_LEX.items()
+        }
+        return (
+            F.when(h["en"] + h["es"] + h["de"] + h["fr"] == 0, "und")
+            .when((h["en"] >= h["es"]) & (h["en"] >= h["de"]) & (h["en"] >= h["fr"]), "en")
+            .when((h["es"] >= h["de"]) & (h["es"] >= h["fr"]), "es")
+            .when(h["de"] >= h["fr"], "de")
+            .otherwise("fr")
+        )
 
-    hits = {lang: hit_count(words) for lang, words in _LANG_LEX.items()}
-    d = d.select("doc_id", *[h.alias(f"h_{lang}") for lang, h in hits.items()])
-    h = {lang: F.col(f"h_{lang}") for lang in _LANG_LEX}
-    pred = (
-        F.when(h["en"] + h["es"] + h["de"] + h["fr"] == 0, "und")
-        .when((h["en"] >= h["es"]) & (h["en"] >= h["de"]) & (h["en"] >= h["fr"]), "en")
-        .when((h["es"] >= h["de"]) & (h["es"] >= h["fr"]), "es")
-        .when(h["de"] >= h["fr"], "de")
-        .otherwise("fr")
-    )
+    pred = F.transform(F.array(tokens(F.col("text"))), lang_of)[0]
     return d.select("doc_id", pred.alias("lang_pred"))
 
 
