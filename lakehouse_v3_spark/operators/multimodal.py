@@ -117,6 +117,50 @@ def sample_frames(
     return df.select(id_col, content_col).mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = "doc_id long, frame_idx int, n_samples int, energy long, peak_code int"
+
+
+def audio_frame_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    frame_len: int = 64,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Audio feature-extraction batch shape: treat the content as a 1-D
+    sample stream (code points stand in for PCM samples — a real cluster
+    wires soundfile/ffmpeg decode into the same loop, see decode_image),
+    window it into fixed-length frames, and emit per-frame energy
+    (sum of squared samples) and peak. Integer features only, so the
+    oracle recomputes them exactly with no float-order hazards.
+    mapInPandas: one Arrow batch in, 1..max_frames rows per record out."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ns, energies, peaks = [], [], [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                s = content or ""
+                n_frames = min(max_frames, max(1, len(s) // frame_len))
+                for i in range(n_frames):
+                    codes = [ord(c) for c in s[i * frame_len : (i + 1) * frame_len]]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    ns.append(len(codes))
+                    energies.append(sum(c * c for c in codes))
+                    peaks.append(max(codes) if codes else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "peak_code": pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
 RESIZE_SCHEMA = "doc_id long, orig_len long, resized_len long, resized_sha string"
 
 

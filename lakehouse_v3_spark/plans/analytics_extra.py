@@ -235,3 +235,50 @@ def correlated_subquery_q17(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n_small_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide -> long)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)      AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+         CAST(COUNT(*) AS DOUBLE)                                    AS n_rows
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric, ROUND(sum_qty, 2) AS value FROM agg
+UNION ALL
+SELECT l_returnflag, l_linestatus, 'sum_price', ROUND(sum_price, 2) FROM agg
+UNION ALL
+SELECT l_returnflag, l_linestatus, 'n_rows', ROUND(n_rows, 2) FROM agg
+"""
+
+
+@register("unpivot_metrics_long", oracle=_UNPIVOT_ORACLE)
+def unpivot_metrics_long(spark, sf_dir):
+    """Unpivot/melt (wide metrics -> long key/value rows) via the native
+    DataFrame.unpivot operator — the inverse of pivot_status_quantity
+    and the standard shape for metric stores / feature logging. Runs as
+    an Expand node (one pass, no shuffle beyond the upstream agg); the
+    oracle is the UNION ALL definition of the same melt."""
+    from . import dsum
+
+    l = load(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity"), "sum_qty"),
+        dsum(F.col("l_extendedprice"), "sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    long = agg.unpivot(
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_price", "n_rows"],
+        "metric",
+        "value",
+    )
+    return long.select(
+        "l_returnflag", "l_linestatus", "metric", F.round("value", 2).alias("value")
+    )

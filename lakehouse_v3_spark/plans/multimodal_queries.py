@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..io_utils import load
 from ..operators.multimodal import (
     attach_binary_payload,
+    audio_frame_features,
     extract_features,
     resize_media,
     sample_frames,
@@ -63,6 +64,41 @@ def multimodal_frame_sample(spark, sf_dir):
     value-checked end-to-end."""
     d = load(spark, sf_dir, "documents")
     return sample_frames(d, id_col="doc_id", content_col="text")
+
+
+_AUDIO_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+         least(4, greatest(1, length(text) // 64)) AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         substring(text, CAST(i * 64 + 1 AS INT), 64) AS frame
+  FROM base, UNNEST(range(0, n_frames)) AS u(i)
+)
+SELECT doc_id, frame_idx,
+       CAST(length(frame) AS INT) AS n_samples,
+       CAST(COALESCE(list_sum(list_transform(range(1, length(frame) + 1),
+              i -> unicode(substring(frame, CAST(i AS INT), 1))
+                   * unicode(substring(frame, CAST(i AS INT), 1)))), 0) AS BIGINT)
+           AS energy,
+       CAST(COALESCE(list_max(list_transform(range(1, length(frame) + 1),
+              i -> unicode(substring(frame, CAST(i AS INT), 1)))), 0) AS INT)
+           AS peak_code
+FROM frames
+"""
+
+
+@register("multimodal_audio_frames", oracle=_AUDIO_ORACLE)
+def multimodal_audio_frames(spark, sf_dir):
+    """Audio path (operators/multimodal.py audio_frame_features):
+    window the sample stream into fixed-length frames and extract
+    per-frame energy + peak via mapInPandas — the same batch shape a
+    real PCM decode would feed (codec stubbed, see decode_image).
+    Integer-only features, so the oracle recomputes them exactly."""
+    d = load(spark, sf_dir, "documents")
+    return audio_frame_features(d, id_col="doc_id", content_col="text")
 
 
 _RESIZE_ORACLE = """
