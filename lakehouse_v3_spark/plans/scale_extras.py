@@ -414,3 +414,113 @@ def skew_salted_hot_key_agg(spark, sf_dir):
 
     l = load(spark, sf_dir, "lineitem")
     return salted_sum_by_key(l, "l_returnflag", F.col("l_extendedprice"), n_salts=16)
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (partial-state merge)
+# ---------------------------------------------------------------------------
+
+_MV_ORACLE = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("mv_incremental_merge", oracle=_MV_ORACLE)
+def mv_incremental_merge(spark, sf_dir):
+    """Incremental materialized-view maintenance: keep per-key aggregate
+    STATE (count + exact decimal sum), aggregate a new delta batch into
+    the same state shape, and merge states — never rescan the base. At
+    100 TB the base state is a stored table and each refresh touches only
+    the delta partition; commutative/associative state merge makes the
+    result independent of batch boundaries. The oracle is the full
+    recompute, so the query proves merge(base_state, delta_state) ==
+    full — the invariant that makes incremental refresh trustworthy.
+    (Base/delta are disjoint slices of orders standing in for
+    yesterday's-state + today's-batch.)"""
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("psum"),
+        )
+
+    merged = (
+        state(base)
+        .unionByName(state(delta))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_orders"),
+            F.sum("psum").cast("double").alias("total_spend"),
+        )
+    )
+    return merged.select("o_custkey", "n_orders", "total_spend")
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering keys (multi-dimensional data skipping)
+# ---------------------------------------------------------------------------
+
+
+def _z_terms_sql(xe: str, ye: str, bits: int = 8) -> str:
+    """Bit-interleave expression (Morton/Z-order), valid in both Spark SQL
+    and DuckDB: z = ... y3 x3 y2 x2 y1 x1 y0 x0."""
+    return " + ".join(
+        f"((({xe} >> {i}) & 1) << {2 * i}) + ((({ye} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+
+
+_ZORDER_ORACLE = f"""
+WITH pts AS (
+  SELECT ((o_custkey % 256) + 256) % 256                                   AS x,
+         ((date_diff('day', DATE '1992-01-01', o_orderdate) % 256) + 256) % 256 AS y
+  FROM orders
+), zed AS (
+  SELECT x, y, ({_z_terms_sql('x', 'y')}) AS z FROM pts
+)
+SELECT CAST(z >> 8 AS BIGINT)  AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+FROM zed
+GROUP BY z_bucket
+"""
+
+
+@register("zorder_cluster_keys", oracle=_ZORDER_ORACLE)
+def zorder_cluster_keys(spark, sf_dir):
+    """Z-order (Morton) clustering keys for multi-dimensional data
+    skipping: interleave the bits of two dimensions (customer, order-day)
+    so that sorting by the single z key co-locates rows that are close in
+    BOTH dimensions — each file bucket then has tight min/max ranges on
+    both columns and scans filtered on either dimension prune files
+    (Delta OPTIMIZE ZORDER BY semantics, built from public bit
+    arithmetic). The layout path at scale is
+    ``repartitionByRange(z).sortWithinPartitions(z).write`` — this query
+    verifies the key math and reports per-bucket min/max envelope
+    tightness, the quantity data skipping depends on."""
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        F.pmod(F.col("o_custkey"), F.lit(256)).cast("long").alias("x"),
+        F.pmod(
+            F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))),
+            F.lit(256),
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    zed = pts.withColumn("z", F.expr(_z_terms_sql("x", "y")))
+    return zed.groupBy(F.shiftright("z", 8).cast("long").alias("z_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
