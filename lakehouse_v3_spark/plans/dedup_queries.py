@@ -259,3 +259,52 @@ def dedup_simhash(spark, sf_dir):
         F.expr("simhash div 256").alias("band_hi"),
         (F.col("simhash") % 256).alias("band_lo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup via edit distance (blocked pairwise levenshtein)
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, lang, substr(text, 1, 4) AS blk, substr(text, 1, 24) AS probe
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.probe, b.probe) AS INT) AS edit_dist
+FROM keyed a JOIN keyed b
+  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.probe, b.probe) <= 6
+"""
+
+
+@register("dedup_fuzzy_levenshtein", oracle=_FUZZY_ORACLE)
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup (the fuzzy-match family MinHash can't
+    express: transpositions/typos at small distances). All-pairs
+    levenshtein is O(n²·L²), so pairs are BLOCKED first — join on
+    (lang, 4-char prefix) buckets and compare only within a bucket,
+    on a fixed 24-char probe so the per-pair cost is bounded. At scale
+    the blocking key is the shuffle key: buckets distribute, and the
+    candidate count is Σ|bucket|², tunable by key length — the same
+    throttle shape as LSH band size (operators/dedup.py)."""
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 4).alias("blk"),
+        F.substring("text", 1, 24).alias("probe"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    dist = F.levenshtein(F.col("a.probe"), F.col("b.probe"))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        dist.cast("int").alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= 6)

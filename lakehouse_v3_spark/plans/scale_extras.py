@@ -524,3 +524,88 @@ def zorder_cluster_keys(spark, sf_dir):
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill rollup (hypertable downsample + LOCF)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s
+  FROM events
+  WHERE event_type IN ('purchase', 'error') AND value > 450
+  GROUP BY 1, 2
+), spine AS (
+  SELECT st.event_type, g.bucket
+  FROM (VALUES ('purchase'), ('error')) AS st(event_type)
+  CROSS JOIN generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-01-30 23:00:00',
+                             INTERVAL 1 HOUR) AS g(bucket)
+)
+SELECT sp.event_type, sp.bucket,
+       COALESCE(a.n, 0) AS n_events,
+       ROUND(COALESCE(a.s, 0.0), 2) AS sum_value,
+       a.n IS NULL AS is_gap,
+       ROUND(COALESCE(last_value(a.s IGNORE NULLS) OVER (
+             PARTITION BY sp.event_type ORDER BY sp.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 2)
+           AS locf_sum
+FROM spine sp
+LEFT JOIN agg a ON a.event_type = sp.event_type AND a.bucket = sp.bucket
+"""
+
+
+@register("timeseries_gapfill_rollup", oracle=_GAPFILL_ORACLE)
+def timeseries_gapfill_rollup(spark, sf_dir):
+    """Hypertable-style downsample: per-series hourly rollup joined onto
+    a generated dense time spine so empty buckets surface as rows, with
+    last-observation-carried-forward imputation per series. The spine is
+    sequence()+explode (720 buckets/series — spine size is buckets, not
+    events, so it stays tiny at any data scale) and LOCF is a per-series
+    running `last(ignorenulls)` window — partitioned by series key, so
+    the window never collapses to one partition no matter how many
+    series exist."""
+    e = load(spark, sf_dir, "events")
+    agg = (
+        e.filter(F.col("event_type").isin("purchase", "error") & (F.col("value") > 450))
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("s"),
+        )
+    )
+    spine = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(F.lit("purchase"), F.lit("error"))).alias("event_type")
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.to_timestamp(F.lit("2024-01-01 00:00:00")),
+                    F.to_timestamp(F.lit("2024-01-30 23:00:00")),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    j = spine.join(agg, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.coalesce("s", F.lit(0.0)), 2).alias("sum_value"),
+        F.col("n").isNull().alias("is_gap"),
+        F.round(
+            F.coalesce(F.last("s", ignorenulls=True).over(w), F.lit(0.0)), 2
+        ).alias("locf_sum"),
+    )

@@ -123,3 +123,40 @@ def test_grouping_sets_single_expand(spark, sf_dir):
 
     scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scan_nodes) == 1, scan_nodes
+
+
+def test_gapfill_locf_window_is_partitioned(spark, sf_dir):
+    # LOCF must run per-series: a windowspecdefinition with an empty
+    # partition spec would funnel every series through one task
+    plan = _plan(spark, sf_dir, "timeseries_gapfill_rollup")
+    lowered = plan.lower()
+    assert "windowspecdefinition(event_type" in lowered.replace("#", "").replace(
+        " ", ""
+    ) or "partitionby" not in lowered  # formatted plans embed the spec inline
+    for line in plan.splitlines():
+        if "windowspecdefinition()" in line.replace(" ", ""):
+            raise AssertionError(f"unpartitioned window: {line}")
+
+
+def test_fuzzy_dedup_joins_on_block_keys(spark, sf_dir):
+    # the blocked levenshtein join must be an equi hash/merge join on
+    # (lang, blk) — a nested-loop all-pairs join is the O(n^2) failure
+    plan = _plan(spark, sf_dir, "dedup_fuzzy_levenshtein")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_mv_merge_is_state_sized(spark, sf_dir):
+    # the merge aggregates union'd per-key STATE, so the plan has partial
+    # aggregation on both slices before the final merge exchange
+    plan = _plan(spark, sf_dir, "mv_incremental_merge")
+    assert "partial_" in plan
+
+
+def test_zorder_stays_in_codegen(spark, sf_dir):
+    # Morton keys are integer bit math — no Python evaluator in the plan
+    # (formatted AQE plans don't print codegen spans pre-execution, so the
+    # guard is the absence of Python evaluators + map-side partial agg)
+    plan = _plan(spark, sf_dir, "zorder_cluster_keys")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_" in plan and "shiftright" in plan
