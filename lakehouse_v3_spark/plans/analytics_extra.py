@@ -282,3 +282,123 @@ def unpivot_metrics_long(spark, sf_dir):
     return long.select(
         "l_returnflag", "l_linestatus", "metric", F.round("value", 2).alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram
+# ---------------------------------------------------------------------------
+
+_HIST_ORACLE = """
+WITH binned AS (
+  SELECT CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bin_idx, value
+  FROM events
+)
+SELECT bin_idx,
+       ROUND(CAST(bin_idx AS DOUBLE) * 25.0, 1) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(value) AS DOUBLE) AS bin_min,
+       CAST(MAX(value) AS DOUBLE) AS bin_max
+FROM binned
+GROUP BY bin_idx
+"""
+
+
+@register("histogram_fixed_bins", oracle=_HIST_ORACLE)
+def histogram_fixed_bins(spark, sf_dir):
+    """Fixed-width histogram (20 bins of 25 over events.value, top bin
+    open): binning is a pure projection, so the whole histogram is one
+    scan + one |bins|-sized shuffle — the cheapest possible distribution
+    profile at any scale, and the building block for the quality-score
+    and audit dashboards."""
+    e = load(spark, sf_dir, "events")
+    bin_idx = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("long")
+    return (
+        e.select(bin_idx.alias("bin_idx"), "value")
+        .groupBy("bin_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("value").cast("double").alias("bin_min"),
+            F.max("value").cast("double").alias("bin_max"),
+        )
+        .select(
+            "bin_idx",
+            F.round(F.col("bin_idx").cast("double") * 25.0, 1).alias("bin_lo"),
+            "n",
+            "bin_min",
+            "bin_max",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (describe-style data audit summary)
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(o_orderkey) AS nn_key,  COUNT(DISTINCT o_orderkey) AS nd_key,
+         COUNT(o_custkey) AS nn_cust,  COUNT(DISTINCT o_custkey) AS nd_cust,
+         COUNT(o_orderpriority) AS nn_prio, COUNT(DISTINCT o_orderpriority) AS nd_prio,
+         ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 2) AS min_price,
+         ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 2) AS max_price,
+         COUNT(o_totalprice) AS nn_price, COUNT(DISTINCT o_totalprice) AS nd_price
+  FROM orders
+)
+SELECT 'o_orderkey' AS col_name, n_rows,
+       CAST(n_rows - nn_key AS BIGINT) AS n_null, CAST(nd_key AS BIGINT) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val FROM s
+UNION ALL
+SELECT 'o_custkey', n_rows, n_rows - nn_cust, nd_cust, NULL, NULL FROM s
+UNION ALL
+SELECT 'o_orderpriority', n_rows, n_rows - nn_prio, nd_prio, NULL, NULL FROM s
+UNION ALL
+SELECT 'o_totalprice', n_rows, n_rows - nn_price, nd_price, min_price, max_price FROM s
+"""
+
+
+@register("profile_table_columns", oracle=_PROFILE_ORACLE)
+def profile_table_columns(spark, sf_dir):
+    """Describe-style column profile (row count, nulls, distincts,
+    numeric min/max) — the discovery pass a data-quality engine runs
+    before rules exist (completes the audit story: profile → propose
+    rules → enforce). ALL columns profile in ONE scan (a single
+    aggregate computes every metric; the per-column rows are unpivoted
+    from that one state row), so profiling cost is one pass regardless
+    of column count — never a scan per column."""
+    o = load(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.round(F.min("o_totalprice").cast("double"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice").cast("double"), 2).alias("max_price"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+    )
+    null_d = F.lit(None).cast("double")
+    rows = [
+        ("o_orderkey", "nn_key", "nd_key", null_d, null_d),
+        ("o_custkey", "nn_cust", "nd_cust", null_d, null_d),
+        ("o_orderpriority", "nn_prio", "nd_prio", null_d, null_d),
+        ("o_totalprice", "nn_price", "nd_price", F.col("min_price"), F.col("max_price")),
+    ]
+    parts = [
+        s.select(
+            F.lit(name).alias("col_name"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(nn)).cast("long").alias("n_null"),
+            F.col(nd).cast("long").alias("n_distinct"),
+            mn.alias("min_val"),
+            mx.alias("max_val"),
+        )
+        for name, nn, nd, mn, mx in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
