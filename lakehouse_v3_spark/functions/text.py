@@ -82,3 +82,14 @@ def rolling_fingerprint(token_arr: Column, mult: int = 1009, prime: int = 1_000_
         F.lit(0).cast("long"),
         lambda acc, x: (acc * mult + token_int(x)) % prime,
     )
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize_udf(texts: pd.Series) -> pd.Series:
+    """Unicode NFC normalization as an Arrow-batched pandas_udf (no JVM
+    built-in exists for it). Oracle equivalent: DuckDB nfc_normalize."""
+    import unicodedata
+
+    return texts.map(
+        lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+    )

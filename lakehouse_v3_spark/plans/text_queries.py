@@ -384,3 +384,50 @@ def explode_token_frequency(spark, sf_dir):
         .orderBy(F.col("freq").desc(), F.col("token"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical text cleaning (NFC + control strip + whitespace collapse)
+# ---------------------------------------------------------------------------
+
+_NORMALIZE_ORACLE = r"""
+WITH cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text,
+         text
+  FROM documents
+)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+       clean_text <> text AS changed
+FROM cleaned
+"""
+
+
+@register("text_normalize_clean", oracle=_NORMALIZE_ORACLE)
+def text_normalize_clean(spark, sf_dir):
+    """Canonical text cleaning for LLM corpora: Unicode NFC
+    normalization (Arrow pandas_udf — the only Python step), control
+    characters stripped, runs of whitespace collapsed, edges trimmed.
+    The JVM regex steps stay in codegen; only the NFC pass crosses the
+    Arrow boundary, on the single text column. The oracle re-runs the
+    identical pipeline via DuckDB's nfc_normalize, so the UDF semantics
+    — not just plumbing — are cross-checked."""
+    from ..functions.text import nfc_normalize_udf
+
+    d = load(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(nfc_normalize_udf(F.col("text")), r"[\x00-\x1F\x7F]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    c = d.select("doc_id", "text", clean.alias("clean_text"))
+    return c.select(
+        "doc_id",
+        "clean_text",
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+        (F.col("clean_text") != F.col("text")).alias("changed"),
+    )
