@@ -402,3 +402,44 @@ def profile_table_columns(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (weekly)
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), c AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, uw.week) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention_weekly", oracle=_RETENTION_ORACLE)
+def cohort_retention_weekly(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week, counted
+    in each later week they return — the standard growth-analytics
+    triangle. Three shuffles, all on user_id or the (cohort, offset)
+    pair: the distinct user-week grid collapses raw events first (the
+    big reduction happens before any join), the cohort min reuses the
+    same user_id partitioning, and the final countDistinct runs on the
+    already-small grid. No step ever shuffles raw events twice."""
+    e = load(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = uw.join(cohort, "user_id")
+    return joined.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_users"))
