@@ -56,8 +56,10 @@ def main() -> None:
         except Exception as exc:  # keep the bench line parseable on failure
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
-        # drop this query's cached/checkpointed blocks so they don't
-        # pressure the executors measuring the NEXT query
+        # drop this query's catalog-cached blocks; localCheckpoint RDD
+        # blocks (dedup_minhash_lsh, connected_components) are NOT in the
+        # catalog cache — they release when the ContextCleaner collects
+        # the py4j refs, which gc.collect() below triggers
         spark.catalog.clearCache()
         gc.collect()
 

@@ -74,8 +74,12 @@ def _evaluate_single_pass(df: DataFrame, preds: dict[int, object], pk_cols: dict
     because no single reducer ever materializes every violated pk (a
     100 TB table with a 40%-violating rule would otherwise ship the full
     pk set to one task)."""
+    # merge-level sums are coalesced to 0: on an EMPTY audited table the
+    # per-partition groupBy yields zero rows, SUM returns NULL, and the
+    # downstream int(n_viol) would crash the whole audit run instead of
+    # emitting PASS rows
     part_aggs = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
-    merge_aggs = [F.sum("_n_rows").cast("long").alias("_n_rows")]
+    merge_aggs = [F.coalesce(F.sum("_n_rows"), F.lit(0)).cast("long").alias("_n_rows")]
     for rid, pred in preds.items():
         pk = _pk_expr(pk_cols[rid])
         part_aggs.append(
@@ -86,12 +90,19 @@ def _evaluate_single_pass(df: DataFrame, preds: dict[int, object], pk_cols: dict
                 F.sort_array(F.collect_list(F.when(pred, pk))), 1, PK_SAMPLE_CAP
             ).alias(f"_pks_{rid}")
         )
-        merge_aggs.append(F.sum(f"_viol_{rid}").cast("long").alias(f"_viol_{rid}"))
         merge_aggs.append(
-            F.slice(
-                F.sort_array(F.flatten(F.collect_list(f"_pks_{rid}"))),
-                1,
-                PK_SAMPLE_CAP,
+            F.coalesce(F.sum(f"_viol_{rid}"), F.lit(0))
+            .cast("long")
+            .alias(f"_viol_{rid}")
+        )
+        merge_aggs.append(
+            F.coalesce(
+                F.slice(
+                    F.sort_array(F.flatten(F.collect_list(f"_pks_{rid}"))),
+                    1,
+                    PK_SAMPLE_CAP,
+                ),
+                F.array().cast("array<string>"),
             ).alias(f"_pks_{rid}")
         )
     per_part = df.groupBy(F.spark_partition_id().alias("_pid")).agg(*part_aggs)

@@ -83,7 +83,10 @@ def udtf_sentence_split(spark, sf_dir):
     class SentenceSplit:
         def eval(self, text: str):
             for i, raw in enumerate((text or "").split(".")):
-                s = raw.strip()
+                # strip SPACES only: the oracle's trim() strips ' ' (not
+                # tabs/newlines), and Python's bare strip() would diverge
+                # on any document with \t/\n adjacent to a '.'
+                s = raw.strip(" ")
                 if s:
                     yield i + 1, s
 
@@ -218,11 +221,22 @@ def applyinpandas_group_median(spark, sf_dir):
     import pandas as pd
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"].sort_values().reset_index(drop=True)
+        # dropna to match SQL median() NULL semantics (pandas sorts NaN
+        # last, which would shift the middle index); COUNT(*) keeps nulls
+        v = pdf["value"].dropna().sort_values().reset_index(drop=True)
         n = len(v)
-        med = float(v[n // 2]) if n % 2 else float((v[n // 2 - 1] + v[n // 2]) / 2.0)
+        if n == 0:
+            med = None
+        elif n % 2:
+            med = float(v[n // 2])
+        else:
+            med = float((v[n // 2 - 1] + v[n // 2]) / 2.0)
         return pd.DataFrame(
-            {"user_id": [pdf["user_id"].iloc[0]], "n_events": [n], "median_value": [med]}
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "median_value": [med],
+            }
         )
 
     e = load(spark, sf_dir, "events")

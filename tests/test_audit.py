@@ -100,3 +100,57 @@ def test_fact_explosion_and_report(spark):
     assert rrows[0]["n_violated"] == 2
     html = render_html(rrows)
     assert "Data audit failures" in html and "<td>7</td>" in html
+
+
+def test_empty_table_audit_emits_pass_not_crash(spark):
+    """SUM over an empty groupBy is NULL; the merge level must coalesce
+    to 0 so an empty audited table yields PASS rows, not a TypeError."""
+    df = spark.createDataFrame([], "id long, v double")
+    rules = [ValidityRule(1, "t", "v < 0", ("id",))]
+    res = run_validity_rules(spark, {"t": df}, rules)
+    row = res.collect()[0]
+    assert row.nr_status == AUDIT_PASS
+    assert '"number_of_violated_rows": 0' in row.ds_checked_value
+
+
+def test_send_alert_roundtrip_via_recording_transport(spark):
+    """Full S18 path (reference 005_send_alert_hourly.py:224-311): report
+    → subject with counts → HTML body → attachment, delivered through a
+    transport stub that records instead of speaking SMTP."""
+    from datetime import datetime
+
+    from lakehouse_v3_spark.audit.alerting import send_alert
+
+    df = spark.createDataFrame([(1, -1.0), (2, 5.0), (3, -2.0)], "id long, v double")
+    rules = [ValidityRule(7, "t", "v < 0", ("id",))]
+    fact = explode_results_to_fact(run_validity_rules(spark, {"t": df}, rules))
+    report = failure_report(latest_run_failures(fact))
+
+    sent = []
+    msg = send_alert(
+        report,
+        transport=sent.append,
+        recipients=("ops@example.com",),
+        now=datetime(2026, 8, 13, 12, 0, 0),
+    )
+    assert sent == [msg]
+    assert msg.subject == (
+        "Data Quality Alert - 1 Rule(s), 1 Table(s), 2 Violation(s) - 2026-08-13 12:00"
+    )
+    assert msg.recipients == ("ops@example.com",)
+    assert "<td>7</td>" in msg.html_body
+    assert msg.attachment_name == "data_quality_alert_20260813_120000.html"
+    assert msg.attachment_bytes == msg.html_body.encode("utf-8")
+
+
+def test_send_alert_skips_when_no_failures(spark):
+    from lakehouse_v3_spark.audit.alerting import send_alert
+
+    df = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    rules = [ValidityRule(1, "t", "v < 0", ("id",))]
+    fact = explode_results_to_fact(run_validity_rules(spark, {"t": df}, rules))
+    report = failure_report(latest_run_failures(fact))
+
+    sent = []
+    msg = send_alert(report, transport=sent.append, recipients=("ops@example.com",))
+    assert msg is None and sent == []

@@ -189,3 +189,36 @@ def test_hash_sample_is_deterministic_and_partition_invariant(spark, sf_dir):
     a = keep(d)
     b = keep(d.repartition(13))
     assert a == b and 0 < len(a) < d.count()
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A path graph whose diameter exceeds max_iters must FAIL LOUDLY
+    (labels not at fixpoint = wrong components), never return silently."""
+    import pytest
+    from pyspark.sql import Row
+
+    from lakehouse_v3_spark.plans.scale_extras import connected_components
+
+    n = 8
+    nodes = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, "id", max_iters=2)
+
+
+def test_knn_bruteforce_guards_large_query_side(spark):
+    """The no-cell path is corpus ⨯ queries; a large query side must
+    raise instead of silently launching an unbounded cartesian scan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_v3_spark.operators.similarity import knn_bruteforce
+
+    vecs = spark.range(20).select(
+        F.col("id"), F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        knn_bruteforce(vecs, vecs, "id", "id", k=2, max_query_rows=10)
+    # within the bound it still works
+    out = knn_bruteforce(vecs.limit(3), vecs, "id", "id", k=2, max_query_rows=10)
+    assert out.count() == 6
