@@ -45,10 +45,27 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     k: int = 5,
     cell_col: str | None = None,
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Top-k corpus neighbours per query by cosine. ``cell_col`` adds a
     coarse-cell equality (IVF-style restriction). Returns
-    (query_id, corpus_id, cosine_sim, rank)."""
+    (query_id, corpus_id, cosine_sim, rank).
+
+    Without ``cell_col`` the plan is corpus ⨯ broadcast(queries) — every
+    corpus row is scored against EVERY query. That is the intended
+    baseline for a small query set, but a large query side would turn it
+    into an unbounded cartesian product at 100 TB, so the query side is
+    counted up front and must stay ≤ ``max_query_rows`` (raise it
+    explicitly — or supply ``cell_col`` — to opt in to more)."""
+    if cell_col is None:
+        n_queries = queries.count()
+        if n_queries > max_query_rows:
+            raise ValueError(
+                f"knn_bruteforce without cell_col scores every corpus row "
+                f"against every query ({n_queries} queries > "
+                f"max_query_rows={max_query_rows}); pass cell_col for a "
+                "restricted join or raise max_query_rows explicitly"
+            )
     q = queries.select(
         F.col(query_id).alias("_qid"),
         F.col(vec_col).alias("_qvec"),

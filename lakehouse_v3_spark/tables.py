@@ -21,6 +21,7 @@ after overwrite, uber/drop_dup.py:96-101) — here sized by
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -49,14 +50,24 @@ class TableManager:
         return f"{self.warehouse_dir}/{table.replace('.', '/')}"
 
     def exists(self, table: str) -> bool:
+        """One shallow listing of the table root, not a recursive walk:
+        on object storage a full-tree walk is a listing storm per call
+        (millions of keys at 100 TB). Data at the root shows up as a
+        part-/.parquet file or a _SUCCESS marker; a partitioned table
+        shows up as first-level `key=value` dirs."""
         p = self.path(table)
         if self.backend == "delta":
             return os.path.exists(f"{p}/_delta_log")
-        return os.path.exists(p) and any(
-            f.endswith(".parquet") or f.startswith("part-") or "=" in f
-            for root, _, files in os.walk(p)
-            for f in files + [os.path.basename(root)]
-        )
+        if not os.path.isdir(p):
+            return False
+        with os.scandir(p) as it:
+            return any(
+                e.name == "_SUCCESS"
+                or e.name.endswith(".parquet")
+                or e.name.startswith("part-")
+                or ("=" in e.name and e.is_dir())
+                for e in it
+            )
 
     # -- reads -----------------------------------------------------------
     def read(self, table: str) -> DataFrame:
@@ -138,6 +149,42 @@ class TableManager:
         target = self.read(table)
         merged = merge_upsert(target, source, key)
         self.overwrite(merged, table)
+
+    # -- table properties ------------------------------------------------
+    def _props_path(self, table: str) -> str:
+        # sidecar lives NEXT TO the table root (not inside it) so the
+        # atomic overwrite swap / compaction never destroys properties
+        return self.path(table) + "__properties.json"
+
+    def set_properties(self, table: str, props: dict[str, str]) -> None:
+        """S14 TBLPROPERTIES (reference: coin_to_delta_w_cp.py:124,
+        finance_bronze2_to_silver.py:102). Delta: native ALTER TABLE SET
+        TBLPROPERTIES. Parquet: merged into a sidecar JSON so properties
+        round-trip across sessions instead of being a silent no-op."""
+        if self.backend == "delta":  # pragma: no cover - needs delta jars
+            kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+            self.spark.sql(
+                f"ALTER TABLE delta.`{self.path(table)}` SET TBLPROPERTIES ({kv})"
+            )
+            return
+        merged = {**self.properties(table), **{str(k): str(v) for k, v in props.items()}}
+        tmp = self._props_path(table) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(merged, f, sort_keys=True, indent=0)
+        os.replace(tmp, self._props_path(table))
+
+    def properties(self, table: str) -> dict[str, str]:
+        """Read back TBLPROPERTIES ({} when none were ever set)."""
+        if self.backend == "delta":  # pragma: no cover - needs delta jars
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES delta.`{self.path(table)}`"
+            ).collect()
+            return {r[0]: r[1] for r in rows}
+        try:
+            with open(self._props_path(table), encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
 
     # -- maintenance -----------------------------------------------------
     def compact(self, table: str, target_file_rows: int = 1_000_000) -> int:

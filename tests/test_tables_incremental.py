@@ -112,3 +112,39 @@ def test_watermarks(spark):
     assert [r.id for r in max_ts_watermark(incoming, target, "ts").collect()] == [6]
     assert max_id_watermark(incoming, None, "id").count() == 2
     assert max_ts_watermark(incoming, None, "ts").count() == 2
+
+
+def test_tblproperties_roundtrip_and_survive_overwrite(spark, tmp_path):
+    """S14 on the parquet backend: properties persist to a sidecar next
+    to the table root, merge on repeated set, and survive the atomic
+    overwrite swap + compaction (they are metadata about the table, not
+    about one write)."""
+    tm = _tm(spark, tmp_path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    tm.overwrite(df, "bronze.props_t")
+    assert tm.properties("bronze.props_t") == {}
+    tm.set_properties("bronze.props_t", {"delta.appendOnly": "false", "owner": "etl"})
+    tm.set_properties("bronze.props_t", {"owner": "audit"})
+    assert tm.properties("bronze.props_t") == {
+        "delta.appendOnly": "false",
+        "owner": "audit",
+    }
+    tm.overwrite(df.limit(1), "bronze.props_t")
+    tm.compact("bronze.props_t")
+    assert tm.properties("bronze.props_t")["owner"] == "audit"
+
+
+def test_exists_shallow_marker_check(spark, tmp_path):
+    """exists() must detect flat and partitioned tables from one shallow
+    root listing, and reject an empty dir (no recursive walk)."""
+    import os
+
+    tm = _tm(spark, tmp_path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, part string")
+    assert not tm.exists("z.flat")
+    tm.overwrite(df, "z.flat")
+    assert tm.exists("z.flat")
+    tm.overwrite(df, "z.parted", partition_by=["part"])
+    assert tm.exists("z.parted")
+    os.makedirs(tm.path("z.empty"), exist_ok=True)
+    assert not tm.exists("z.empty")
