@@ -129,9 +129,9 @@ def w4_topn_per_group(spark, sf_dir):
 
 _W5_ORACLE = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+       SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
        AS running_spend
 FROM orders
 """
@@ -140,19 +140,24 @@ FROM orders
 @register("w5_running_total", oracle=_W5_ORACLE)
 def w5_running_total(spark, sf_dir):
     """Running per-customer spend — rowsBetween frame (SURVEY.md §2.5
-    'not present' row; parity-plus). Decimal accumulation keeps the
-    running sum order-independent and oracle-identical."""
+    'not present' row; parity-plus). Prices carry 2 decimals, so the
+    accumulator is integer CENTS (a long): exact, order-independent,
+    engine-identical, and far cheaper per row than the decimal(30,6)
+    BigDecimal buffer this used in round 1 (the per-row running-sum
+    window evaluates the accumulator once per input row, so buffer cost
+    is the whole query)."""
     o = load(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
     return o.select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w).cast("double").alias("running_spend"),
+        (F.sum(cents).over(w) / 100.0).alias("running_spend"),
     )
 
 
