@@ -72,6 +72,7 @@ _MODULES = [
     "audit_queries",
     "streaming_queries",
     "multimodal_queries",
+    "llm_pipeline_extras",
 ]
 
 

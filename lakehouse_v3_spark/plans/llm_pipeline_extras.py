@@ -1,0 +1,318 @@
+"""LLM training-data pipeline extras (round 2): benchmark
+decontamination, context-window chunking, within-document repetition
+quality, PII redaction, and language-mixture rebalancing.
+
+These are the curation steps a 100 TB pretraining pipeline runs between
+dedup and tokenization. All token math reuses the repo's established
+parity tokenization (lowercase, split on non-letters) so Spark and the
+DuckDB oracle see identical token arrays; all sampling is a pure
+function of the document id (stable under retries/engines/partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from ..operators.dedup import md5_int, word_shingles
+from . import register
+
+# identical token arrays on both engines (same as text/dedup modules)
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+
+
+def _spark_toks(col):
+    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda x: x != "")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs sharing an 8-gram with
+# the eval set
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+ngr AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - 6), i ->
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) AS ngs
+  FROM toks
+),
+exploded AS (SELECT doc_id, unnest(ngs) AS ng FROM ngr),
+ev AS (SELECT DISTINCT ng FROM exploded WHERE doc_id % 29 = 0),
+tr AS (SELECT doc_id, ng FROM exploded WHERE doc_id % 29 <> 0),
+shared AS (
+  SELECT tr.doc_id, COUNT(DISTINCT tr.ng) AS n
+  FROM tr JOIN ev ON tr.ng = ev.ng GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_shared_ngrams,
+       COALESCE(s.n, 0) > 0 AS is_contaminated
+FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+WHERE d.doc_id % 29 <> 0
+"""
+
+
+@register("decontaminate_ngram_overlap", oracle=_DECON_ORACLE)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag every training document that
+    shares at least one 8-gram with the held-out eval set (docs with
+    id % 29 == 0 stand in for the benchmark) — the standard n-gram
+    overlap filter used before pretraining so eval answers don't leak
+    into the training corpus. Scale shape: the eval set's distinct
+    8-grams are tiny and BROADCAST; the training side explodes its
+    8-grams per shard and hash-joins locally — the corpus is never
+    shuffled, and output is one row per training doc with the shared
+    count (keep/drop decision plus an audit trail)."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _spark_toks(F.col("text")).alias("toks"))
+    ngrams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), 8)).alias("ng")
+    )
+    ev = ngrams.filter(F.col("doc_id") % 29 == 0).select("ng").distinct()
+    tr = ngrams.filter(F.col("doc_id") % 29 != 0)
+    shared = (
+        tr.join(F.broadcast(ev), "ng")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("ng").alias("n"))
+    )
+    return (
+        d.filter(F.col("doc_id") % 29 != 0)
+        .select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_shared_ngrams"),
+            (F.coalesce("n", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: fixed-size token windows with overlap
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 16
+_CHUNK_STRIDE = 12  # 4-token overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+starts AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1, {_CHUNK_STRIDE})) AS s
+  FROM toks WHERE len(t) > 0
+),
+chunks AS (
+  SELECT doc_id, s, list_slice(t, s, least(s + {_CHUNK_SIZE} - 1, len(t))) AS chunk
+  FROM starts
+)
+SELECT doc_id,
+       CAST((s - 1) / {_CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       ('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 8))::BIGINT AS chunk_hash
+FROM chunks
+"""
+
+
+@register("chunk_fixed_token_windows", oracle=_CHUNK_ORACLE)
+def chunk_fixed_token_windows(spark, sf_dir):
+    """Context-window chunking: split each document's token stream into
+    fixed {size}-token windows advancing by {stride} (a {ov}-token
+    overlap so no boundary context is lost) — the step that turns
+    variable-length documents into model-sized training sequences. Pure
+    per-row array arithmetic (sequence + slice), so it's embarrassingly
+    parallel: no shuffle, no UDF, and the chunk row count is
+    ~n_tokens/stride per doc regardless of corpus size. chunk_hash gives
+    downstream chunk-level dedup a ready-made key.""".format(
+        size=_CHUNK_SIZE, stride=_CHUNK_STRIDE, ov=_CHUNK_SIZE - _CHUNK_STRIDE
+    )
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _spark_toks(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(_CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunks = starts.select(
+        "doc_id",
+        "s",
+        F.slice(F.col("toks"), F.col("s"), F.lit(_CHUNK_SIZE)).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        ((F.col("s") - 1) / _CHUNK_STRIDE + 1).cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.conv(F.substring(F.md5(F.concat_ws(" ", F.col("chunk"))), 1, 8), 16, 10)
+        .cast("long")
+        .alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition ratios (quality signal)
+# ---------------------------------------------------------------------------
+
+_REPEAT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, t,
+         list_transform(range(1, len(t) - 1), i ->
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS uniq_token_ratio,
+       CASE WHEN len(g3) > 0
+            THEN ROUND(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+            END AS dup_trigram_frac
+FROM grams WHERE len(t) > 0
+"""
+
+
+@register("text_repetition_ratio", oracle=_REPEAT_ORACLE)
+def text_repetition_ratio(spark, sf_dir):
+    """Within-document repetition quality signals: unique-token ratio
+    and duplicate-trigram fraction — the Gopher-style filters that drop
+    boilerplate/spam documents whose content is mostly repeated phrases.
+    Pure per-row array arithmetic (no shuffle, no UDF); NULL trigram
+    fraction for docs too short to have trigrams, mirroring SQL
+    semantics on both engines."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _spark_toks(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    g3 = word_shingles(F.col("toks"), 3)
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("toks")).cast("double") / F.size("toks"), 6
+        ).alias("uniq_token_ratio"),
+        F.when(
+            F.size(g3) > 0,
+            F.round(1.0 - F.size(F.array_distinct(g3)).cast("double") / F.size(g3), 6),
+        ).alias("dup_trigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails/phones scrubbed before training)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.com"
+_PHONE_RE = "555-[0-9]+"
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact ' || source || '@example.com tel 555-' ||
+         CAST(doc_id AS VARCHAR) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       sha256(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_sha
+FROM aug
+"""
+
+
+@register("text_pii_redact", oracle=_PII_ORACLE)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing: replace email addresses and phone numbers with
+    typed placeholder tokens and count the redactions per document — the
+    mandatory compliance pass before text reaches a training corpus.
+    The synthetic corpus contains no PII, so a deterministic
+    contact-line (source email + numeric phone) is appended first purely
+    to give the scrubber real matches to find; the redaction machinery
+    (JVM regexp_replace, global) is what's under test, verified by the
+    sha256 of the redacted text. Stays entirely in whole-stage codegen —
+    no shuffle, no Python."""
+    d = load(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit("@example.com tel 555-"),
+            F.col("doc_id").cast("string"),
+        ).alias("raw"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.sha2(
+            F.regexp_replace(
+                F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+            ),
+            256,
+        ).alias("redacted_sha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-mixture rebalancing (deterministic downsample to parity)
+# ---------------------------------------------------------------------------
+
+_REBALANCE_ORACLE = """
+WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+m AS (SELECT MIN(n_total) AS min_cnt FROM counts),
+rates AS (
+  SELECT lang, n_total, (min_cnt * 10000) // n_total AS rate_bp
+  FROM counts, m
+),
+kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+        < r.rate_bp
+  GROUP BY d.lang
+)
+SELECT r.lang,
+       CAST(r.n_total AS BIGINT) AS n_total,
+       CAST(r.rate_bp AS BIGINT) AS rate_bp,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+"""
+
+
+@register("datamix_rebalance_langs", oracle=_REBALANCE_ORACLE)
+def datamix_rebalance_langs(spark, sf_dir):
+    """Language-mixture rebalancing: downsample every language to the
+    size of the smallest one (per-stratum keep-rates in integer basis
+    points — exact integer math, so both engines compute the identical
+    rate) using the hash-of-id filter, so membership is deterministic
+    and new arrivals never evict old members. This is the data-mixing
+    step that sets per-source/per-language proportions for a training
+    run. Scale shape: one tiny aggregate (langs × counts) broadcast back
+    onto the corpus scan; the corpus itself is filtered in place, never
+    shuffled."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    m = counts.agg(F.min("n_total").alias("min_cnt"))
+    rates = counts.crossJoin(F.broadcast(m)).withColumn(
+        "rate_bp", F.expr("(min_cnt * 10000) DIV n_total")
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("lang", "rate_bp")), "lang")
+        .filter(md5_int(F.col("doc_id").cast("string"), mod=10000) < F.col("rate_bp"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("rate_bp").cast("long").alias("rate_bp"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

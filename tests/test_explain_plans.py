@@ -160,3 +160,35 @@ def test_zorder_stays_in_codegen(spark, sf_dir):
     plan = _plan(spark, sf_dir, "zorder_cluster_keys")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "partial_" in plan and "shiftright" in plan
+
+
+def test_decontaminate_broadcasts_eval_ngrams(spark, sf_dir):
+    """The eval-set 8-gram side must broadcast — shuffling the exploded
+    training-corpus n-grams on the join key would be a corpus-sized
+    shuffle at 100 TB."""
+    plan = _plan(spark, sf_dir, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redact_stays_in_codegen(spark, sf_dir):
+    """Regex scrub must stay JVM-side: no Python evaluation nodes, and
+    only the 3 needed columns read from parquet."""
+    plan = _plan(spark, sf_dir, "text_pii_redact")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "codegen id" in plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "n_chars" not in read_schema and "lang" not in read_schema
+
+
+def test_chunking_has_no_shuffle(spark, sf_dir):
+    """Chunking is per-row array math — any Exchange in the plan means
+    an accidental shuffle of the whole corpus."""
+    plan = _plan(spark, sf_dir, "chunk_fixed_token_windows")
+    assert "Exchange" not in plan
+
+
+def test_rebalance_broadcasts_rates(spark, sf_dir):
+    """Per-language keep-rates are a tiny aggregate broadcast onto the
+    corpus scan; the corpus itself must not shuffle to join them."""
+    plan = _plan(spark, sf_dir, "datamix_rebalance_langs")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
