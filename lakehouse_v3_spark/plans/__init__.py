@@ -73,6 +73,7 @@ _MODULES = [
     "streaming_queries",
     "multimodal_queries",
     "llm_pipeline_extras",
+    "curation_extras",
 ]
 
 

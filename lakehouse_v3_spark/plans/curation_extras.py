@@ -1,0 +1,180 @@
+"""Curation/lakehouse extras (round 2): SCD Type-2 dimension history,
+greedy sequence packing, and int8 embedding quantization.
+
+SCD2 extends the reference's MERGE-upsert surface (S10,
+alphavantage/bronze2_to_silver.py:141-152) to versioned history — the
+standard lakehouse dimension pattern the reference stops short of.
+Packing and quantization are the two storage-shaping steps a training
+pipeline runs after curation: fill fixed token budgets, shrink
+embeddings 4× for the ANN index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from . import register
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension history (versioned upsert with current flags)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH v1 AS (
+  SELECT c_custkey, c_acctbal, 1 AS version FROM customer
+),
+v2 AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, 2 AS version
+  FROM customer WHERE c_custkey % 5 = 0
+),
+hist AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT c_custkey,
+       CAST(version AS BIGINT) AS version,
+       ROUND(c_acctbal, 2) AS acctbal,
+       CAST(lead(version) OVER w AS BIGINT) AS valid_to_version,
+       lead(version) OVER w IS NULL AS is_current
+FROM hist
+WINDOW w AS (PARTITION BY c_custkey ORDER BY version)
+"""
+
+
+@register("scd2_dimension_history", oracle=_SCD2_ORACLE)
+def scd2_dimension_history(spark, sf_dir):
+    """SCD Type-2 dimension maintenance: an update batch (the %5 slice
+    with changed balances stands in for today's CDC feed) lands as NEW
+    versions while prior versions are closed out (valid_to) and exactly
+    one row per key stays current. Expressed as union + one partitioned
+    window (lead) — the scan-and-rewrite equivalent of Delta's
+    MERGE-based SCD2 recipe, with ONE shuffle on the business key and
+    no driver-side state. At 100 TB the union reads only the current
+    snapshot + the (small) delta batch; history tables append."""
+    c = load(spark, sf_dir, "customer")
+    v1 = c.select("c_custkey", "c_acctbal", F.lit(1).alias("version"))
+    v2 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit(2).alias("version"),
+    )
+    hist = v1.unionByName(v2)
+    w = Window.partitionBy("c_custkey").orderBy("version")
+    nxt = F.lead("version").over(w)
+    return hist.select(
+        "c_custkey",
+        F.col("version").cast("long").alias("version"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        nxt.cast("long").alias("valid_to_version"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing into fixed token budgets
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT lang, n_tok,
+         (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok)
+         // {_PACK_BUDGET} AS bin
+  FROM toks
+)
+SELECT lang, CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY lang, bin
+"""
+
+
+@register("pack_sequences_greedy", oracle=_PACK_ORACLE)
+def pack_sequences_greedy(spark, sf_dir):
+    """Sequence packing: assign documents (in deterministic doc_id
+    order, per language) to consecutive {b}-token training bins by
+    running token count — the step that turns a curated corpus into
+    fixed-budget training sequences with minimal padding. bin =
+    tokens-before-this-doc DIV budget, a pure window cumsum: one
+    shuffle on the language key, deterministic under any partitioning
+    (vs the order-dependent first-fit heuristics that can't be
+    reproduced across engines). Output audits per-bin fill.""".format(
+        b=_PACK_BUDGET
+    )
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")).alias(
+            "n_tok"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = toks.withColumn(
+        "bin", ((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET).cast("long")
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (audited in-query)
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) AS v_min,
+       ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS v_max,
+       TRUE AS within_tol
+FROM embeddings
+"""
+
+
+@register("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-vector int8 quantization (min/max affine: q = round((x-min)/
+    scale), scale = (max-min)/255) — the 4× storage/bandwidth shrink an
+    ANN index applies before billions of vectors are stored. All math is
+    JVM higher-order functions over the array; the in-query audit
+    dequantizes and checks max reconstruction error ≤ scale/2 (the
+    mathematical bound for round-to-nearest), emitted as within_tol so
+    the oracle (which re-derives n_dims and the min/max from the same
+    vectors) closes the loop. Constant vectors (scale 0) quantize to
+    zeros and pass trivially. No shuffle — pure map over the scan."""
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mn = F.array_min(dbl)
+    mx = F.array_max(dbl)
+    scale = (mx - mn) / F.lit(255.0)
+    # max |dequant(quant(x)) - x| over dims
+    err = F.aggregate(
+        F.transform(
+            dbl,
+            lambda x: F.abs((F.round((x - mn) / scale, 0) * scale + mn) - x),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.round(mn, 4).alias("v_min"),
+        F.round(mx, 4).alias("v_max"),
+        F.when(mx == mn, F.lit(True))
+        .otherwise(err <= scale / 2.0 + F.lit(1e-9))
+        .alias("within_tol"),
+    )

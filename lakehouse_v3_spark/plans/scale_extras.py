@@ -27,12 +27,16 @@ from . import dsum, register
 def connected_components(
     nodes: DataFrame, edges: DataFrame, id_col: str, max_iters: int = 50
 ) -> DataFrame:
-    """Min-label propagation to fixpoint: every node's component label is
-    the smallest node id reachable from it. Each iteration is one
-    (edges ⋈ labels) shuffle + a per-node min — the standard distributed
-    CC loop (GraphX connectedComponents semantics, diameter-bounded
-    iterations). The fixpoint test is an exact change-count, so the
-    result equals the oracle's transitive closure, not an approximation.
+    """Min-label propagation to fixpoint with POINTER JUMPING: every
+    node's component label is the smallest node id reachable from it.
+    Each iteration does (1) a neighbour-min step — the standard
+    distributed CC loop (GraphX connectedComponents semantics) — then
+    (2) a pointer-jump step L(v) := min(L(v), L(L(v))), which doubles
+    the distance a label has travelled. Convergence is therefore
+    O(log diameter) iterations instead of O(diameter) — a 1M-hop chain
+    resolves in ~20 rounds, not a million. The fixpoint test is an
+    exact change-count, so the result equals the oracle's transitive
+    closure, not an approximation.
 
     ``edges`` must be (src, dst) pairs; they are symmetrized here.
     """
@@ -55,11 +59,21 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        stepped = labels.join(nbr_min, labels.nid == nbr_min.src, "left").select(
+            "nid",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+        )
+        # pointer jump: follow the label one more hop (L(L(v))) so label
+        # reach doubles per iteration; labels are node ids, so the lookup
+        # is a self-join of the label table on nid == comp
+        lab2 = stepped.select(
+            F.col("nid").alias("jkey"), F.col("comp").alias("comp2")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.nid == nbr_min.src, "left")
+            stepped.join(lab2, stepped.comp == lab2.jkey, "left")
             .select(
                 "nid",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                F.least(F.col("comp"), F.coalesce("comp2", F.col("comp"))).alias("comp"),
             )
             .localCheckpoint()
         )
@@ -73,14 +87,13 @@ def connected_components(
         if changed == 0:
             break
     if changed != 0:
-        # One-hop propagation needs graph-diameter iterations; silently
-        # returning here would yield WRONG components (labels not yet at
-        # fixpoint). Fail loudly instead — callers with genuinely deep
-        # graphs should raise max_iters or switch to pointer-doubling.
+        # Even with pointer jumping, pathological graphs can exhaust the
+        # budget; silently returning here would yield WRONG components
+        # (labels not yet at fixpoint). Fail loudly instead.
         raise RuntimeError(
             f"connected_components did not converge within {max_iters} "
-            f"iterations ({changed} labels still changing); component "
-            "diameter exceeds max_iters"
+            f"iterations ({changed} labels still changing); raise "
+            "max_iters (convergence needs ~log2(component diameter))"
         )
     return labels.select(F.col("nid").alias(id_col), F.col("comp").alias("component"))
 

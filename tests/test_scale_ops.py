@@ -158,16 +158,17 @@ def test_connected_components_known_graph(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    """A 12-node path graph needs ~diameter iterations — exercises the
-    fixpoint loop well past one round of propagation."""
+    """A 24-node path graph under a LOG-scale iteration budget: pointer
+    jumping must resolve diameter 23 in ≤ 8 rounds (one-hop propagation
+    alone would need 23 and raise)."""
     from pyspark.sql import Row
 
     from lakehouse_v3_spark.plans.scale_extras import connected_components
 
-    n = 12
+    n = 24
     nodes = spark.createDataFrame([Row(id=i) for i in range(n)])
     edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
-    out = connected_components(nodes, edges, "id").collect()
+    out = connected_components(nodes, edges, "id", max_iters=8).collect()
     assert all(r["component"] == 0 for r in out) and len(out) == n
 
 
@@ -199,11 +200,11 @@ def test_connected_components_raises_on_non_convergence(spark):
 
     from lakehouse_v3_spark.plans.scale_extras import connected_components
 
-    n = 8
+    n = 64
     nodes = spark.createDataFrame([Row(id=i) for i in range(n)])
     edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, edges, "id", max_iters=2)
+        connected_components(nodes, edges, "id", max_iters=1)
 
 
 def test_knn_bruteforce_guards_large_query_side(spark):
