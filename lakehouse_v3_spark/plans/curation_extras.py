@@ -178,3 +178,170 @@ def embedding_quantize_int8(spark, sf_dir):
         .otherwise(err <= scale / 2.0 + F.lit(1e-9))
         .alias("within_tol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: clip outliers to per-group [p01, p99]
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH pcts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p1,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN e.value < p.p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN e.value > p.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, p.p1), p.p99)
+                           AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 4) AS clipped_mean
+FROM events e JOIN pcts p USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register("winsorize_clip_outliers", oracle=_WINSOR_ORACLE)
+def winsorize_clip_outliers(spark, sf_dir):
+    """Winsorization: clip each group's values into its own exact
+    [p1, p99] band and report clip counts + the clipped mean — the
+    outlier-taming step run on numeric features (and on quality scores)
+    before they feed training or thresholding. Two passes: a tiny
+    per-group percentile aggregate BROADCAST back onto the scan, then
+    one clip+aggregate pass — the fact stream itself shuffles only for
+    the final per-group agg. At 100 TB swap the exact percentile for
+    percentile_approx (see approx_percentile_tdigest for the audited
+    sketch path); semantics below stay identical."""
+    e = load(spark, sf_dir, "events")
+    pcts = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p1"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    j = e.join(F.broadcast(pcts), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p1")), F.col("p99"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("value") < F.col("p1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+        F.round(
+            F.sum(clipped.cast("decimal(30,6)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("clipped_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retraction-aware incremental MV merge (CDC updates, not just inserts)
+# ---------------------------------------------------------------------------
+
+_RETRACT_ORACLE = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 50.0
+                          ELSE o_totalprice END AS DECIMAL(30,6))) AS DOUBLE)
+           AS total_spend
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("mv_retractable_cdc_merge", oracle=_RETRACT_ORACLE)
+def mv_retractable_cdc_merge(spark, sf_dir):
+    """CDC-aware incremental MV maintenance: an UPDATE arrives as a
+    retraction (-1, -old_value) plus an insertion (+1, +new_value), and
+    merging those deltas into yesterday's aggregate state must equal a
+    full recompute over the updated table — the invariant that lets a
+    100 TB materialized view absorb updates/deletes without rescanning
+    the base (mv_incremental_merge covers the insert-only case; this is
+    the general retractable form, Flink-style). Exact decimal state
+    makes the merge bit-equal to the recompute the oracle performs.
+    (The %10 slice of orders stands in for today's changed rows.)"""
+    o = load(spark, sf_dir, "orders")
+
+    def state(df, cnt, amount):
+        return df.select(
+            "o_custkey",
+            F.lit(cnt).cast("long").alias("cnt"),
+            amount.cast("decimal(30,6)").alias("psum"),
+        )
+
+    base = state(o, 1, F.col("o_totalprice"))  # yesterday's full state
+    upd = o.filter(F.col("o_orderkey") % 10 == 0)
+    retract = state(upd, -1, -F.col("o_totalprice"))
+    insert = state(upd, 1, F.col("o_totalprice") + 50.0)
+    merged = (
+        base.unionByName(retract)
+        .unionByName(insert)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_orders"),
+            F.sum("psum").cast("double").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Train/val distribution drift by global deciles
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH bounds AS (
+  SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b
+  FROM orders
+),
+assigned AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+              THEN 'train' ELSE 'val' END AS split,
+         1 + len(list_filter(b, x -> o_totalprice > x)) AS decile
+  FROM orders, bounds
+)
+SELECT decile, 
+       CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+FROM assigned GROUP BY decile
+"""
+
+
+@register("drift_decile_train_val", oracle=_DRIFT_ORACLE)
+def drift_decile_train_val(spark, sf_dir):
+    """Distribution-drift check between hash-assigned train/val splits:
+    bucket a numeric feature by its GLOBAL exact deciles and compare
+    per-bucket counts across splits — the sanity check that a split (or
+    an incremental refresh) didn't skew the feature distribution.
+    Decile boundaries are a 9-number aggregate BROADCAST onto the scan
+    (no global sort, no single-partition window — the ntile() trap this
+    deliberately avoids); bucketing is an array comparison per row. At
+    100 TB swap the exact percentiles for percentile_approx."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("b")
+    )
+    from ..operators.dedup import md5_int
+
+    assigned = o.crossJoin(F.broadcast(bounds)).select(
+        F.when(md5_int(F.col("o_orderkey").cast("string"), mod=100) < 80, "train")
+        .otherwise("val")
+        .alias("split"),
+        (
+            1
+            + F.size(
+                F.filter(F.col("b"), lambda x: F.col("o_totalprice") > x)
+            )
+        ).alias("decile"),
+    )
+    return assigned.groupBy("decile").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+    )

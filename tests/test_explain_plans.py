@@ -192,3 +192,20 @@ def test_rebalance_broadcasts_rates(spark, sf_dir):
     corpus scan; the corpus itself must not shuffle to join them."""
     plan = _plan(spark, sf_dir, "datamix_rebalance_langs")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_winsorize_broadcasts_percentiles(spark, sf_dir):
+    """The per-group [p1,p99] aggregate is tiny and must broadcast back
+    onto the fact scan — shuffling events to join 5 rows is wrong."""
+    plan = _plan(spark, sf_dir, "winsorize_clip_outliers")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_drift_deciles_have_no_global_window(spark, sf_dir):
+    """Decile bucketing must come from broadcast boundaries, never a
+    global ntile window (single-partition sort at scale)."""
+    plan = _plan(spark, sf_dir, "drift_decile_train_val")
+    for line in plan.splitlines():
+        if "Window" in line:
+            raise AssertionError(f"unexpected window node: {line}")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
