@@ -65,15 +65,19 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # "queries" first and the headline metric/value LAST: downstream tooling
+    # that keeps only the tail of the line still sees the summary fields;
+    # compact separators fit more per-query timings in any truncated view.
     print(
         json.dumps(
             {
-                "metric": "total_declared_query_wall_clock",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
+                "unit": "sec",
+                "metric": "total_declared_query_wall_clock",
+                "value": total,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
