@@ -74,6 +74,7 @@ _MODULES = [
     "multimodal_queries",
     "llm_pipeline_extras",
     "curation_extras",
+    "ml_extras",
 ]
 
 

@@ -1,0 +1,324 @@
+"""ML feature-prep extras (round 2): corpus unigram-LM quality scoring,
+a k-means Lloyd assignment/update step, deterministic robust (MAD)
+outlier detection, and leave-one-out target encoding.
+
+These extend the LLM-data-pipeline layer (SURVEY.md §2 extensions)
+with the model-side preprocessing steps a training pipeline runs after
+curation: LM-based quality filtering (the classic "CCNet-style"
+perplexity gate, here with a self-trained unigram model so there is no
+external artifact), clustering for data selection, robust outlier
+clipping, and categorical feature encoding.
+
+Determinism contract (shared with the rest of the catalog): every
+float that crosses an aggregation is either decimal-accumulated or
+round(6)-ed identically on the Spark and DuckDB sides, and every
+arg-min is tie-broken on a unique key, so the driver's value-hash
+compare is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from . import register
+from .text_queries import _TOKS
+from ..functions.text import tokens
+
+# ---------------------------------------------------------------------------
+# Unigram-LM document quality score (perplexity-gate shape)
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM freq),
+model AS (
+  SELECT token, ROUND(ln(CAST(tf AS DOUBLE) / total), 6) AS logp
+  FROM freq, tot
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(m.logp AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_logp
+FROM toks t JOIN model m USING (token)
+GROUP BY t.doc_id
+"""
+
+
+@register("lm_unigram_doc_score", oracle=_LM_ORACLE)
+def lm_unigram_doc_score(spark, sf_dir):
+    """Unigram language-model quality score per document: train the
+    model on the corpus itself (token frequency / total), then score
+    each doc by mean log-probability — the standard LM-based quality
+    gate for pretraining corpora, minus the external KenLM artifact.
+
+    Plan: one explode→groupBy(token) builds the model (map-side combine
+    bounds the fan-out); the scoring join is a plain equi-join on token
+    that AQE turns into a broadcast when the vocab fits (it does here;
+    at 100 TB vocab a shuffle hash join on token is the right fallback
+    and what Catalyst picks). Per-token log-probs are round(6)-ed
+    (libm ln is not correctly-rounded) then decimal-summed so the
+    per-doc mean is order-independent."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").cast("double").alias("total"))
+    model = freq.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("tf").cast("double") / F.col("total")), 6).alias("logp"),
+    )
+    return (
+        toks.join(model, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("logp").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One k-means Lloyd step (assign to nearest centroid, recompute means)
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+
+_KMEANS_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_KMEANS_K}
+),
+d AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, len(e.embedding) + 1),
+             i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))),
+           (acc, x) -> acc + x) AS dist
+  FROM embeddings e CROSS JOIN c
+),
+best AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d
+),
+comp AS (
+  SELECT cid, unnest(range(len(embedding))) AS dim, unnest(embedding) AS val
+  FROM best WHERE rn = 1
+)
+SELECT cid,
+       CAST(dim AS INT) AS dim,
+       COUNT(*) AS n_assigned,
+       ROUND(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(*), 6) AS component
+FROM comp
+GROUP BY cid, dim
+"""
+
+
+@register("kmeans_lloyd_step", oracle=_KMEANS_ORACLE)
+def kmeans_lloyd_step(spark, sf_dir):
+    """One Lloyd iteration of k-means over the embedding corpus with
+    deterministic seeds (centroids = vec_id < k): assign every vector
+    to its nearest centroid by squared L2, then emit the updated
+    centroid as per-dimension means (long format: cid, dim, component)
+    — the building block of embedding-space data selection / cluster
+    balancing for pretraining mixes.
+
+    Plan: the k centroids broadcast to every corpus partition (the
+    corpus itself never shuffles for assignment); squared distance is a
+    left-to-right F.aggregate fold matching DuckDB's list_reduce
+    bit-for-bit; argmin is a (dist, cid)-ordered row_number so ties
+    break deterministically; the update is posexplode → one
+    groupBy(cid, dim) with decimal-accumulated means. At 100 TB the
+    assignment stage is embarrassingly parallel and the update shuffle
+    carries only k×dim×partitions partial sums. Iterating = re-running
+    with the emitted centroids broadcast back (see
+    components_near_dup_clusters for the loop pattern with
+    localCheckpoint lineage truncation)."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    diff_sq = F.zip_with(
+        "embedding",
+        "cvec",
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    dist = F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x)
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cid", dist.alias("dist"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist", "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.select("cid", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            # float32 → double FIRST: casting a float straight to decimal
+            # rounds its shortest-string repr (0.0165745), while DuckDB
+            # rounds the double promotion (0.0165744998…) — 1-ulp hash
+            # breaks at .xxxxx5 boundaries. Promoting to double makes both
+            # engines round the identical value.
+            F.round(
+                F.sum(F.col("val").cast("double").cast("decimal(30,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("component"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: exact MAD (median absolute deviation), deterministic
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, SUM(value) / COUNT(*) AS med
+  FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY event_type
+),
+dev AS (
+  SELECT r.event_type, r.event_id, abs(r.value - m.med) AS adev, m.med,
+         row_number() OVER (PARTITION BY r.event_type
+                            ORDER BY abs(r.value - m.med), r.event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY r.event_type) AS n
+  FROM r JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, SUM(adev) / COUNT(*) AS mad
+  FROM dev WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       ROUND(ANY_VALUE(d.med), 6) AS med,
+       ROUND(ANY_VALUE(m.mad), 6) AS mad,
+       COUNT(*) FILTER (WHERE d.adev > 3 * m.mad) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@register("mad_robust_outliers", oracle=_MAD_ORACLE)
+def mad_robust_outliers(spark, sf_dir):
+    """Robust per-group outlier detection: exact median + exact MAD
+    (median absolute deviation), flagging |x − med| > 3·MAD — the
+    clipping rule winsorize_clip_outliers's percentile variant can't
+    express when the tails themselves are contaminated.
+
+    Exactness is deterministic by construction: the median is picked by
+    (value, event_id)-ordered row_number (avg of the two middle rows —
+    IEEE addition of two values is commutative, so Spark and DuckDB
+    agree bit-for-bit), never by an interpolating percentile whose
+    libm arithmetic could drift. Both passes window on the same key, so
+    Spark reuses one exchange on event_type; the median tables join
+    back as broadcasts. At 100 TB a full per-key sort is the price of
+    exactness — the documented scale fallback is approx_percentile
+    (t-digest, see approx_percentile_tdigest) once tolerances allow."""
+    e = load(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    mid = F.expr("rn IN ((n + 1) div 2, (n + 2) div 2)")
+    med = (
+        r.filter(mid)
+        .groupBy("event_type")
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("med"))
+    )
+    w_rank2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    dev = r.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    ).withColumn("rn", F.row_number().over(w_rank2)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+    mad = (
+        dev.filter(mid)
+        .groupBy("event_type")
+        .agg((F.sum("adev") / F.count(F.lit(1))).alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+_LOO_ORACLE = """
+WITH a AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s,
+         COUNT(*) AS c
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN a.c > 1
+            THEN ROUND((a.s - e.value) / (a.c - 1), 6) END AS loo_target_enc
+FROM events e JOIN a USING (event_type)
+"""
+
+
+@register("target_encode_loo", oracle=_LOO_ORACLE)
+def target_encode_loo(spark, sf_dir):
+    """Leave-one-out target encoding of a categorical feature: each
+    row's encoding is the mean target of its category EXCLUDING the row
+    itself ((Σ − x)/(n − 1)) — the leakage-safe variant of mean target
+    encoding used in feature pipelines.
+
+    Plan: one groupBy builds the per-category (decimal-exact) sum/count
+    table, which broadcasts back onto the fact scan — no second shuffle
+    of the fact table, so at 100 TB this is a single pass + a broadcast
+    join against a |categories|-row table. Singleton categories encode
+    as NULL rather than dividing by zero."""
+    e = load(spark, sf_dir, "events")
+    a = e.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return e.join(F.broadcast(a), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("c") > 1,
+            F.round((F.col("s") - F.col("value")) / (F.col("c") - 1), 6),
+        ).alias("loo_target_enc"),
+    )
