@@ -21,6 +21,38 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executors via ``addPyFile`` (once per context).
+
+    Pandas UDFs / applyInPandas functions defined inside this package are
+    cloudpickled BY REFERENCE (module + qualname), so every Python worker
+    must be able to ``import lakehouse_v3_spark``. On a real cluster —
+    or a driver launched from any cwd that doesn't have the repo on
+    ``sys.path`` — that fails with ModuleNotFoundError unless the package
+    is distributed. Zipping the package and ``addPyFile``-ing it is the
+    standard Spark deployment path (equivalent to ``spark-submit
+    --py-files``) and costs ~100 KB once per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_lakehouse_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse-pyfiles-"), "lakehouse_v3_spark.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    sc.addPyFile(zpath)
+    sc._lakehouse_pkg_shipped = True
+
+
 def get_spark(
     app_name: str = "lakehouse_v3_spark",
     master: str | None = None,
@@ -69,4 +101,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_package_shipped(spark)
     return spark
