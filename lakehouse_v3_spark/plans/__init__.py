@@ -75,6 +75,8 @@ _MODULES = [
     "llm_pipeline_extras",
     "curation_extras",
     "ml_extras",
+    "stats_extras",
+    "source_queries",
 ]
 
 

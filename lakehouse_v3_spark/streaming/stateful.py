@@ -48,3 +48,60 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary stateful processing)
+# ---------------------------------------------------------------------------
+
+try:  # the processor base class landed in Spark 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DistinctTypeCounts(StatefulProcessor):
+        """Per-user distinct-event-type counts held in MapState across
+        micro-batches — the Spark-4 ``transformWithStateInPandas``
+        successor to applyInPandasWithState. MapState gives point
+        lookups/updates per (user, event_type) without deserializing the
+        whole per-key state each batch, which is what keeps a 100 TB
+        keyspace's state store incremental (RocksDB-backed on a real
+        cluster)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for etype, c in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self._counts.getValue((etype,))[0]
+                        if self._counts.containsKey((etype,))
+                        else 0
+                    )
+                    self._counts.updateValue((etype,), (prev + int(c),))
+            n_types = sum(1 for _ in self._counts.keys())
+            n_events = sum(v[0] for v in self._counts.values())
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_types": [n_types], "n_events": [n_events]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def distinct_type_counts(events: DataFrame) -> DataFrame:
+        """Per-user distinct event-type running counts over a stream via
+        transformWithStateInPandas (update mode, processing-time)."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=DistinctTypeCounts(),
+            outputStructType="user_id long, n_types long, n_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - older Spark
+    DistinctTypeCounts = None  # type: ignore[assignment]
+    distinct_type_counts = None  # type: ignore[assignment]

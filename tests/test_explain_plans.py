@@ -209,3 +209,39 @@ def test_drift_deciles_have_no_global_window(spark, sf_dir):
         if "Window" in line:
             raise AssertionError(f"unexpected window node: {line}")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_array_hof_stays_in_codegen(spark, sf_dir):
+    """Higher-order array folds must run JVM-side: no Python eval node
+    anywhere in the plan (the whole point vs a pandas UDF)."""
+    plan = _plan(spark, sf_dir, "array_hof_embedding_stats")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the vec_id sampling predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+
+
+def test_regression_single_aggregate_pass(spark, sf_dir):
+    """All six moments + the builtin slope audit compute in ONE
+    aggregation over one scan — no self-join, no second exchange."""
+    plan = _plan(spark, sf_dir, "stat_regression_per_type")
+    # formatted output names each node twice (tree + details): count
+    # distinct scan locations, not the label
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "partial_regr_slope" in plan  # builtin audit rides the same pass
+
+
+def test_salted_join_no_sort_and_invariance(spark, sf_dir):
+    """The salted join result must not depend on salt count."""
+    from lakehouse_v3_spark.io_utils import load
+    from lakehouse_v3_spark.operators.skew import salted_join_hot_keys
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), F.col("l_quantity").alias("q")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    a = salted_join_hot_keys(li, part, "p_partkey", n_salts=2).groupBy("p_brand").count()
+    b = salted_join_hot_keys(li, part, "p_partkey", n_salts=16).groupBy("p_brand").count()
+    assert {(r.p_brand, r["count"]) for r in a.collect()} == {
+        (r.p_brand, r["count"]) for r in b.collect()
+    }

@@ -48,6 +48,79 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert r2[3] == (1, 7.0)
 
 
+def test_transform_with_state_distinct_types(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas: MapState-backed per-user
+    distinct-type counts accumulate across micro-batches through the
+    checkpoint (the modern successor to applyInPandasWithState)."""
+    import pytest
+
+    from lakehouse_v3_spark.streaming.stateful import distinct_type_counts
+
+    if distinct_type_counts is None:
+        pytest.skip("transformWithStateInPandas unavailable on this Spark")
+    # the TWS state-server protocol needs google.protobuf on the Python
+    # workers; absent in this container (see TESTDATA.md env notes)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState state "
+                    "server cannot start in this container")
+
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "tws_ckpt")
+    collected: list = []
+
+    # transformWithState requires the RocksDB state store provider
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def run_once():
+        stream = spark.readStream.schema("user_id long, event_type string").parquet(
+            str(src)
+        )
+        q = (
+            distinct_type_counts(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b1 = spark.createDataFrame(
+        [(1, "click"), (1, "click"), (1, "view"), (2, "click")],
+        "user_id long, event_type string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    r1 = {r.user_id: (r.n_types, r.n_events) for r in collected}
+    assert r1 == {1: (2, 3), 2: (1, 1)}
+
+    collected.clear()
+    b2 = spark.createDataFrame(
+        [(1, "purchase"), (2, "click"), (3, "view")],
+        "user_id long, event_type string",
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    try:
+        run_once()
+    finally:
+        if old_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old_prov)
+    r2 = {r.user_id: (r.n_types, r.n_events) for r in collected}
+    assert r2[1] == (3, 4)  # new type + accumulated events via MapState
+    assert r2[2] == (1, 2)
+    assert r2[3] == (1, 1)
+
+
 def test_salted_sum_matches_plain_sum(spark, sf_dir):
     from lakehouse_v3_spark.io_utils import load
     from lakehouse_v3_spark.operators.skew import salted_sum_by_key

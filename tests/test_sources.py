@@ -75,3 +75,47 @@ def test_create_zone_idempotent(spark):
     dbs = [r.namespace for r in spark.sql("SHOW DATABASES").collect()]
     assert "bronze2_testzone" in dbs
     spark.sql("DROP DATABASE bronze2_testzone")
+
+
+def test_pyds_reader_pushdown_unit():
+    """The synthetic source claims EqualTo on event_type/user_id and
+    returns every other filter to Spark; read() applies claimed filters
+    before rows cross the Python-JVM boundary."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from lakehouse_v3_spark.sources.pydatasource import SyntheticEventsReader
+
+    rdr = SyntheticEventsReader({"n_rows": "1000", "n_partitions": "4"})
+    leftover = list(
+        rdr.pushFilters([EqualTo(("event_type",), "click"), GreaterThan(("value",), 5.0)])
+    )
+    assert [type(f).__name__ for f in leftover] == ["GreaterThan"]
+    assert len(rdr.pushed) == 1
+
+    parts = rdr.partitions()
+    assert len(parts) == 4 and parts[0].start == 0 and parts[-1].end == 1000
+    batches = [b for p in parts for b in rdr.read(p)]
+    n = sum(b.num_rows for b in batches)
+    assert n == 200  # every 5th row is a click
+    for b in batches:
+        types = set(b.column("event_type").to_pylist())
+        assert types <= {"click"}
+
+
+def test_pyds_source_end_to_end(spark):
+    """Full scan through the registered source: deterministic row count
+    and values, partition-parallel generation."""
+    from lakehouse_v3_spark.sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 5000)
+        .option("n_partitions", 4)
+        .load()
+    )
+    assert df.count() == 5000
+    assert df.rdd.getNumPartitions() == 4
+    row = df.filter("row_id = 4999").collect()[0]
+    assert row.user_id == 4999 % 97
+    assert row.value == ((4999 * 2654435761) % 1000) / 10.0
