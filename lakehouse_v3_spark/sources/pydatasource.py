@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 EVENT_TYPES = ("click", "view", "purchase", "error", "signup")
@@ -101,8 +102,43 @@ class SyntheticEventsReader(DataSourceReader):
         )
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic row space: offsets
+    are row indices ({"row": k}); each batch emits up to rows_per_batch
+    rows and advances the offset, stopping at n_rows. The driver-side
+    simple reader fits this generator (tiny per-batch volume); a
+    partition-planned DataSourceStreamReader is the high-throughput
+    variant of the identical offset contract."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 100_000))
+        self.per_batch = int(options.get("rows_per_batch", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        # a LIST, not a generator: the simple-reader harness pickles the
+        # prefetched batch to ship it into the planning cache
+        return [
+            (i, i % 97, EVENT_TYPES[i % 5], float((i * _MIX) % 1000) / 10.0)
+            for i in range(lo, hi)
+        ]
+
+    def read(self, start: dict):
+        lo = start["row"]
+        hi = min(lo + self.per_batch, self.n_rows)
+        return self._rows(lo, hi), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery: same rows for same offsets
+        return self._rows(start["row"], end["row"])
+
+
 class SyntheticEventsDataSource(DataSource):
-    """spark.read.format("synthetic_events").option("n_rows", N).load()"""
+    """spark.read.format("synthetic_events").option("n_rows", N).load()
+    — or readStream with .option("rows_per_batch", B) for micro-batches
+    over the same deterministic rows."""
 
     @classmethod
     def name(cls) -> str:
@@ -113,6 +149,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register_synthetic_source(spark) -> None:

@@ -208,6 +208,94 @@ class TableManager:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
 
+    # -- snapshots / time travel ----------------------------------------
+    # A minimal transaction-log protocol on plain parquet, standing in
+    # for Delta's log where delta-spark isn't available (TESTDATA.md):
+    # each snapshot is an immutable version directory; commit is ONE
+    # atomic HEAD-pointer swap (os.replace here; a conditional-put of
+    # the HEAD key on object storage). Readers resolve HEAD once and
+    # then only touch immutable paths, so concurrent writers can never
+    # show them a torn table; rollback is an O(1) pointer move, not a
+    # data rewrite.
+
+    def _snap_dir(self, table: str) -> str:
+        return f"{self.path(table)}/_snapshots"
+
+    def _head_path(self, table: str) -> str:
+        return f"{self._snap_dir(table)}/_HEAD"
+
+    def write_snapshot(self, df: DataFrame, table: str) -> int:
+        """Write a new immutable version and atomically move HEAD to it.
+        Returns the committed version number."""
+        snap = self._snap_dir(table)
+        os.makedirs(snap, exist_ok=True)
+        # next version = max RETAINED version + 1 (not HEAD + 1: after a
+        # restore_snapshot HEAD points backwards but newer version dirs
+        # still exist and must not be clobbered)
+        history = self.snapshot_history(table)
+        version = (history[-1] + 1) if history else 0
+        vdir = f"{snap}/v{version}"
+        tmp = f"{snap}/.tmp-v{version}"
+        df.write.format("parquet").mode("overwrite").save(tmp)
+        os.replace(tmp, vdir)  # data visible only under its final name
+        head_tmp = f"{snap}/.tmp-HEAD"
+        with open(head_tmp, "w", encoding="utf-8") as f:
+            json.dump({"version": version}, f)
+        os.replace(head_tmp, self._head_path(table))  # THE commit point
+        return version
+
+    def snapshot_version(self, table: str) -> int | None:
+        """Current HEAD version (None before the first commit)."""
+        try:
+            with open(self._head_path(table), encoding="utf-8") as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            return None
+
+    def read_snapshot(self, table: str, version: int | None = None) -> DataFrame:
+        """Time-travel read: HEAD by default, or any retained version."""
+        if version is None:
+            version = self.snapshot_version(table)
+            if version is None:
+                raise FileNotFoundError(f"no snapshots for table {table}")
+        return self.spark.read.parquet(f"{self._snap_dir(table)}/v{version}")
+
+    def snapshot_history(self, table: str) -> list[int]:
+        """Retained versions, oldest first (DESCRIBE HISTORY analogue)."""
+        snap = self._snap_dir(table)
+        if not os.path.isdir(snap):
+            return []
+        return sorted(
+            int(e.name[1:])
+            for e in os.scandir(snap)
+            if e.is_dir() and e.name.startswith("v")
+        )
+
+    def restore_snapshot(self, table: str, version: int) -> None:
+        """Rollback = move HEAD to an older retained version. O(1): no
+        data is copied; the newer versions stay readable until vacuumed."""
+        if version not in self.snapshot_history(table):
+            raise FileNotFoundError(f"version {version} not retained for {table}")
+        head_tmp = f"{self._snap_dir(table)}/.tmp-HEAD"
+        with open(head_tmp, "w", encoding="utf-8") as f:
+            json.dump({"version": version}, f)
+        os.replace(head_tmp, self._head_path(table))
+
+    def vacuum_snapshots(self, table: str, keep_last: int = 2) -> list[int]:
+        """Drop old versions beyond ``keep_last``, never dropping HEAD.
+        Returns the versions removed (Delta VACUUM analogue — bounded
+        storage growth while time travel stays available for the
+        retained window)."""
+        head = self.snapshot_version(table)
+        versions = self.snapshot_history(table)
+        keep = set(versions[-keep_last:]) | ({head} if head is not None else set())
+        removed = []
+        for v in versions:
+            if v not in keep:
+                shutil.rmtree(f"{self._snap_dir(table)}/v{v}")
+                removed.append(v)
+        return removed
+
     # -- catalog ---------------------------------------------------------
     def register(self, table: str, view_name: str | None = None) -> None:
         """S12/S13 idempotent registration. Without a metastore in the

@@ -148,3 +148,46 @@ def test_exists_shallow_marker_check(spark, tmp_path):
     assert tm.exists("z.parted")
     os.makedirs(tm.path("z.empty"), exist_ok=True)
     assert not tm.exists("z.empty")
+
+
+def test_snapshot_time_travel_and_restore(spark, tmp_path):
+    """Versioned snapshots: HEAD follows the latest commit, any retained
+    version is readable, restore is a pointer move, vacuum keeps HEAD."""
+    from lakehouse_v3_spark.tables import TableManager
+
+    tm = TableManager(spark, str(tmp_path / "wh"))
+    v0 = tm.write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, s string"), "silver.t"
+    )
+    v1 = tm.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), "silver.t"
+    )
+    assert (v0, v1) == (0, 1)
+    assert tm.snapshot_version("silver.t") == 1
+    assert tm.read_snapshot("silver.t").count() == 2          # HEAD
+    assert tm.read_snapshot("silver.t", 0).count() == 1        # time travel
+    assert tm.snapshot_history("silver.t") == [0, 1]
+
+    tm.restore_snapshot("silver.t", 0)                         # O(1) rollback
+    assert tm.read_snapshot("silver.t").count() == 1
+
+    # writing after a rollback must NOT clobber the still-retained v1:
+    # next version is max(retained)+1
+    v2 = tm.write_snapshot(
+        spark.createDataFrame([(9, "z")], "id long, s string"), "silver.t"
+    )
+    assert v2 == 2
+    assert tm.snapshot_version("silver.t") == 2
+    assert tm.read_snapshot("silver.t", 1).count() == 2  # v1 untouched
+
+    tm.restore_snapshot("silver.t", 0)
+    removed = tm.vacuum_snapshots("silver.t", keep_last=1)
+    # HEAD (v0) survives even though it is not in the last-1 window
+    assert 0 not in removed and tm.read_snapshot("silver.t").count() == 1
+    assert tm.snapshot_history("silver.t") == sorted(set([0, 2]))
+
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        tm.read_snapshot("silver.never")
+    with pytest.raises(FileNotFoundError):
+        tm.restore_snapshot("silver.t", 99)
