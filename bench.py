@@ -58,10 +58,18 @@ def main() -> None:
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
         # drop this query's catalog-cached blocks; localCheckpoint RDD
         # blocks (dedup_minhash_lsh, connected_components) are NOT in the
-        # catalog cache — they release when the ContextCleaner collects
-        # the py4j refs, which gc.collect() below triggers
+        # catalog cache — python gc.collect() queues the py4j detach for
+        # their JVM handles, and the explicit JVM System.gc() makes the
+        # ContextCleaner actually process them NOW instead of whenever
+        # heap pressure forces it (left to chance, later queries absorb
+        # this query's block-eviction churn: observed 2s → 11s swings on
+        # dedup_simhash between otherwise idle runs)
         spark.catalog.clearCache()
         gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -156,20 +156,33 @@ def embedding_quantize_int8(spark, sf_dir):
     vectors) closes the loop. Constant vectors (scale 0) quantize to
     zeros and pass trivially. No shuffle — pure map over the scan."""
     e = load(spark, sf_dir, "embeddings")
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    mn = F.array_min(dbl)
-    mx = F.array_max(dbl)
+    # stage the cast array and its min/max as REAL columns: as bare
+    # expressions Catalyst re-inlines them at every reference — and the
+    # err lambda below references mn/mx/scale PER ELEMENT, turning the
+    # row cost from O(d) into O(d²) (measured 12× on the sf0.1 bench).
+    staged = e.select(
+        "vec_id",
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("_dbl"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "_dbl",
+        F.array_min("_dbl").alias("_mn"),
+        F.array_max("_dbl").alias("_mx"),
+    )
+    mn, mx = F.col("_mn"), F.col("_mx")
     scale = (mx - mn) / F.lit(255.0)
     # max |dequant(quant(x)) - x| over dims
     err = F.aggregate(
         F.transform(
-            dbl,
+            F.col("_dbl"),
             lambda x: F.abs((F.round((x - mn) / scale, 0) * scale + mn) - x),
         ),
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )
-    return e.select(
+    return staged.select(
         "vec_id",
         F.size("embedding").cast("long").alias("n_dims"),
         F.round(mn, 4).alias("v_min"),

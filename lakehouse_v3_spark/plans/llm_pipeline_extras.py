@@ -186,16 +186,20 @@ def text_repetition_ratio(spark, sf_dir):
     docs = d.select("doc_id", _spark_toks(F.col("text")).alias("toks")).filter(
         F.size("toks") > 0
     )
-    g3 = word_shingles(F.col("toks"), 3)
-    return docs.select(
+    # stage the trigram array as a column too: it is referenced three
+    # times below and would otherwise be rebuilt per reference
+    staged = docs.select("doc_id", "toks", word_shingles(F.col("toks"), 3).alias("g3"))
+    return staged.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
         F.round(
             F.size(F.array_distinct("toks")).cast("double") / F.size("toks"), 6
         ).alias("uniq_token_ratio"),
         F.when(
-            F.size(g3) > 0,
-            F.round(1.0 - F.size(F.array_distinct(g3)).cast("double") / F.size(g3), 6),
+            F.size("g3") > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct("g3")).cast("double") / F.size("g3"), 6
+            ),
         ).alias("dup_trigram_frac"),
     )
 

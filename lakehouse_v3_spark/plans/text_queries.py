@@ -138,7 +138,14 @@ def text_quality_score(spark, sf_dir):
     token length) with a pass/fail gate — the C4/Gopher-style filter
     shape for training-data pipelines, as one codegen'd projection."""
     d = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # materialize the token array ONCE in its own projection: every
+    # output column references it, and Catalyst re-inlines (= re-runs
+    # the regex split per reference) if it stays an expression.
+    # CollapseProject keeps the two projections apart because the alias
+    # is non-cheap and multiply-referenced. Same fix family as
+    # text_lang_id's lambda binding (SCALE.md 'Expression evaluation').
+    staged = d.select("doc_id", "text", tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
@@ -147,7 +154,7 @@ def text_quality_score(spark, sf_dir):
     mean_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens
     )
-    return d.select(
+    return staged.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),

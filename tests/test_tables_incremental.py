@@ -191,3 +191,30 @@ def test_snapshot_time_travel_and_restore(spark, tmp_path):
         tm.read_snapshot("silver.never")
     with pytest.raises(FileNotFoundError):
         tm.restore_snapshot("silver.t", 99)
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    """CDC between versions: exact insert/update/delete classification,
+    unchanged rows absent from the feed."""
+    from lakehouse_v3_spark.tables import TableManager
+
+    tm = TableManager(spark, str(tmp_path / "wh"))
+    tm.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, s string, v double",
+        ),
+        "silver.cdc",
+    )
+    tm.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)],
+            "id long, s string, v double",
+        ),
+        "silver.cdc",
+    )
+    changes = {
+        r.id: r.change_type
+        for r in tm.snapshot_diff("silver.cdc", 0, 1, ["id"]).collect()
+    }
+    assert changes == {2: "update", 3: "delete", 4: "insert"}

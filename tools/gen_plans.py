@@ -30,6 +30,11 @@ COMMENTARY = {
     "dedup_fuzzy_levenshtein": "Equi hash join on (lang, 4-char prefix) block keys — candidate pairs are Σ|bucket|², throttled by key length; the levenshtein runs post-join on bounded 24-char probes, so per-pair cost is constant.",
     "cohort_retention_weekly": "distinct (user, week) grid collapses raw events first; cohort min and the retention count reuse user_id partitioning — raw events shuffle exactly once.",
     "profile_table_columns": "ONE aggregate computes every column's metrics (count/nulls/distincts/min/max); the per-column rows unpivot from the single state row — profiling cost does not scale with column count.",
+    "stat_regression_per_type": "All six regression moments AND the builtin regr_slope audit in one partial/final HashAggregate pair over one scan — moments combine associatively across partitions, the canonical distributed-regression shape.",
+    "array_hof_embedding_stats": "transform/filter/aggregate higher-order folds entirely inside WholeStageCodegen — no Python eval node anywhere; vec_id sampling predicate reaches the parquet scan.",
+    "skew_salted_replicated_join": "Fact side salted 8 ways, dimension exploded 8×, equi-join on (key, salt): the deterministic skew-join alternative to AQE's runtime split; the aggregate collapses salt before the final group-by.",
+    "pyds_synthetic_pushdown": "BatchScan over the Python data source: 8 range partitions generate Arrow batches worker-side; with spark.sql.python.filterPushdown.enabled the EqualTo predicate is claimed by the source (no Filter node re-applies it) so non-matching rows never cross the Python→JVM boundary.",
+    "embedding_quantize_int8": "Cast array + per-vector min/max staged as real columns below the audit projection — as inline expressions the per-element lambda references made row cost O(d²); staged, the whole audit is one codegen'd map over the scan.",
 }
 
 
