@@ -136,3 +136,102 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
 
     rows = {r["event_id"]: r["v"] for r in out}
     assert rows == {"e1": 1, "e2": 2, "e3": 3}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: purchases joined to clicks that
+    happened in the hour BEFORE each purchase, both sides real streams.
+    State cleanup is bounded by the watermark + interval condition —
+    the Structured Streaming surface the reference's batch MERGE
+    pipelines approximate (SURVEY §2.9 extension)."""
+    clicks_dir = tmp_path / "ss_clicks"
+    buys_dir = tmp_path / "ss_buys"
+    clicks_dir.mkdir(); buys_dir.mkdir()
+
+    def write(dirp, rows):
+        spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(str(dirp))
+
+    write(clicks_dir, [(1, "2026-01-01 10:00:00"), (2, "2026-01-01 09:00:00")])
+    write(buys_dir, [(1, "2026-01-01 10:30:00"),   # joins: 30 min after click
+                     (2, "2026-01-01 11:00:00")])  # no: click 2h earlier
+
+    schema = "user_id long, ts timestamp"
+    clicks = (
+        spark.readStream.schema(schema).parquet(str(clicks_dir))
+        .withWatermark("ts", "2 hours")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    buys = (
+        spark.readStream.schema(schema).parquet(str(buys_dir))
+        .withWatermark("ts", "2 hours")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    )
+    joined = buys.join(
+        clicks,
+        F.expr(
+            "b_user = c_user AND c_ts BETWEEN b_ts - INTERVAL 1 HOUR AND b_ts"
+        ),
+    )
+    out: list = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ss_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert [(r.b_user, str(r.c_ts)) for r in out] == [(1, "2026-01-01 10:00:00")]
+
+
+def test_streaming_merge_into_snapshots(spark, tmp_path):
+    """End-to-end lakehouse loop: stream micro-batches MERGE-upsert into
+    a TableManager table, each batch committing a snapshot version —
+    time travel then exposes the state after every batch (the Delta
+    'streaming upsert + history' pattern on the parquet backend)."""
+    from lakehouse_v3_spark.operators.joins import merge_upsert
+    from lakehouse_v3_spark.tables import TableManager
+
+    src = tmp_path / "merge_src"
+    src.mkdir()
+    tm = TableManager(spark, str(tmp_path / "wh"))
+
+    def process(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        ver = tm.snapshot_version("silver.state")
+        if ver is None:
+            tm.write_snapshot(batch_df, "silver.state")
+        else:
+            merged = merge_upsert(
+                tm.read_snapshot("silver.state"), batch_df, ["user_id"]
+            ).select("user_id", "v")
+            tm.write_snapshot(merged, "silver.state")
+
+    def drain():
+        stream = spark.readStream.schema("user_id long, v string").parquet(str(src))
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(tmp_path / "merge_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "user_id long, v string") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame([(2, "B"), (3, "c")], "user_id long, v string") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+
+    head = {r.user_id: r.v for r in tm.read_snapshot("silver.state").collect()}
+    assert head == {1: "a", 2: "B", 3: "c"}
+    v0 = {r.user_id: r.v for r in tm.read_snapshot("silver.state", 0).collect()}
+    assert v0 == {1: "a", 2: "b"}  # pre-merge state still time-travelable
+    changes = {
+        r.user_id: r.change_type
+        for r in tm.snapshot_diff("silver.state", 0, 1, ["user_id"]).collect()
+    }
+    assert changes == {2: "update", 3: "insert"}
