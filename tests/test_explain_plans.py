@@ -245,3 +245,35 @@ def test_salted_join_no_sort_and_invariance(spark, sf_dir):
     assert {(r.p_brand, r["count"]) for r in a.collect()} == {
         (r.p_brand, r["count"]) for r in b.collect()
     }
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning: with a selective dimension
+    filter, Spark injects might_contain(bloom) into the FACT side scan
+    so non-matching rows drop before the shuffle — the semi-join
+    reduction that matters when the fact side is 100 TB. The fixtures
+    are far below the default size thresholds, so the test lowers them
+    to prove the mechanism; at real scale the defaults (10MB creation /
+    10GB application side) trigger it automatically."""
+    from lakehouse_v3_spark.io_utils import load
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+        j = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_brand").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
