@@ -77,6 +77,7 @@ _MODULES = [
     "ml_extras",
     "stats_extras",
     "source_queries",
+    "linededup_queries",
 ]
 
 

@@ -35,6 +35,8 @@ COMMENTARY = {
     "skew_salted_replicated_join": "Fact side salted 8 ways, dimension exploded 8×, equi-join on (key, salt): the deterministic skew-join alternative to AQE's runtime split; the aggregate collapses salt before the final group-by.",
     "pyds_synthetic_pushdown": "BatchScan over the Python data source: 8 range partitions generate Arrow batches worker-side; with spark.sql.python.filterPushdown.enabled the EqualTo predicate is claimed by the source (no Filter node re-applies it) so non-matching rows never cross the Python→JVM boundary.",
     "embedding_quantize_int8": "Cast array + per-vector min/max staged as real columns below the audit projection — as inline expressions the per-element lambda references made row cost O(d²); staged, the whole audit is one codegen'd map over the scan.",
+    "dedup_line_level": "Documents explode into trimmed lines; ONE shuffle on the line key computes distinct-doc counts; the boilerplate score joins back on the same key. At 100 TB the shuffle key becomes xxhash64(line) and hot boilerplate lines are the AQE-split skew keys.",
+    "arrow_batch_charstats": "Project prunes to (doc_id, text) BEFORE the ArrowEvalPython boundary; pyarrow compute kernels process RecordBatches directly — no pandas conversion, the lowest-overhead Python escape hatch.",
 }
 
 
