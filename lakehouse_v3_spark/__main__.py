@@ -1,0 +1,91 @@
+"""CLI: the engine's spark-submit-equivalent entry point.
+
+The reference is operated as per-job spark-submit scripts
+(airflow/dags/*.py wiring in /root/reference); this engine's user
+surface is the query catalog + pipelines, so the CLI exposes them
+directly:
+
+    python -m lakehouse_v3_spark list [substr]
+    python -m lakehouse_v3_spark run <query> [--sf-dir D] [--limit N]
+    python -m lakehouse_v3_spark explain <query> [--sf-dir D]
+    python -m lakehouse_v3_spark oracle <query>
+
+Session config comes from session.get_spark (AQE, UTC, Arrow); the
+scale knobs stay env-driven (SPARK_GRAFT_CPUS, SPARK_GRAFT_MASTER,
+SPARK_GRAFT_MAX_PART_BYTES) so the same invocation works on a laptop
+and a cluster edge node.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="lakehouse_v3_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    lp = sub.add_parser("list", help="list declared queries (optionally filtered)")
+    lp.add_argument("substr", nargs="?", default="")
+
+    rp = sub.add_parser("run", help="run a catalog query and print rows")
+    rp.add_argument("query")
+    rp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    rp.add_argument("--limit", type=int, default=20)
+
+    ep = sub.add_parser("explain", help="print the formatted physical plan")
+    ep.add_argument("query")
+    ep.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
+    op = sub.add_parser("oracle", help="print the DuckDB oracle SQL")
+    op.add_argument("query")
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """Entry point. ``spark`` is injectable for tests; when None a
+    session is created (and left running — JVM teardown isn't worth the
+    wait for a CLI process about to exit)."""
+    from .plans import load_all
+
+    args = _build_parser().parse_args(argv)
+    reg = load_all()
+
+    if args.cmd == "list":
+        for name in sorted(reg):
+            if args.substr in name:
+                doc = (reg[name].doc or "").strip().split("\n")[0]
+                print(f"{name:42s} {doc[:90]}")
+        return 0
+
+    if args.cmd == "oracle":
+        qd = reg.get(args.query)
+        if qd is None:
+            print(f"unknown query: {args.query}", file=sys.stderr)
+            return 2
+        print(qd.oracle or "-- no oracle (rows-only check)")
+        return 0
+
+    qd = reg.get(args.query)
+    if qd is None:
+        print(f"unknown query: {args.query}", file=sys.stderr)
+        return 2
+
+    if spark is None:  # pragma: no cover - exercised via injected spark
+        from .session import get_spark
+
+        spark = get_spark(app_name=f"lakehouse-cli-{args.cmd}")
+
+    df = qd.fn(spark, args.sf_dir)
+    if args.cmd == "explain":
+        df.explain("formatted")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

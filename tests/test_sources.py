@@ -209,3 +209,24 @@ def test_pyds_stream_reader_batches(spark, tmp_path):
     r = by_id[1234]
     assert (r.user_id, r.event_type) == (1234 % 97, "signup")
     assert r.value == ((1234 * 2654435761) % 1000) / 10.0
+
+
+def test_cli_list_run_explain_oracle(spark, capsys):
+    """CLI surface: list filters, run prints rows, explain prints a
+    plan, oracle prints SQL, unknown query exits 2."""
+    from lakehouse_v3_spark.__main__ import main
+
+    assert main(["list", "flagship"]) == 0
+    out = capsys.readouterr().out
+    assert "flagship_monthly_kpi" in out and "q1_pricing_summary" not in out
+
+    assert main(["oracle", "q1_pricing_summary"]) == 0
+    assert "l_returnflag" in capsys.readouterr().out
+
+    assert main(["run", "a1_max_id_seed", "--limit", "5"], spark=spark) == 0
+    assert "max_id" in capsys.readouterr().out
+
+    assert main(["explain", "q6_forecast_revenue"], spark=spark) == 0
+    assert "Physical Plan" in capsys.readouterr().out
+
+    assert main(["oracle", "nope_not_a_query"]) == 2
