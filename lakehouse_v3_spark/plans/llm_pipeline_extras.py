@@ -320,3 +320,61 @@ def datamix_rebalance_langs(spark, sf_dir):
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: OOV rate against the corpus top-K vocab
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 50
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ORDER BY c DESC, tok ASC LIMIT {_VOCAB_K}
+  )
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
+@register("text_vocab_oov_rate", oracle=_VOCAB_ORACLE)
+def text_vocab_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage curation metric: induce a top-K corpus vocab
+    (count desc, token asc — the tie-break makes the boundary
+    deterministic on both engines) and score every document's
+    out-of-vocab token rate. High-OOV docs are the noise/encoding-junk
+    candidates a tokenizer-aware filter drops. Scale shape: token
+    explode shuffles once on the token for counts; the top-K is a
+    TakeOrdered (per-partition heaps, |vocab| rows to the driver plan);
+    the vocab side then BROADCASTS back onto the token stream — the
+    corpus is never shuffled a second time."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_spark_toks(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "tok", "left")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
