@@ -243,3 +243,48 @@ def applyinpandas_group_median(spark, sf_dir):
     return e.select("user_id", "value").groupBy("user_id").applyInPandas(
         summarize, schema="user_id long, n_events long, median_value double"
     )
+
+
+# ---------------------------------------------------------------------------
+# pandas API on Spark (pyspark.pandas round trip)
+# ---------------------------------------------------------------------------
+
+_PS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n_events,
+       ROUND(CAST(MIN(value) AS DOUBLE), 6) AS v_min,
+       ROUND(CAST(MAX(value) AS DOUBLE), 6) AS v_max
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("ps_pandas_api_event_stats", oracle=_PS_ORACLE)
+def ps_pandas_api_event_stats(spark, sf_dir):
+    """pandas API on Spark: DataFrame.pandas_api() → pandas-style
+    groupby/agg → to_spark() — the compatibility layer that lets a
+    pandas-fluent user drive the same distributed engine (every op here
+    compiles to the identical Catalyst aggregate the native API would
+    produce; nothing materializes on the driver). Outputs restricted to
+    exact statistics (count/min/max) so the pandas path has zero
+    float-summation-order exposure."""
+    import pyspark.pandas as ps
+
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    pdf = e.pandas_api()
+    g = pdf.groupby("event_type")["value"]
+    stats = ps.concat(
+        [
+            g.count().rename("n_events"),
+            g.min().rename("v_min"),
+            g.max().rename("v_max"),
+        ],
+        axis=1,
+    ).reset_index()
+    sdf = stats.to_spark()
+    return sdf.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"),
+    )

@@ -230,3 +230,18 @@ def test_cli_list_run_explain_oracle(spark, capsys):
     assert "Physical Plan" in capsys.readouterr().out
 
     assert main(["oracle", "nope_not_a_query"]) == 2
+
+
+def test_native_xml_source(spark, tmp_path):
+    """Spark 4 native XML reader (rowTag-based) — the S-surface member
+    for the one common ingest format the reference never handles."""
+    f = tmp_path / "books.xml"
+    f.write_text(
+        "<books>"
+        "<book><id>1</id><title>Distributed Systems</title><price>30.5</price></book>"
+        "<book><id>2</id><title>Query Engines</title><price>42.0</price></book>"
+        "</books>"
+    )
+    df = spark.read.format("xml").option("rowTag", "book").load(str(f))
+    rows = {r.id: (r.title, float(r.price)) for r in df.collect()}
+    assert rows == {1: ("Distributed Systems", 30.5), 2: ("Query Engines", 42.0)}
