@@ -333,3 +333,82 @@ def knn_lsh_recall_audit(spark, sf_dir):
             (F.coalesce("h_multi", F.lit(0)).cast("double") / 5.0).alias("recall_multi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall audit: cell-restricted top-5 vs brute-force top-5
+# ---------------------------------------------------------------------------
+
+_IVF_RECALL_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv, label FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, embedding AS cv, label FROM embeddings WHERE vec_id >= 10),
+bf AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_cos('q.qv', 'c.cv')} DESC, c.cid) AS rank
+    FROM c, q
+  ) WHERE rank <= 5
+),
+ivf AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_cos('q.qv', 'c.cv')} DESC, c.cid) AS rank
+    FROM c JOIN q ON c.label = q.label
+  ) WHERE rank <= 5
+),
+hits AS (
+  SELECT bf.qid, COUNT(*) AS h
+  FROM bf JOIN ivf ON bf.qid = ivf.qid AND bf.cid = ivf.cid
+  GROUP BY bf.qid
+),
+nc AS (
+  SELECT q.qid, COUNT(*) AS n FROM q JOIN c ON c.label = q.label GROUP BY q.qid
+)
+SELECT q.qid AS vec_id,
+       CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_cand,
+       CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall_at_5
+FROM q LEFT JOIN nc ON nc.qid = q.qid LEFT JOIN hits h ON h.qid = q.qid
+"""
+
+
+@register("knn_ivf_recall_audit", oracle=_IVF_RECALL_ORACLE)
+def knn_ivf_recall_audit(spark, sf_dir):
+    """Quantitative recall audit of the IVF path (mirror of
+    knn_lsh_recall_audit for the cell-restricted variant): per query,
+    recall@5 of the single-cell search against the brute-force top-5,
+    plus the candidate-set size the cell restriction actually scanned.
+    Together the two audits make the ANN recall/cost trade measurable
+    for BOTH index families this engine ships (coarse-quantizer cells
+    and hyperplane LSH). Scale shape: two broadcast-query scans over
+    the corpus (global + cell-pruned) and a |Q·5|-row overlap join —
+    the brute-force side exists at sf-scale only for the audit."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    c = e.filter(F.col("vec_id") >= 10)
+    bf = knn_bruteforce(q, c, query_id="vec_id", corpus_id="vec_id", k=5).select(
+        F.col("vec_id").alias("qid"), F.col("neighbor_id").alias("cid")
+    )
+    ivf = knn_bruteforce(
+        q, c, query_id="vec_id", corpus_id="vec_id", k=5, cell_col="label"
+    ).select(F.col("vec_id").alias("qid"), F.col("neighbor_id").alias("cid"))
+    hits = bf.join(ivf, ["qid", "cid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    n_cand = (
+        q.select(F.col("vec_id").alias("qid"), "label")
+        .join(c.select(F.col("label").alias("clabel")), F.col("label") == F.col("clabel"))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("qid"))
+        .join(n_cand, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_cand"),
+            (F.coalesce("h", F.lit(0)).cast("double") / 5.0).alias("recall_at_5"),
+        )
+    )
