@@ -19,9 +19,12 @@ and a cluster edge node.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
-DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+# env-driven like bench.py, so the same invocation works on a laptop and
+# a cluster edge node; the literal is only the harness-local fallback
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _build_parser() -> argparse.ArgumentParser:

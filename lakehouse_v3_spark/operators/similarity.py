@@ -112,10 +112,23 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.4,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b) above a threshold,
-    optionally blocked on ``block_col`` (label/LSH bucket) to bound the
-    pair fan-out — the O(n²)→Σ block² reduction."""
+    blocked on ``block_col`` (label/LSH bucket) to bound the pair
+    fan-out — the O(n²)→Σ block² reduction.
+
+    Without ``block_col`` the plan is an unrestricted self-crossJoin —
+    O(n²) pairs, a non-starter at 100 TB — so it is refused unless the
+    caller opts in with ``allow_all_pairs=True`` (mirrors
+    ``knn_bruteforce``'s ``max_query_rows`` guard)."""
+    if block_col is None and not allow_all_pairs:
+        raise ValueError(
+            "near_dup_pairs without block_col is an unrestricted O(n^2) "
+            "self-crossJoin; pass block_col (label/LSH bucket) to bound "
+            "the pair fan-out, or allow_all_pairs=True to opt in "
+            "explicitly for a small input"
+        )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),

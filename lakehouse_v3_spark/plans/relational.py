@@ -55,24 +55,42 @@ def flagship_monthly_kpi(spark, sf_dir):
     large → sort-merge join on the natural key, AQE handles skew."""
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
-    j = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    fulfilled_key = F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))
+    # Per-order partial aggregate FIRST: o_orderkey is unique in orders and
+    # every group key (month, priority, status) is an order-level attribute,
+    # so collapsing lineitem to one row per order turns both
+    # COUNT(DISTINCT)s of the naive plan into plain counts — no expand /
+    # multi-pass distinct aggregation at the final groupBy. Decimal partial
+    # sums keep the result bit-identical to the oracle's one-level SUM
+    # (decimal addition is exact and associative).
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_items"),
+        F.sum(disc_price.cast("decimal(30,6)")).alias("_rev"),
+        F.sum(F.col("l_discount").cast("decimal(30,6)")).alias("_disc_sum"),
+        F.count("l_discount").alias("_disc_cnt"),
+    )
+    # pre-agg shuffled on l_orderkey already; the join reuses that key, so
+    # only the (smaller) orders side shuffles.
+    j = per_order.join(orders, per_order.l_orderkey == orders.o_orderkey, "inner")
+    is_f = F.col("o_orderstatus") == "F"
     agg = (
         j.groupBy(
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
             "o_orderpriority",
         )
         .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.count(F.lit(1)).alias("n_items"),
-            dsum(disc_price, "revenue"),
-            dsum(
-                F.when(F.col("o_orderstatus") == "F", disc_price).otherwise(F.lit(0.0)),
-                "fulfilled_revenue",
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_items").alias("n_items"),
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.sum(
+                F.when(is_f, F.col("_rev")).otherwise(F.lit(0).cast("decimal(30,6)"))
+            )
+            .cast("double")
+            .alias("fulfilled_revenue"),
+            F.count(F.when(is_f, F.lit(1))).alias("fulfilled_orders"),
+            (F.sum("_disc_sum").cast("double") / F.sum("_disc_cnt")).alias(
+                "avg_discount"
             ),
-            F.countDistinct(fulfilled_key).alias("fulfilled_orders"),
-            davg(F.col("l_discount"), "avg_discount"),
         )
         .withColumn(
             "fulfillment_rate",

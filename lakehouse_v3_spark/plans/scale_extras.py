@@ -61,6 +61,10 @@ def connected_components(
         )
         stepped = labels.join(nbr_min, labels.nid == nbr_min.src, "left").select(
             "nid",
+            # carry the pre-step label through so the fixpoint test below
+            # is a column compare on the checkpointed result, not a third
+            # distributed join per iteration
+            F.col("comp").alias("_old"),
             F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
         )
         # pointer jump: follow the label one more hop (L(L(v))) so label
@@ -73,17 +77,16 @@ def connected_components(
             stepped.join(lab2, stepped.comp == lab2.jkey, "left")
             .select(
                 "nid",
+                "_old",
                 F.least(F.col("comp"), F.coalesce("comp2", F.col("comp"))).alias("comp"),
             )
             .localCheckpoint()
         )
-        changed = (
-            labels.withColumnRenamed("comp", "_old")
-            .join(new_labels, "nid")
-            .filter(F.col("_old") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
+        # exact fixpoint test, piggybacked: new_labels is already
+        # materialized, so this count is a scan of the checkpointed
+        # in-memory blocks — 2 distributed join jobs per iteration, not 3
+        changed = new_labels.filter(F.col("_old") != F.col("comp")).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     if changed != 0:

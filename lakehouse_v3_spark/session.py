@@ -59,6 +59,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    metastore_dir: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
@@ -71,6 +72,13 @@ def get_spark(
       - Arrow: vectorized pandas interchange for the Pandas-UDF slow path.
       - ignoreCorruptFiles/ignoreMissingFiles mirrors the reference's
         tolerance confs (reference: alphavantage/transform_into_delta.py:42-43).
+      - ``metastore_dir``: opt-in PERSISTENT catalog — Spark's built-in
+        derby Hive metastore (ships with pyspark, no external Hive
+        service) pinned to that directory, so ``TableManager.register(
+        persistent=True)`` entries survive the session and are visible
+        to any later session given the same dir. Mirrors the reference's
+        cross-job HMS registration (coin/convert_to_delta.py:167-173).
+        Derby allows ONE concurrent session per metastore_dir.
     """
     cpus = default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
@@ -97,6 +105,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    if metastore_dir:
+        builder = (
+            builder.config("spark.sql.warehouse.dir", f"{metastore_dir}/warehouse")
+            .config(
+                "spark.hadoop.javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={metastore_dir}/metastore_db;create=true",
+            )
+            .enableHiveSupport()
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

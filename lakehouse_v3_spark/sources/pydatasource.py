@@ -51,8 +51,21 @@ class RangePartition(InputPartition):
 
 
 class SyntheticEventsReader(DataSourceReader):
+    # read() computes value via int64 (i * _MIX); past this bound the
+    # product wraps and the batch path would silently diverge from the
+    # exact-int stream reader and the DuckDB oracle (HUGEINT), so the
+    # bound is enforced, not just documented.
+    MAX_ROWS = (2**63 - 1) // _MIX  # ~3.47e9
+
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", 100_000))
+        if not 0 <= self.n_rows <= self.MAX_ROWS:
+            raise ValueError(
+                f"n_rows={self.n_rows} outside [0, {self.MAX_ROWS}]: row "
+                f"indices beyond {self.MAX_ROWS} overflow the int64 "
+                "value computation (i * 2654435761) and would diverge "
+                "from the stream reader / oracle"
+            )
         self.n_partitions = int(options.get("n_partitions", 8))
         self.pushed: list[Filter] = []
 

@@ -8,7 +8,18 @@ contract is exactly the two-phase pattern the built-in FileFormatWriter
 uses: executors write to invisible temp files and return commit
 messages; the driver's ``commit`` atomically publishes them (rename +
 ``_SUCCESS``) only after every task succeeded, and ``abort`` removes
-the temps on any failure. Readers therefore never observe a torn write.
+the temps on any failure. Readers therefore never observe a torn write
+from a *failed job*.
+
+Atomicity limitation (vs Delta's single-commit-file protocol): publish
+is one rename per part file, atomic per file but not across files — a
+driver crash mid-``commit`` can leave some parts published and some
+not, a window Delta's one-file commit does not have. Readers that need
+all-or-nothing visibility should gate on ``_SUCCESS`` (written last,
+after every rename; its ``files`` list names exactly the committed
+parts). This sink also assumes driver and executors share a
+filesystem (local mode / NFS); on a real cluster use an HDFS/S3
+committer or the Delta path in ``tables.py``.
 
 Reference parity: the reference relies on Delta's transactional commit
 for the same guarantee (alphavantage/bronze2_to_silver.py MERGE path);
@@ -56,20 +67,45 @@ class JsonlSinkWriter(DataSourceWriter):
     # -- driver side --------------------------------------------------
     def commit(self, messages: list[_FileCommit]) -> None:
         """All tasks succeeded: publish temps as part files (rename is
-        atomic per file) and drop a _SUCCESS manifest with row counts."""
+        atomic per file; see module docstring for the cross-file window)
+        and drop a _SUCCESS manifest with cumulative row counts.
+
+        A zero-partition DataFrame runs no write task, so the directory
+        may not exist yet — create it here rather than assuming write()
+        ran. In append mode prior jobs' totals are merged, not clobbered:
+        _SUCCESS carries running {n_files, n_rows} plus this job's parts.
+        """
+        os.makedirs(self.path, exist_ok=True)
+        success_path = os.path.join(self.path, "_SUCCESS")
+        prior_files = prior_rows = 0
         if self.overwrite:
             for name in os.listdir(self.path):
                 if name.startswith("part-") or name == "_SUCCESS":
                     os.remove(os.path.join(self.path, name))
+        elif os.path.exists(success_path):
+            with open(success_path) as f:
+                prior = json.load(f)
+            prior_files = prior.get("n_files", 0)
+            prior_rows = prior.get("n_rows", 0)
         total = 0
+        published = []
         for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_name)):
+            part = f"part-{i:05d}-{m.tmp_name[5:]}"
             os.rename(
                 os.path.join(self.path, m.tmp_name),
-                os.path.join(self.path, f"part-{i:05d}-{m.tmp_name[5:]}"),
+                os.path.join(self.path, part),
             )
+            published.append(part)
             total += m.n_rows
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            json.dump({"n_files": len(messages), "n_rows": total}, f)
+        with open(success_path, "w") as f:
+            json.dump(
+                {
+                    "n_files": prior_files + len(messages),
+                    "n_rows": prior_rows + total,
+                    "files": published,
+                },
+                f,
+            )
 
     def abort(self, messages: list[_FileCommit]) -> None:
         """Any task failed: remove every temp this job created; nothing

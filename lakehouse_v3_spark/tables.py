@@ -21,6 +21,7 @@ after overwrite, uber/drop_dup.py:96-101) — here sized by
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -224,24 +225,47 @@ class TableManager:
     def _head_path(self, table: str) -> str:
         return f"{self._snap_dir(table)}/_HEAD"
 
-    def write_snapshot(self, df: DataFrame, table: str) -> int:
-        """Write a new immutable version and atomically move HEAD to it.
-        Returns the committed version number."""
+    @contextlib.contextmanager
+    def _snapshot_lock(self, table: str):
+        """Exclusive advisory lock serializing snapshot WRITERS on one
+        host. Version allocation is read-then-write (max retained + 1),
+        so two unserialized writers can allocate the same version and
+        race on the vdir rename + HEAD swap. Readers need no lock (they
+        only follow _HEAD, which is swapped atomically). Advisory flock
+        covers local/NFSv4 filesystems; on an object store (no rename,
+        no flock) snapshot commits need an external coordinator — the
+        same single-committer constraint Delta solves with its log."""
         snap = self._snap_dir(table)
         os.makedirs(snap, exist_ok=True)
-        # next version = max RETAINED version + 1 (not HEAD + 1: after a
-        # restore_snapshot HEAD points backwards but newer version dirs
-        # still exist and must not be clobbered)
-        history = self.snapshot_history(table)
-        version = (history[-1] + 1) if history else 0
-        vdir = f"{snap}/v{version}"
-        tmp = f"{snap}/.tmp-v{version}"
-        df.write.format("parquet").mode("overwrite").save(tmp)
-        os.replace(tmp, vdir)  # data visible only under its final name
-        head_tmp = f"{snap}/.tmp-HEAD"
-        with open(head_tmp, "w", encoding="utf-8") as f:
-            json.dump({"version": version}, f)
-        os.replace(head_tmp, self._head_path(table))  # THE commit point
+        import fcntl
+
+        with open(f"{snap}/.lock", "w") as lock_f:
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lock_f, fcntl.LOCK_UN)
+
+    def write_snapshot(self, df: DataFrame, table: str) -> int:
+        """Write a new immutable version and atomically move HEAD to it.
+        Returns the committed version number. Concurrent writers are
+        serialized by ``_snapshot_lock`` (held across allocate → write →
+        HEAD swap, so the allocated version can't be stolen mid-write)."""
+        snap = self._snap_dir(table)
+        with self._snapshot_lock(table):
+            # next version = max RETAINED version + 1 (not HEAD + 1: after a
+            # restore_snapshot HEAD points backwards but newer version dirs
+            # still exist and must not be clobbered)
+            history = self.snapshot_history(table)
+            version = (history[-1] + 1) if history else 0
+            vdir = f"{snap}/v{version}"
+            tmp = f"{snap}/.tmp-v{version}"
+            df.write.format("parquet").mode("overwrite").save(tmp)
+            os.replace(tmp, vdir)  # data visible only under its final name
+            head_tmp = f"{snap}/.tmp-HEAD"
+            with open(head_tmp, "w", encoding="utf-8") as f:
+                json.dump({"version": version}, f)
+            os.replace(head_tmp, self._head_path(table))  # THE commit point
         return version
 
     def snapshot_version(self, table: str) -> int | None:
@@ -274,12 +298,13 @@ class TableManager:
     def restore_snapshot(self, table: str, version: int) -> None:
         """Rollback = move HEAD to an older retained version. O(1): no
         data is copied; the newer versions stay readable until vacuumed."""
-        if version not in self.snapshot_history(table):
-            raise FileNotFoundError(f"version {version} not retained for {table}")
-        head_tmp = f"{self._snap_dir(table)}/.tmp-HEAD"
-        with open(head_tmp, "w", encoding="utf-8") as f:
-            json.dump({"version": version}, f)
-        os.replace(head_tmp, self._head_path(table))
+        with self._snapshot_lock(table):
+            if version not in self.snapshot_history(table):
+                raise FileNotFoundError(f"version {version} not retained for {table}")
+            head_tmp = f"{self._snap_dir(table)}/.tmp-HEAD"
+            with open(head_tmp, "w", encoding="utf-8") as f:
+                json.dump({"version": version}, f)
+            os.replace(head_tmp, self._head_path(table))
 
     def snapshot_diff(
         self, table: str, v_old: int, v_new: int, key: list[str]
@@ -325,20 +350,45 @@ class TableManager:
         Returns the versions removed (Delta VACUUM analogue — bounded
         storage growth while time travel stays available for the
         retained window)."""
-        head = self.snapshot_version(table)
-        versions = self.snapshot_history(table)
-        keep = set(versions[-keep_last:]) | ({head} if head is not None else set())
-        removed = []
-        for v in versions:
-            if v not in keep:
-                shutil.rmtree(f"{self._snap_dir(table)}/v{v}")
-                removed.append(v)
+        with self._snapshot_lock(table):
+            head = self.snapshot_version(table)
+            versions = self.snapshot_history(table)
+            keep = set(versions[-keep_last:]) | ({head} if head is not None else set())
+            removed = []
+            for v in versions:
+                if v not in keep:
+                    shutil.rmtree(f"{self._snap_dir(table)}/v{v}")
+                    removed.append(v)
         return removed
 
     # -- catalog ---------------------------------------------------------
-    def register(self, table: str, view_name: str | None = None) -> None:
-        """S12/S13 idempotent registration. Without a metastore in the
-        harness, tables register as session temp views; on a cluster this
-        is CREATE TABLE ... USING DELTA LOCATION (reference:
-        coin/convert_to_delta.py:167-173)."""
-        self.read(table).createOrReplaceTempView(view_name or table.replace(".", "_"))
+    def register(
+        self, table: str, view_name: str | None = None, persistent: bool = False
+    ) -> None:
+        """S12/S13 idempotent registration (reference:
+        coin/convert_to_delta.py:167-173 — CREATE TABLE ... USING DELTA
+        LOCATION into a Hive Metastore).
+
+        ``persistent=False``: session temp view (dies with the session).
+        ``persistent=True``: external-table registration in the session
+        catalog — ``CREATE TABLE ... USING <backend> LOCATION <path>``.
+        With a metastore-backed session (``session.get_spark(
+        metastore_dir=...)`` — Spark's built-in derby HMS, no external
+        Hive needed) the entry survives the session: a NEW SparkSession
+        pointed at the same metastore_dir sees the table
+        (tests/test_tables_incremental.py cross-process test). On a
+        default in-memory-catalog session it degrades to
+        session-lifetime, same as a temp view.
+        """
+        name = view_name or table.replace(".", "_")
+        if persistent:
+            # idempotent like createOrReplaceTempView: drop a stale entry
+            # (location may have moved) then re-create. External table:
+            # DROP removes metadata only, never data files.
+            self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+            self.spark.sql(
+                f"CREATE TABLE `{name}` USING {self.backend} "
+                f"LOCATION '{self.path(table)}'"
+            )
+            return
+        self.read(table).createOrReplaceTempView(name)

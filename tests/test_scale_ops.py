@@ -296,3 +296,23 @@ def test_knn_bruteforce_guards_large_query_side(spark):
     # within the bound it still works
     out = knn_bruteforce(vecs.limit(3), vecs, "id", "id", k=2, max_query_rows=10)
     assert out.count() == 6
+
+
+def test_near_dup_pairs_guards_all_pairs(spark):
+    """Without block_col the pair join is O(n^2); it must raise unless the
+    caller opts in with allow_all_pairs=True (mirrors the knn guard)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_v3_spark.operators.similarity import near_dup_pairs
+
+    vecs = spark.range(6).select(
+        F.col("id"),
+        F.array(F.lit(1.0), (F.col("id") % 2).cast("double")).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="allow_all_pairs"):
+        near_dup_pairs(vecs, "id")
+    # explicit opt-in still works for small inputs
+    out = near_dup_pairs(vecs, "id", allow_all_pairs=True, threshold=0.99)
+    # ids with the same parity are identical vectors => cosine 1.0
+    assert out.count() == 6  # C(3,2) per parity class x 2 classes

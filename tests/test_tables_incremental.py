@@ -218,3 +218,48 @@ def test_snapshot_diff_cdc(spark, tmp_path):
         for r in tm.snapshot_diff("silver.cdc", 0, 1, ["id"]).collect()
     }
     assert changes == {2: "update", 3: "delete", 4: "insert"}
+
+
+_METASTORE_PHASE_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+metastore_dir, phase = sys.argv[1], sys.argv[2]
+from lakehouse_v3_spark.session import get_spark
+from lakehouse_v3_spark.tables import TableManager
+spark = get_spark("metastore-test", master="local[2]", shuffle_partitions=2,
+                  metastore_dir=metastore_dir)
+tm = TableManager(spark, metastore_dir + "/tables")
+if phase == "write":
+    tm.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+        "gold.reg",
+    )
+    tm.register("gold.reg", persistent=True)
+assert spark.catalog.tableExists("gold_reg"), "catalog entry missing"
+print("REGISTERED_ROWS=" + str(spark.table("gold_reg").count()))
+spark.stop()
+"""
+
+
+def test_register_persistent_survives_session(tmp_path):
+    """S12 persistence parity (reference coin/convert_to_delta.py:167-173
+    registers tables in a Hive metastore that later jobs see): a table
+    registered persistent=True in one PROCESS is visible, with its data,
+    to a brand-new SparkSession in another process pointed at the same
+    derby metastore_dir."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _METASTORE_PHASE_SCRIPT.format(repo=repo)
+    for phase in ("write", "read"):
+        out = subprocess.run(
+            [sys.executable, "-c", script, str(tmp_path / "ms"), phase],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=str(tmp_path),  # derby.log etc. land here, not in the repo
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "REGISTERED_ROWS=2" in out.stdout, (phase, out.stdout[-500:])
