@@ -11,6 +11,7 @@ from ..io_utils import load
 from ..operators.multimodal import (
     attach_binary_payload,
     audio_frame_features,
+    decoded_image_features,
     extract_features,
     resize_media,
     sample_frames,
@@ -33,9 +34,8 @@ def multimodal_binary_features(spark, sf_dir):
     """Binary-column pipeline: encode payload (stand-in for image bytes)
     + metadata struct → mapInPandas Arrow-batch feature extraction
     (operators/multimodal.py). The oracle recomputes every feature from
-    the bytes, so the whole Python batch path is value-checked. The real
-    codec step is stubbed (no image libs in this container) behind
-    decode_image's NotImplementedError."""
+    the bytes, so the whole Python batch path is value-checked. (The
+    real pixel-decode path is multimodal_image_decode_features.)"""
     d = load(spark, sf_dir, "documents")
     with_payload = attach_binary_payload(d, text_col="text")
     return extract_features(with_payload, id_col="doc_id")
@@ -58,8 +58,9 @@ FROM base, UNNEST(range(0, n_frames)) AS u(i)
 def multimodal_frame_sample(spark, sf_dir):
     """Frame-sampling batch shape (video path): mapInPandas fans each
     record out to one row per sampled frame — fixed-stride slices
-    fingerprinted by sha256 (operators/multimodal.py sample_frames; the
-    real decoder is the documented stub). The oracle recomputes every
+    fingerprinted by sha256 (operators/multimodal.py sample_frames; a
+    video decoder like ffmpeg plugs into the same loop on a full
+    cluster image). The oracle recomputes every
     frame fingerprint, so the multi-row-per-record Arrow plumbing is
     value-checked end-to-end."""
     d = load(spark, sf_dir, "documents")
@@ -95,7 +96,7 @@ def multimodal_audio_frames(spark, sf_dir):
     """Audio path (operators/multimodal.py audio_frame_features):
     window the sample stream into fixed-length frames and extract
     per-frame energy + peak via mapInPandas — the same batch shape a
-    real PCM decode would feed (codec stubbed, see decode_image).
+    real PCM decode (soundfile/ffmpeg on a full cluster image) would feed.
     Integer-only features, so the oracle recomputes them exactly."""
     d = load(spark, sf_dir, "documents")
     return audio_frame_features(d, id_col="doc_id", content_col="text")
@@ -116,11 +117,57 @@ FROM documents
 """
 
 
+_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         3 + doc_id % 5 AS w,
+         2 + doc_id % 4 AS h,
+         (3 + doc_id % 5 + 1) // 2 AS rw,
+         (2 + doc_id % 4 + 1) // 2 AS rh
+  FROM documents
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp24' WHEN 1 THEN 'ppm' ELSE 'bmp32' END
+           AS fmt,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(list_sum(list_transform(range(0, w * h * 3, 3),
+              i -> (doc_id * 7919 + i * 131) % 251)) AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(range(1, w * h * 3, 3),
+              i -> (doc_id * 7919 + i * 131) % 251)) AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(range(2, w * h * 3, 3),
+              i -> (doc_id * 7919 + i * 131) % 251)) AS BIGINT) AS sum_b,
+       CAST(list_sum(list_transform(range(0, w * 3),
+              i -> (doc_id * 7919 + i * 131) % 251)) AS BIGINT) AS row0_sum,
+       CAST(list_sum(list_transform(range(0, rw * rh * 3),
+              j -> (doc_id * 7919
+                    + ((((j // 3) // rw) * 2 * w + ((j // 3) % rw) * 2) * 3
+                       + j % 3) * 131) % 251)) AS BIGINT) AS resized_sum
+FROM dims
+"""
+
+
+@register("multimodal_image_decode_features", oracle=_DECODE_ORACLE)
+def multimodal_image_decode_features(spark, sf_dir):
+    """REAL codec path (no stub): per document, a deterministic tiny
+    image is encoded as BMP-24/PPM-P6/BMP-32 (rotating by doc_id) and
+    decoded back by the pure-stdlib codec (operators/multimodal.py
+    decode_image — BMP bottom-up rows, BGR order, 4-byte padding, PNM
+    header parsing all normalized), then integer pixel features are
+    extracted from the DECODED bytes. The oracle recomputes every
+    feature from the closed-form pixel function, so a decoder that
+    mis-handles row order, padding, or channel order hash-mismatches
+    (row0_sum pins the spatial layout; sum_r/sum_b pin BGR→RGB)."""
+    d = load(spark, sf_dir, "documents")
+    return decoded_image_features(d, id_col="doc_id", resize_factor=2)
+
+
 @register("multimodal_resize_downsample", oracle=_RESIZE_ORACLE)
 def multimodal_resize_downsample(spark, sf_dir):
     """Resize/downsample path (operators/multimodal.py resize_media):
     every-4th-sample decimation with a fingerprint of the result — the
-    1-D stand-in for image resizing, with the codec stubbed and the
-    Arrow plumbing oracle-checked."""
+    1-D stand-in for image resizing (decoded-pixel resize is covered by
+    multimodal_image_decode_features), Arrow plumbing oracle-checked."""
     d = load(spark, sf_dir, "documents")
     return resize_media(d, id_col="doc_id", content_col="text", factor=4)

@@ -163,3 +163,157 @@ def test_snapshot_diff_classifies_any_version_pair(spark, tmp_path_factory, old,
         elif old[k] != new[k]:
             expect[k] = "update"
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Audit engine properties (round-3 verdict item 7): arbitrary rule strings,
+# dirty tables, unicode PKs, empty / all-violating tables — status encoding,
+# cap-999 semantics, one-scan-per-table behavior.
+# ---------------------------------------------------------------------------
+
+_pk_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=8
+)
+_cell = st.one_of(st.none(), st.sampled_from(["", " ", "  ", "\t", "x", "é", "ok"]), _pk_text)
+_dirty_rows = st.lists(st.tuples(_pk_text, _cell, _cell), max_size=15)
+
+
+def _expected_completeness_violations(rows):
+    """Model of completeness_violation_predicate: NULL or blank after
+    trimming SPACES (Spark trim strips ' ' only, not all whitespace)."""
+    return [
+        pk
+        for pk, a, b in rows
+        if a is None or a.strip(" ") == "" or b is None or b.strip(" ") == ""
+    ]
+
+
+@given(rows=_dirty_rows)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_audit_completeness_matches_model(spark, rows):
+    """For ANY dirty table (nulls, blanks, unicode pks): status encodes
+    exactly (1 iff zero violations), the violation count matches a plain
+    Python model, and pk_result is the sorted violated-pk sample."""
+    import json
+
+    from lakehouse_v3_spark.audit.config import CompletenessRule
+    from lakehouse_v3_spark.audit.engine import run_completeness_rules
+
+    df = spark.createDataFrame(rows or [("", "x", "x")][:0], "pk string, a string, b string")
+    res = run_completeness_rules(
+        spark,
+        {"t": df},
+        [CompletenessRule(rule_id=1, table="t", mandatory_columns=("a", "b"), pk_columns=("pk",))],
+    ).collect()
+    assert len(res) == 1
+    checked = json.loads(res[0].ds_checked_value)
+    expected = sorted(_expected_completeness_violations(rows))
+    assert checked["number_of_violated_rows"] == len(expected)
+    assert checked["pk_result"] == expected[:999]
+    assert res[0].nr_status == (1 if not expected else 0)
+
+
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50), max_size=20),
+       garbage=st.text(max_size=25))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_audit_validity_arbitrary_rule_strings(spark, vals, garbage):
+    """ANY rule string must produce a result row with status in {1,0,-1}
+    and never abort the run; a known-good rule evaluated alongside the
+    arbitrary one keeps its exact count (rule isolation)."""
+    import json
+
+    from lakehouse_v3_spark.audit.config import ValidityRule
+    from lakehouse_v3_spark.audit.engine import run_validity_rules
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)] or [(0, 0)][:0],
+                               "pk long, v long")
+    res = {
+        json.loads(r.ds_configuration)["rule_id"]: r
+        for r in run_validity_rules(
+            spark,
+            {"t": df},
+            [
+                ValidityRule(rule_id=1, table="t", validation_rule="v < 0", pk_columns=("pk",)),
+                ValidityRule(rule_id=2, table="t", validation_rule=garbage, pk_columns=("pk",)),
+            ],
+        ).collect()
+    }
+    assert set(res) == {1, 2}
+    assert all(r.nr_status in (1, 0, -1) for r in res.values())
+    neg = sorted(str(i) for i, v in enumerate(vals) if v < 0)
+    good = json.loads(res[1].ds_checked_value)
+    assert good["number_of_violated_rows"] == len(neg)
+    assert good["pk_result"] == neg[:999]
+    bad = json.loads(res[2].ds_checked_value)
+    if res[2].nr_status == -1:
+        assert bad["number_of_violated_rows"] == -1 and bad["note"]
+
+
+def test_audit_empty_all_violating_and_cap(spark):
+    """Empty table → PASS with empty sample; 1200/1200 violating → FAIL
+    with EXACTLY the 999 lexicographically-smallest pks; unevaluable rule
+    on the same table → ERROR without disturbing the good rule."""
+    import json
+
+    from lakehouse_v3_spark.audit.config import ValidityRule
+    from lakehouse_v3_spark.audit.engine import run_validity_rules
+
+    empty = spark.createDataFrame([], "pk string, v long")
+    big = spark.range(1200).selectExpr("format_string('pk%04d', CAST(id AS INT)) AS pk",
+                                       "id AS v")
+    res = run_validity_rules(
+        spark,
+        {"empty": empty, "big": big},
+        [
+            ValidityRule(rule_id=10, table="empty", validation_rule="v IS NOT NULL",
+                         pk_columns=("pk",)),
+            ValidityRule(rule_id=11, table="big", validation_rule="v >= 0",
+                         pk_columns=("pk",)),
+            ValidityRule(rule_id=12, table="big", validation_rule="NOT A ;;; RULE",
+                         pk_columns=("pk",)),
+        ],
+    ).collect()
+    by_id = {json.loads(r.ds_configuration)["rule_id"]: r for r in res}
+    assert by_id[10].nr_status == 1
+    assert json.loads(by_id[10].ds_checked_value)["pk_result"] == []
+    c11 = json.loads(by_id[11].ds_checked_value)
+    assert by_id[11].nr_status == 0 and c11["number_of_violated_rows"] == 1200
+    assert c11["pk_result"] == [f"pk{i:04d}" for i in range(999)]
+    assert by_id[12].nr_status == -1
+
+
+def test_audit_one_scan_per_table(spark):
+    """N rules on one table read each input row exactly ONCE (the
+    reference loops one spark.sql job per rule; this engine folds all of
+    a table's rules into a single conditional-aggregation scan).
+    Measured with an accumulator-instrumented source, not job counts
+    (AQE splits one query into several jobs)."""
+    import json
+
+    from lakehouse_v3_spark.audit.config import ValidityRule
+    from lakehouse_v3_spark.audit.engine import run_validity_rules
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    n = 500
+    df = spark.range(n).selectExpr("CAST(id AS STRING) AS pk", "id AS v") \
+        .mapInPandas(count_rows, "pk string, v long")
+    rules = [
+        ValidityRule(rule_id=i, table="t", validation_rule=f"v % 7 = {i}", pk_columns=("pk",))
+        for i in range(5)
+    ]
+    res = run_validity_rules(spark, {"t": df}, rules).collect()
+    assert acc.value == n, f"expected one scan ({n} rows), saw {acc.value}"
+    for r in res:
+        rid = json.loads(r.ds_configuration)["rule_id"]
+        expect = sorted(str(i) for i in range(n) if i % 7 == rid)
+        got = json.loads(r.ds_checked_value)
+        assert got["number_of_violated_rows"] == len(expect)
+        assert got["pk_result"] == expect[:999]
