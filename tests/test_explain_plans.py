@@ -277,3 +277,14 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_flagship_has_no_distinct_expand(spark, sf_dir):
+    """The per-order pre-aggregate (round-3 rewrite) replaces both
+    COUNT(DISTINCT)s with plain counts: no Expand node (the multi-pass
+    distinct-aggregation marker) may appear, and map-side partial
+    aggregation must still be present at both levels."""
+    plan = _plan(spark, sf_dir, "flagship_monthly_kpi")
+    assert "Expand" not in plan
+    assert "partial_" in plan
+    assert "count(distinct" not in plan.lower()

@@ -1,0 +1,131 @@
+"""Resumable oracle-parity gate at an arbitrary SF dir.
+
+Runs every declared query's Spark side AND its DuckDB oracle at
+--sf-dir, compares rows/schema/value-hash exactly like the driver gate,
+and appends one JSON line per query to --out. Re-running skips queries
+already recorded (resume after an interrupted run). Oracles get a
+per-query timeout (DuckDB is interrupted from a watchdog thread) —
+a handful of deliberately-expensive oracle formulations (recursive-CTE
+transitive closure, all-pairs list_reduce cosine) are exact but
+superlinear, so at sf1+ they time out and are recorded as
+oracle_timeout rather than blocking the gate; the Spark side still runs
+and its row count is recorded.
+
+Usage:
+  python tools/sf_gate.py --sf-dir /root/repo/testdata/sf1 \
+      --out /tmp/sf1_gate.jsonl [--oracle-timeout 180] [--only substr]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+
+def run_oracle_with_timeout(sql: str, sf_dir: str, timeout: float):
+    """DuckDB oracle with a watchdog: returns (df, timed_out)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    timer = threading.Timer(timeout, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).fetchdf(), False
+    except duckdb.InterruptException:
+        return None, True
+    except Exception as exc:
+        if "INTERRUPT" in str(exc).upper():
+            return None, True
+        raise
+    finally:
+        timer.cancel()
+        con.close()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--oracle-timeout", type=float, default=180.0)
+    ap.add_argument("--only", default="")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    done = set()
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            done = {json.loads(line)["name"] for line in f if line.strip()}
+
+    from lakehouse_v3_spark.oracle_harness import compare_frames
+    from lakehouse_v3_spark.plans import load_all
+    from lakehouse_v3_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="sf-gate",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=int(args.cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    with open(args.out, "a") as out:
+        for name in sorted(registry):
+            if name in done or (args.only and args.only not in name):
+                continue
+            qd = registry[name]
+            rec: dict = {"name": name}
+            t0 = time.monotonic()
+            try:
+                spdf = qd.fn(spark, args.sf_dir).toPandas()
+                rec["spark_rows"] = len(spdf)
+                rec["spark_sec"] = round(time.monotonic() - t0, 2)
+            except Exception as exc:
+                rec["error"] = f"spark: {str(exc)[:300]}"
+                out.write(json.dumps(rec) + "\n")
+                out.flush()
+                continue
+            if qd.oracle is None:
+                rec["status"] = "rows_only"
+            else:
+                t1 = time.monotonic()
+                try:
+                    odf, timed_out = run_oracle_with_timeout(
+                        qd.oracle, args.sf_dir, args.oracle_timeout
+                    )
+                except Exception as exc:
+                    rec["error"] = f"oracle: {str(exc)[:300]}"
+                    out.write(json.dumps(rec) + "\n")
+                    out.flush()
+                    continue
+                rec["oracle_sec"] = round(time.monotonic() - t1, 2)
+                if timed_out:
+                    rec["status"] = "oracle_timeout"
+                else:
+                    errs = compare_frames(spdf, odf)
+                    rec["status"] = "match" if not errs else "MISMATCH"
+                    if errs:
+                        rec["errors"] = [str(e)[:200] for e in errs[:3]]
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+            print(name, rec.get("status"), rec.get("spark_sec"), flush=True)
+
+
+if __name__ == "__main__":
+    main()
