@@ -24,6 +24,36 @@ from . import dsum, register
 # ---------------------------------------------------------------------------
 
 
+def _stats_reset_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` + RESET of the plan-size statistics.
+
+    ``Dataset.localCheckpoint`` truncates lineage but PRESERVES the
+    source plan's estimated statistics on the resulting LogicalRDD. In
+    an iterative self-join, each round's size estimate is the PRODUCT of
+    the previous round's (join stats multiply child sizeInBytes), so the
+    BigInt estimate SQUARES every iteration: by round ~15 the estimate
+    has ~2^15 bits and planning stalls — jstack shows the AQE thread
+    inside BigInteger.multiplyToomCook3, with per-iteration wall time
+    DOUBLING (0.5 s → 134 s by round 21 at sf1) while stages stay
+    sub-100 ms. Re-wrapping the checkpointed row RDD as a fresh
+    LogicalRDD without origin stats pins the leaf estimate to the
+    default, making every iteration's planning O(1); execution-time
+    choices still come from AQE's RUNTIME shuffle statistics, so no join
+    strategy degrades. Falls back to a plain localCheckpoint if the
+    internal constructor moves (planning then degrades only for loops
+    deeper than ~12 rounds)."""
+    ckpt = df.localCheckpoint()
+    try:
+        spark = df.sparkSession
+        jdf = ckpt._jdf
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, spark)
+    except Exception:  # pragma: no cover - private-API fallback
+        return ckpt
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, id_col: str, max_iters: int = 50
 ) -> DataFrame:
@@ -43,15 +73,21 @@ def connected_components(
     # materialize the (possibly expensive) edge derivation ONCE — the
     # loop below would otherwise re-execute the upstream plan (e.g. the
     # full near-dup cosine join) on every iteration
-    bidir = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    # localCheckpoint (eager), NOT cache: each iteration's plan refers to
+    bidir = _stats_reset_checkpoint(
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    # checkpoint (eager), NOT cache: each iteration's plan refers to
     # the previous iteration's, so without lineage truncation the logical
     # plan doubles per round and planning itself OOMs near ~12 iterations
-    # (caught by test_connected_components_long_chain_converges). On a
+    # (caught by test_connected_components_long_chain_converges). The
+    # stats-reset wrapper additionally stops the sizeInBytes estimate
+    # from squaring per round (see _stats_reset_checkpoint). On a
     # cluster use checkpoint() with a reliable dir for fault tolerance.
-    labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("comp")).localCheckpoint()
+    labels = _stats_reset_checkpoint(
+        nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("comp"))
+    )
     changed = -1
     for _ in range(max_iters):
         nbr_min = (
@@ -73,14 +109,12 @@ def connected_components(
         lab2 = stepped.select(
             F.col("nid").alias("jkey"), F.col("comp").alias("comp2")
         )
-        new_labels = (
-            stepped.join(lab2, stepped.comp == lab2.jkey, "left")
-            .select(
+        new_labels = _stats_reset_checkpoint(
+            stepped.join(lab2, stepped.comp == lab2.jkey, "left").select(
                 "nid",
                 "_old",
                 F.least(F.col("comp"), F.coalesce("comp2", F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint()
         )
         # exact fixpoint test, piggybacked: new_labels is already
         # materialized, so this count is a scan of the checkpointed
@@ -140,7 +174,7 @@ def components_near_dup_clusters(spark, sf_dir):
     dedup. Iterative label propagation on Spark; the DuckDB oracle
     recomputes it as a recursive-CTE transitive closure."""
     e = load(spark, sf_dir, "embeddings")
-    pairs = near_dup_pairs(e, "vec_id", block_col="label", threshold=0.4)
+    pairs = near_dup_pairs(e, "vec_id", block_col="label", threshold=0.4, dim=64)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return connected_components(e.select("vec_id"), edges, "vec_id")
 

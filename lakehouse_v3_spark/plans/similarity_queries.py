@@ -122,7 +122,9 @@ def embedding_near_dup(spark, sf_dir):
     O(n²) into Σ cell² — with LSH bucketing as the drop-in block for
     unlabeled corpora."""
     e = load(spark, sf_dir, "embeddings")
-    return near_dup_pairs(e, "vec_id", block_col="label", threshold=0.4)
+    # dim=64 (the fixture embedding width) switches the pair-dot to the
+    # flat codegen expression — same left-fold sum, no interpreted HOF
+    return near_dup_pairs(e, "vec_id", block_col="label", threshold=0.4, dim=64)
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -43,7 +44,10 @@ DAY_US = 86_400_000_000  # microseconds per day
 
 
 def _rng(table: str, sf: float) -> np.random.Generator:
-    return np.random.default_rng(abs(hash((table, round(sf * 1000)))) % 2**32)
+    # zlib.crc32, not hash(): str hashing is salted per process, which
+    # would silently break the cross-run determinism this tool promises
+    seed = zlib.crc32(f"{table}:{round(sf * 1000)}".encode())
+    return np.random.default_rng(seed)
 
 
 def _ts_us(days_from_epoch):
