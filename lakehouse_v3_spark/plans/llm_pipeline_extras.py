@@ -378,3 +378,84 @@ def text_vocab_oov_rate(spark, sf_dir):
             6,
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate n-gram fraction (Gopher / RefinedWeb signal)
+# ---------------------------------------------------------------------------
+
+_DUPFRAC_K = 5  # 5-word shingles
+
+# 32-bit md5 prefix of each shingle, identical on both engines — the
+# shuffle key is 8 bytes instead of a ~30-byte shingle string
+_DUPFRAC_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(ng), 1, 8))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - {_DUPFRAC_K - 1}, 0) + 1),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS ng
+    FROM toks
+  )
+),
+cnt AS (SELECT h, COUNT(*) AS n_docs FROM sh GROUP BY h)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(SUM(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+FROM sh JOIN cnt ON sh.h = cnt.h
+GROUP BY sh.doc_id
+"""
+
+
+@register("dup_ngram_doc_fraction", oracle=_DUPFRAC_ORACLE)
+def dup_ngram_doc_fraction(spark, sf_dir):
+    """Cross-document duplicate n-gram fraction: for every document, the
+    share of its distinct 5-gram shingles that also occur in at least
+    one OTHER document — the Gopher/RefinedWeb quality signal that
+    catches boilerplate and templated spam which exact- and line-level
+    dedup both miss (no full line or full doc repeats, but most of the
+    n-gram mass does). Complements text_repetition_ratio (WITHIN-doc
+    repeats) with the ACROSS-doc counterpart.
+
+    Scale shape: shingles are replaced by a 32-bit md5 prefix BEFORE the
+    shuffle, so both shuffles (distinct + shingle-count) move 8-byte
+    keys, not ~30-byte strings; the count table joins back on the same
+    hash key and the per-doc rollup is a partial-aggregated groupBy.
+    Output is one row per document with ≥1 shingle — an audit trail a
+    threshold filter consumes directly. Hash collisions are identical on
+    both engines (same md5 prefix), so parity is exact."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _spark_toks(F.col("text")).alias("t"))
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("t"), _DUPFRAC_K))
+            ).alias("ng"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("ng"), 1, 8), 16, 10).cast("long").alias("h"),
+        )
+        .distinct()
+    )
+    cnt = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -37,13 +37,15 @@ WITH toks AS (
 freq AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
 tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM freq),
 model AS (
-  SELECT token, ROUND(ln(CAST(tf AS DOUBLE) / total), 6) AS logp
+  SELECT token,
+         CAST(ROUND(ROUND(ln(CAST(tf AS DOUBLE) / total), 6) * 1e6, 0)
+              AS BIGINT) AS logp_micro
   FROM freq, tot
 )
 SELECT t.doc_id,
        COUNT(*) AS n_tokens,
-       ROUND(CAST(SUM(CAST(m.logp AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
-         AS avg_logp
+       SUM(m.logp_micro) AS sum_logp_micro,
+       CAST(SUM(m.logp_micro) AS DOUBLE) / COUNT(*) / 1e6 AS avg_logp
 FROM toks t JOIN model m USING (token)
 GROUP BY t.doc_id
 """
@@ -61,25 +63,36 @@ def lm_unigram_doc_score(spark, sf_dir):
     that AQE turns into a broadcast when the vocab fits (it does here;
     at 100 TB vocab a shuffle hash join on token is the right fallback
     and what Catalyst picks). Per-token log-probs are round(6)-ed
-    (libm ln is not correctly-rounded) then decimal-summed so the
-    per-doc mean is order-independent."""
+    (libm ln is not correctly-rounded) and then carried as exact BIGINT
+    micro-units: the per-doc sum is integer (order-independent) and the
+    mean is derived by two IEEE divisions with NO final ROUND — a
+    ROUND(double, 6) on 50k per-doc averages is a 50k-draw lottery on
+    cross-engine round-half ties (it hit at sf1: one doc's average
+    flipped 1e-6 between Spark's BigDecimal half-up and DuckDB's
+    scaled-multiply round, cascading the sorted compare), whereas
+    identical doubles through identical IEEE ops cannot diverge."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     total = freq.agg(F.sum("tf").cast("double").alias("total"))
     model = freq.crossJoin(F.broadcast(total)).select(
         "token",
-        F.round(F.log(F.col("tf").cast("double") / F.col("total")), 6).alias("logp"),
+        F.round(
+            F.round(F.log(F.col("tf").cast("double") / F.col("total")), 6) * 1e6, 0
+        )
+        .cast("long")
+        .alias("logp_micro"),
     )
     return (
         toks.join(model, "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum(F.col("logp").cast("decimal(30,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            F.sum("logp_micro").alias("sum_logp_micro"),
+            (
+                F.sum("logp_micro").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6)
             ).alias("avg_logp"),
         )
     )
