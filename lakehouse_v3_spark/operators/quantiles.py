@@ -1,0 +1,197 @@
+"""Distributed EXACT quantiles without a global sort.
+
+Spark's built-in exact ``percentile`` aggregate merges a value→count
+map on a single final reducer — at sf1 (1.5M rows, 1.48M distinct
+doubles) that merge alone costs ~8.5 s, and at 100 TB it is a straight
+driver/reducer OOM. ``percentile_approx`` scales but changes the
+answer, which breaks bit-exact cross-engine parity.
+
+This module computes exact order statistics the scalable way:
+iterative histogram refinement (a distributed selection algorithm —
+the classic "histogram bisection" used by e.g. NumPy's out-of-core
+selection and Dask's exact quantiles):
+
+1. one pass: global (min, max, count);
+2. per level, ONE job histograms every still-active value range into
+   ``n_buckets`` equal-width sub-ranges (all ranges share the job —
+   the bucket id is prefixed by the range id), the driver cumsums the
+   ≤ ``len(ranges)·n_buckets`` counts and narrows each wanted order
+   statistic to the sub-range containing its global rank;
+3. when the total surviving row count is below ``collect_threshold``
+   a final job collects just those rows and reads the exact order
+   statistics off the sorted remainder.
+
+Each level shrinks candidate rows by ~``n_buckets``×, so the depth is
+``log_{n_buckets}(n)`` — 3 levels covers 10^11 rows at the default
+4096 buckets. Every job is a scan + tiny groupBy: no shuffle of the
+data itself, nothing driver-side beyond ≤ ranges·buckets longs.
+
+Bucket membership is decided by re-evaluating the SAME floor
+expression that defined the parent bucket (not by float boundary
+comparisons), so rows partition exactly and the collected values are
+the true order statistics — results are bit-identical to a full sort.
+
+Duplicate-heavy columns converge too: a range whose width underflows
+(all remaining values equal within double precision) resolves
+immediately to that value.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _interp(lo_val: float, hi_val: float, frac: float) -> float:
+    """Interpolation between two adjacent order statistics, in the
+    weighted-sum form Spark's Percentile aggregate uses
+    ((hi_idx - pos)·lower + (pos - lo_idx)·higher) so results are
+    bit-identical to the builtin it replaces. Even under a different
+    1-ulp formula the result lies strictly between two data values
+    when lo_val < hi_val, so boundary comparisons stay stable — but
+    bit-equality makes the substitution verifiable by ==.
+    """
+    return (1.0 - frac) * lo_val + frac * hi_val
+
+
+def exact_percentiles(
+    df: DataFrame,
+    col: str,
+    percentages: list[float],
+    n_buckets: int = 4096,
+    collect_threshold: int = 1_000_000,
+    max_levels: int = 8,
+) -> list[float]:
+    """Exact ``percentile(col, percentages)`` values, distributed.
+
+    Returns the same numbers as Spark's ``percentile`` / DuckDB's
+    ``quantile_cont`` (continuous interpolation over doubles) using
+    O(log n) scan jobs and O(ranges·n_buckets) driver memory.
+    """
+    c = F.col(col).cast("double")
+    base = df.select(c.alias("_v")).filter(F.col("_v").isNotNull())
+    stats = base.agg(
+        F.min("_v").alias("mn"), F.max("_v").alias("mx"), F.count("_v").alias("n")
+    ).collect()[0]
+    n, gmin, gmax = stats["n"], stats["mn"], stats["mx"]
+    if n == 0:
+        return [None] * len(percentages)
+    if gmin == gmax:
+        return [gmin] * len(percentages)
+
+    # Wanted 0-indexed order statistics: floor/ceil of p*(n-1) per p.
+    wanted: set[int] = set()
+    for p in percentages:
+        pos = p * (n - 1)
+        wanted.add(int(math.floor(pos)))
+        wanted.add(int(math.ceil(pos)))
+
+    # Active ranges: (filter_expr, vlo, vhi, start_rank, row_count,
+    # ranks_inside). filter_expr exactly reproduces the parent bucket.
+    ranges: list[tuple[Column, float, float, int, int, set[int]]] = [
+        (F.lit(True), float(gmin), float(gmax), 0, int(n), set(wanted))
+    ]
+    resolved: dict[int, float] = {}
+
+    for _level in range(max_levels):
+        live = [r for r in ranges if r[5]]
+        if not live:
+            break
+        total_rows = sum(r[4] for r in live)
+        if total_rows <= collect_threshold:
+            break
+        # Ranges whose width underflowed: every remaining double is
+        # equal — resolve their ranks directly.
+        nxt: list[tuple[Column, float, float, int, int, set[int]]] = []
+        hist_ranges = []
+        for rng in live:
+            _, vlo, vhi, _, _, ranks = rng
+            width = (vhi - vlo) / n_buckets
+            if width <= 0 or vlo + width == vlo:
+                for k in ranks:
+                    resolved[k] = vlo
+            else:
+                hist_ranges.append(rng)
+        if not hist_ranges:
+            ranges = []
+            break
+
+        # ONE histogram job covering every live range.
+        bucket_of = None
+        filt = None
+        for i, (fexpr, vlo, vhi, _, _, _) in enumerate(hist_ranges):
+            width = (vhi - vlo) / n_buckets
+            b = F.least(
+                F.floor((F.col("_v") - F.lit(vlo)) / F.lit(width)).cast("long"),
+                F.lit(n_buckets - 1),
+            ) + F.lit(i * n_buckets)
+            bucket_of = b if bucket_of is None else F.when(fexpr, b).otherwise(bucket_of)
+            # build in reverse so each when() guard wins for its range
+            filt = fexpr if filt is None else (filt | fexpr)
+        # NOTE: when-chaining above relies on ranges being disjoint, so
+        # order does not matter; the plain `b` fallback is only reached
+        # for rows in hist_ranges[0].
+        counts = dict(
+            base.filter(filt)
+            .groupBy(bucket_of.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+
+        for i, (fexpr, vlo, vhi, start, _, ranks) in enumerate(hist_ranges):
+            width = (vhi - vlo) / n_buckets
+            cum = start
+            for j in range(n_buckets):
+                cnt = counts.get(i * n_buckets + j, 0)
+                if cnt == 0:
+                    continue
+                inside = {k for k in ranks if cum <= k < cum + cnt}
+                if inside:
+                    sub_b = F.least(
+                        F.floor((F.col("_v") - F.lit(vlo)) / F.lit(width)).cast(
+                            "long"
+                        ),
+                        F.lit(n_buckets - 1),
+                    )
+                    nxt.append(
+                        (
+                            fexpr & (sub_b == F.lit(j)),
+                            vlo + j * width,
+                            min(vlo + (j + 1) * width, vhi),
+                            cum,
+                            cnt,
+                            inside,
+                        )
+                    )
+                cum += cnt
+        ranges = nxt
+
+    # Final exact pass: collect the few surviving rows per range.
+    live = [r for r in ranges if r[5]]
+    if live:
+        filt = live[0][0]
+        for rng in live[1:]:
+            filt = filt | rng[0]
+        rows = base.filter(filt).collect()
+        vals = sorted(r["_v"] for r in rows)
+        # Global ranks inside the union of live ranges are contiguous
+        # per range; map each wanted rank to its offset.
+        live_sorted = sorted(live, key=lambda r: r[3])
+        offset = 0
+        rank_to_val: dict[int, float] = {}
+        for _, _, _, start, cnt, ranks in live_sorted:
+            seg = vals[offset : offset + cnt]
+            for k in ranks:
+                rank_to_val[k] = seg[k - start]
+            offset += cnt
+        resolved.update(rank_to_val)
+
+    out = []
+    for p in percentages:
+        pos = p * (n - 1)
+        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+        a, b = resolved[lo], resolved[hi]
+        out.append(a if lo == hi or a == b else _interp(a, b, pos - lo))
+    return out

@@ -97,8 +97,14 @@ GROUP BY c_name, o.o_orderkey, o.o_orderdate
 @register("q18_large_volume_orders", oracle=_Q18_ORACLE)
 def q18_large_volume_orders(spark, sf_dir):
     """TPC-H Q18: HAVING (post-aggregation filter) producing a key set
-    that then drives a semi-style join — the aggregate runs once and its
-    result broadcast-joins back."""
+    that then drives a semi-style join. The key set is NOT force-
+    broadcast: with this threshold it is a constant fraction of all
+    orders (~23% — 339k keys at sf1, unbounded at 100 TB), so pinning
+    it to a broadcast would grow the driver-collected build side
+    linearly with the fact table and eventually OOM the driver. A plain
+    shuffle join on l_orderkey reuses the Exchange the aggregate
+    already produced, and AQE still demotes to broadcast at runtime
+    when the filtered set is genuinely small."""
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -109,7 +115,7 @@ def q18_large_volume_orders(spark, sf_dir):
         .select("l_orderkey")
     )
     j = (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(l.alias("li"), F.col("li.l_orderkey") == o.o_orderkey)
     )

@@ -202,13 +202,16 @@ def test_winsorize_broadcasts_percentiles(spark, sf_dir):
 
 
 def test_drift_deciles_have_no_global_window(spark, sf_dir):
-    """Decile bucketing must come from broadcast boundaries, never a
-    global ntile window (single-partition sort at scale)."""
+    """Decile bucketing must never use a global ntile window
+    (single-partition sort at scale). Boundaries arrive as LITERALS
+    (computed by operators/quantiles.exact_percentiles in its own
+    scan jobs), so the assignment pass is a pure projection — no join
+    of any kind in the plan either."""
     plan = _plan(spark, sf_dir, "drift_decile_train_val")
     for line in plan.splitlines():
         if "Window" in line:
             raise AssertionError(f"unexpected window node: {line}")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan
 
 
 def test_array_hof_stays_in_codegen(spark, sf_dir):

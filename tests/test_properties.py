@@ -317,3 +317,55 @@ def test_audit_one_scan_per_table(spark):
         got = json.loads(r.ds_checked_value)
         assert got["number_of_violated_rows"] == len(expect)
         assert got["pk_result"] == expect[:999]
+
+
+# ---------------------------------------------------------------------------
+# operators/quantiles.exact_percentiles ≡ builtin percentile, bit-exact
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-10_000, max_value=10_000).map(lambda c: c / 100),
+            st.sampled_from([0.0, 1.5, 1.5, 1.5, -3.25]),  # duplicate mass
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    ps=st.lists(
+        st.integers(min_value=0, max_value=100).map(lambda i: i / 100),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_exact_percentiles_bitexact_vs_builtin(spark, vals, ps):
+    """The distributed histogram-refinement selection returns the SAME
+    doubles as Spark's single-reducer percentile aggregate — including
+    interpolated positions (weighted-sum formula) and duplicate-heavy
+    inputs — with tiny refinement knobs so multi-level narrowing
+    actually executes on these small inputs."""
+    from lakehouse_v3_spark.operators.quantiles import exact_percentiles
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_percentiles(
+        df, "x", ps, n_buckets=4, collect_threshold=3, max_levels=12
+    )
+    want = list(
+        df.agg(
+            F.expr(
+                f"percentile(x, array({','.join(str(p) for p in ps)}))"
+            ).alias("b")
+        ).collect()[0]["b"]
+    )
+    assert got == want, (got, want, sorted(vals), ps)
+
+
+def test_exact_percentiles_empty_and_constant(spark):
+    from lakehouse_v3_spark.operators.quantiles import exact_percentiles
+
+    empty = spark.createDataFrame([], "x double")
+    assert exact_percentiles(empty, "x", [0.5]) == [None]
+    const = spark.createDataFrame([(7.25,)] * 50, "x double")
+    assert exact_percentiles(const, "x", [0.1, 0.9], n_buckets=4) == [7.25, 7.25]
