@@ -693,3 +693,44 @@ def timeseries_gapfill_rollup(spark, sf_dir):
             F.coalesce(F.last("s", ignorenulls=True).over(w), F.lit(0.0)), 2
         ).alias("locf_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact global quantiles, distributed (no global sort, no single reducer)
+# ---------------------------------------------------------------------------
+
+_QUANT_PS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+_QUANT_ORACLE = f"""
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, {_QUANT_PS}) AS arr,
+         COUNT(o_totalprice) AS n
+  FROM orders
+)
+SELECT t.p AS pct, b.arr[t.i] AS value, CAST(b.n AS BIGINT) AS n_rows
+FROM b, (VALUES {", ".join(f"({i + 1}, {p})" for i, p in enumerate(_QUANT_PS))}) t(i, p)
+"""
+
+
+@register("quantiles_exact_distributed", oracle=_QUANT_ORACLE)
+def quantiles_exact_distributed(spark, sf_dir):
+    """EXACT global quantiles of a 100-TB-wide column without a global
+    sort or a single-reducer value map: operators/quantiles
+    .exact_percentiles narrows each wanted order statistic by iterative
+    histogram refinement (O(log n) scan jobs; driver memory bounded by
+    ranges×buckets longs) and the final values are read off a collected
+    remainder below a fixed row threshold. Output is bit-identical to
+    Spark's builtin ``percentile`` aggregate (property-tested in
+    test_properties) AND to DuckDB's quantile_cont on this data — the
+    oracle compares full values, not a tolerance. The builtin would
+    merge all ~n distinct doubles on one reducer; this stays flat as n
+    grows, which is the whole point."""
+    from ..operators.quantiles import exact_percentiles
+
+    o = load(spark, sf_dir, "orders")
+    n = o.filter(F.col("o_totalprice").isNotNull()).count()
+    vals = exact_percentiles(o, "o_totalprice", _QUANT_PS)
+    return spark.createDataFrame(
+        [(p, v, n) for p, v in zip(_QUANT_PS, vals)],
+        "pct double, value double, n_rows long",
+    )
