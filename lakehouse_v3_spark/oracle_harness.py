@@ -56,8 +56,13 @@ def _canon_frame(df: pd.DataFrame) -> pd.DataFrame:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = s.astype("datetime64[us]")
     if len(df):
-        key = df.apply(lambda r: "\x00".join(_canon_value(v) for v in r), axis=1)
-        df = df.iloc[np.argsort(key.to_numpy(), kind="stable")].reset_index(drop=True)
+        # per-column map + reduce-join is ~10× faster than a per-row
+        # apply at sf1 result sizes (same key bytes, same ordering)
+        parts = [df[c].map(_canon_value).to_numpy(dtype=object) for c in df.columns]
+        key = parts[0]
+        for p in parts[1:]:
+            key = key + "\x00" + p
+        df = df.iloc[np.argsort(key, kind="stable")].reset_index(drop=True)
     return df
 
 
@@ -91,8 +96,30 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     s = _canon_frame(spark_pdf)
     o = _canon_frame(oracle_pdf)
     bad = 0
-    for i in range(len(s)):
-        for c in s.columns:
+    for c in s.columns:
+        # Vectorized prefilter per column; only cells that FAIL the fast
+        # equality re-run through _cells_equal, so semantics are exactly
+        # the per-cell comparison (the fast path can only produce false
+        # negatives, never false positives: np.isclose here is the same
+        # rtol/atol _cells_equal uses, and elementwise == failures fall
+        # through to the tolerant/null-aware per-cell check).
+        sc, oc = s[c], o[c]
+        if pd.api.types.is_float_dtype(sc.dtype) and pd.api.types.is_float_dtype(oc.dtype):
+            a = sc.to_numpy(dtype=float)
+            b = oc.to_numpy(dtype=float)
+            with np.errstate(invalid="ignore"):
+                fast_eq = np.isclose(a, b, rtol=FLOAT_RTOL, atol=FLOAT_ATOL) | (
+                    np.isnan(a) & np.isnan(b)
+                )
+        else:
+            try:
+                fast_eq = np.asarray(sc.to_numpy(dtype=object) == oc.to_numpy(dtype=object))
+                if fast_eq.dtype != bool or fast_eq.shape != (len(s),):
+                    fast_eq = np.zeros(len(s), dtype=bool)
+            except Exception:
+                fast_eq = np.zeros(len(s), dtype=bool)
+        for i in np.flatnonzero(~fast_eq):
+            i = int(i)
             if not _cells_equal(s.at[i, c], o.at[i, c]):
                 bad += 1
                 if bad <= 5:
