@@ -225,7 +225,7 @@ def correlated_subquery_q17(spark, sf_dir):
         (F.avg("l_quantity") * 0.2).alias("_thresh")
     )
     j = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(avg_qty, l.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_thresh"))
     )

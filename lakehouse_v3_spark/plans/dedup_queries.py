@@ -158,9 +158,10 @@ def dedup_minhash_lsh(spark, sf_dir):
 _NGRAM_ORACLE = f"""
 WITH sets AS (
   SELECT DISTINCT doc_id, lang,
-         unnest(list_distinct(list_transform(
+         ('0x' || substr(md5(unnest(list_distinct(list_transform(
            range(1, greatest(len({_TOKS}) - 2, 0) + 1),
-           i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2])))) AS shingle
+           i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))))), 1, 15))::BIGINT
+           AS shingle
   FROM documents WHERE lang = 'de'
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
@@ -187,11 +188,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
     counterpart the LSH path approximates): only same-block pairs sharing
     ≥1 shingle are scored. All-pairs jaccard is inherently Σ block², so
     the query runs one block (lang='de') — the LSH query is the
-    full-corpus scale path."""
+    full-corpus scale path.
+
+    Shingles are replaced by a 60-bit md5 prefix BEFORE the distinct
+    and the self-join, so every shuffle moves 8-byte keys instead of
+    ~25-byte strings (the same trick dup_ngram_doc_fraction uses). Both
+    engines hash the identical shingle string, so intersection counts
+    agree bit-exactly even in the (≈2^-60-per-pair) collision case."""
     d = load(spark, sf_dir, "documents").filter(F.col("lang") == "de")
     sh = word_shingles(tokens(F.col("text")), k=3)
+    sh_h = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
     sets = (
-        d.select("doc_id", "lang", F.explode(F.array_distinct(sh)).alias("shingle"))
+        d.select("doc_id", "lang", F.explode(F.array_distinct(sh_h)).alias("shingle"))
         .distinct()
     )
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -335,3 +345,120 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
         "doc_b",
         dist.cast("int").alias("edit_dist"),
     ).filter(F.col("edit_dist") <= 6)
+
+
+# ---------------------------------------------------------------------------
+# Full-corpus EXACT set-similarity join via prefix filtering (PPJoin family)
+# ---------------------------------------------------------------------------
+
+_SETSIM_TAU = 0.5
+
+_SETSIM_ORACLE = f"""
+WITH sets AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(unnest(list_distinct(list_transform(
+           range(1, greatest(len({_TOKS}) - 4, 0) + 1),
+           i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2],
+                          {_TOKS}[i+3], {_TOKS}[i+4]))))), 1, 15))::BIGINT
+           AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sets sa JOIN sets sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= {_SETSIM_TAU}
+ORDER BY jaccard DESC, i.id_a, i.id_b
+"""
+
+
+@register("setsim_prefix_filter_join", oracle=_SETSIM_ORACLE)
+def setsim_prefix_filter_join(spark, sf_dir):
+    """Full-corpus EXACT jaccard similarity join at threshold τ=0.5 —
+    made tractable by PREFIX FILTERING (Bayardo et al. "Scaling Up All
+    Pairs", Xiao et al. PPJoin): order each document's shingles by
+    global rarity; a pair with J(A,B) ≥ τ MUST share a shingle within
+    the first |x| − ⌈τ·|x|⌉ + 1 shingles of each side, so only the
+    rarity-ordered prefixes self-join. The naive inverted-index join
+    (dedup_ngram_jaccard, deliberately restricted to one lang block)
+    pays Σ df² over ALL shingles — ~1B probe pairs at sf5 because hot
+    shingles dominate; the prefix join probes rare shingles only, plus
+    a length filter (τ·|A| ≤ |B| ≤ |A|/τ) on candidates, then verifies
+    candidates EXACTLY against the full shingle sets. Candidate volume
+    tracks duplicate structure, not corpus size — this is the published
+    exact counterpart to MinHash-LSH, and the oracle is the naive
+    all-shingle join, so the filter's no-false-negative guarantee is
+    value-checked, not assumed.
+
+    Shuffles: shingle-df agg, per-doc rarity window (per-key), prefix
+    self-join on 8-byte hashed shingles, candidate-bounded verify join.
+    No window over an unpartitioned frame, no crossJoin anywhere."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    sh = word_shingles(tokens(F.col("text")), k=5)
+    sh_h = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    # NOT checkpointed (unlike minhash's shingle set): measured at sf5,
+    # re-running the scan+md5 per branch is CHEAPER than pinning 37M
+    # hashed-shingle rows (48.3 s pinned vs 40.7 s recomputed) — the
+    # branches are shuffle-bound, not compute-bound, and the 8-byte
+    # hash keys make the recompute almost free.
+    sets = d.select(
+        "doc_id", F.explode(F.array_distinct(sh_h)).alias("shingle")
+    ).distinct()
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    df_ = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+    tau = F.lit(_SETSIM_TAU)
+    rarity = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sets.join(df_, "shingle")
+        .withColumn("rn", F.row_number().over(rarity))
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(tau * F.col("sz")) + 1
+    ).select("doc_id", "shingle", "sz")
+
+    pa = prefix.select(
+        F.col("doc_id").alias("id_a"), "shingle", F.col("sz").alias("sz_a")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("id_b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= F.ceil(tau * F.col("sz_a")))
+            & (F.col("sz_b") <= F.floor(F.col("sz_a") / tau))
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+    )
+
+    # exact verification: count true intersection over the FULL sets
+    sa = sets.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sets.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    )
+    return (
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+    )

@@ -193,7 +193,7 @@ def bm25_ranking(spark, sf_dir):
         1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
     )
     scored = (
-        tf.join(F.broadcast(df_), on="token")
+        tf.join(df_, on="token")
         .join(dl, on="doc_id")
         .join(F.broadcast(stats))
         .withColumn("term_score", idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom)

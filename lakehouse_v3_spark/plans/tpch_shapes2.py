@@ -94,8 +94,8 @@ def q7_nation_volume_shipping(spark, sf_dir):
     ns = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
     j = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(nc), c.c_nationkey == F.col("_ck"))
         .join(F.broadcast(ns), s.s_nationkey == F.col("_sk"))
         .filter(
@@ -156,11 +156,11 @@ def q8_market_share(spark, sf_dir):
     ns = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
     j = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), c.c_nationkey == F.col("_ck"))
         .join(F.broadcast(r), F.col("_crk") == r.r_regionkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), s.s_nationkey == F.col("_sk"))
     )
     vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
@@ -210,8 +210,8 @@ def q9_product_type_profit(spark, sf_dir):
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     j = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == F.col("_nk"))
         .join(o, l.l_orderkey == o.o_orderkey)
     )
@@ -255,7 +255,7 @@ def q10_returned_items(spark, sf_dir):
     )
     j = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == F.col("_nk"))
     )
     rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(30,6)")
@@ -294,7 +294,7 @@ def q11_important_stock(spark, sf_dir):
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     supply = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double").alias("part_value"))
@@ -371,7 +371,7 @@ def q14_promo_effect(spark, sf_dir):
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01 00:00:00")))
     )
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return j.agg(
@@ -422,7 +422,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
     )
 
@@ -457,8 +457,8 @@ def q16_parts_supplier_counts(spark, sf_dir):
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
-    j = l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti").join(
-        F.broadcast(p), F.col("l_partkey") == p.p_partkey
+    j = l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti").join(
+        p, F.col("l_partkey") == p.p_partkey
     )
     return j.groupBy("p_brand", "p_type", "p_size").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
@@ -486,7 +486,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     inside whole-stage codegen."""
     l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     clause = lambda brand, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & (F.col("p_size") >= 1)
@@ -534,7 +534,7 @@ def q20_excess_promo_shippers(spark, sf_dir):
     )
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     shipped = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("promo_qty"))
     )
@@ -546,7 +546,7 @@ def q20_excess_promo_shippers(spark, sf_dir):
     return (
         shipped.join(F.broadcast(avg_thr))
         .filter(F.col("promo_qty") > F.col("_thr"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == F.col("_nk"))
         .select("s_name", "nation", F.round("promo_qty", 2).alias("promo_qty"))
     )
@@ -608,7 +608,7 @@ def q21_waiting_suppliers(spark, sf_dir):
         (l.l_orderkey == F.col("_lk")) & (l.l_shipdate == F.col("max_ship")),
     ).join(o, l.l_orderkey == o.o_orderkey)
     return (
-        blamed.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        blamed.join(s, l.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct(l.l_orderkey).alias("numwait"))
     )

@@ -291,3 +291,13 @@ def test_flagship_has_no_distinct_expand(spark, sf_dir):
     assert "Expand" not in plan
     assert "partial_" in plan
     assert "count(distinct" not in plan.lower()
+
+
+def test_setsim_prefix_join_is_equi_join(spark, sf_dir):
+    """The prefix-filtered set-similarity join must stay an equi
+    hash/merge join on the hashed shingle key — a nested-loop or
+    cartesian pair enumeration is the O(n²) failure it exists to
+    avoid. Window is per-doc only (rarity ranking)."""
+    plan = _plan(spark, sf_dir, "setsim_prefix_filter_join")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
