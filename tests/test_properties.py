@@ -369,3 +369,51 @@ def test_exact_percentiles_empty_and_constant(spark):
     assert exact_percentiles(empty, "x", [0.5]) == [None]
     const = spark.createDataFrame([(7.25,)] * 50, "x double")
     assert exact_percentiles(const, "x", [0.1, 0.9], n_buckets=4) == [7.25, 7.25]
+
+
+# ---------------------------------------------------------------------------
+# connected_components ≡ driver-side union-find on arbitrary graphs
+# ---------------------------------------------------------------------------
+
+
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    edge_picks=st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)), max_size=60
+    ),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark, n, edge_picks):
+    """Pointer-jumping CC must assign every node the MIN reachable id,
+    exactly like a sequential union-find — on arbitrary random graphs
+    including self-loops, duplicate edges, and isolated nodes. (The
+    same check validated the sf1 run where the recursive-CTE oracle is
+    intractable; here it's a permanent property.)"""
+    from lakehouse_v3_spark.plans.scale_extras import connected_components
+
+    edges_py = [(a % n, b % n) for a, b in edge_picks]
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges_py:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    expect = {v: find(v) for v in range(n)}
+
+    nodes = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    if edges_py:
+        edges = spark.createDataFrame(edges_py, "src long, dst long")
+    else:
+        edges = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges, "id").collect()
+    }
+    assert got == expect
