@@ -14,10 +14,10 @@ sys.path.insert(0, REPO)
 
 COMMENTARY = {
     "q1_pricing_summary": "Single scan → partial HashAggregate → 1 exchange on (returnflag, linestatus) → final aggregate. PushedFilters carries the shipdate bound; ReadSchema is pruned to the 7 used columns. At 100 TB: scan-bound, shuffle is |groups|×partitions.",
-    "flagship_monthly_kpi": "lineitem ⋈ orders shuffles once per side on orderkey (sort-merge under AQE); two COUNT(DISTINCT) trigger Expand + two-phase distinct aggregation — the plan to expect when exact distinct counts are demanded at scale (or swap to approx_count_distinct_hll).",
+    "flagship_monthly_kpi": "lineitem collapses to ONE row per order (all group keys are order-level) before the orders join, so the former COUNT(DISTINCT)s are plain counts — NO Expand node (plan-guarded); one shuffle per side on orderkey, decimal partial sums keep the oracle hash identical.",
     "q6_forecast_revenue": "All four predicates in PushedFilters; projection pruned to 4 columns; map-side partial sum → 1-row exchange. The embarrassingly-parallel scan shape.",
     "q8_market_share": "Seven broadcast hash joins (every dimension), one shuffle join (lineitem ⋈ orders), one tiny groupBy. The fact table never moves except on orderkey.",
-    "q18_large_volume_orders": "HAVING subquery aggregates lineitem once, result broadcast back against orders — no second shuffle of the fact side for the semi filter.",
+    "q18_large_volume_orders": "HAVING subquery aggregates lineitem once, then joins back on the SAME key — the Exchange is reused, and the key set (~23% of all orders) is deliberately NOT broadcast-hinted: a pinned broadcast of an SF-growing set is a driver OOM at scale; AQE may still demote to broadcast when the runtime size is genuinely small.",
     "dedup_minhash_lsh": "Shingle set is localCheckpoint'ed (3 consumer branches), signatures/bands/verify all reuse it; candidate join is on band_key buckets, never all-pairs.",
     "knn_bruteforce_cosine": "Corpus scans in place; the 10-query side broadcasts (BroadcastNestedLoopJoin); per-query top-k via window over partial ranks — corpus never shuffles.",
     "w1_dense_ids_scalable": "RangePartitioning + per-partition row_number + driver offsets: dense monotone ids with NO single-partition window (the reference's W1 anti-pattern, SURVEY §4.1).",
@@ -27,7 +27,7 @@ COMMENTARY = {
     "zorder_cluster_keys": "Morton key is pure integer bit arithmetic inside WholeStageCodegen (no UDF); one exchange on z_bucket. The write-side layout (repartitionByRange(z) + sortWithinPartitions) range-shuffles only the batch being written.",
     "multimodal_audio_frames": "Input pruned to (doc_id, text) before the ArrowEvalPython/mapInPandas node, so only 2 columns cross the JVM↔Python boundary; frame fan-out happens inside the Arrow batch, output streams back without a shuffle.",
     "timeseries_gapfill_rollup": "Hourly rollup shrinks events to |series|×|buckets| BEFORE the spine join; the generated spine is bucket-count-sized (independent of data volume) and the LOCF window partitions by series key — never a global-order window.",
-    "dedup_fuzzy_levenshtein": "Equi hash join on (lang, 4-char prefix) block keys — candidate pairs are Σ|bucket|², throttled by key length; the levenshtein runs post-join on bounded 24-char probes, so per-pair cost is constant.",
+    "dedup_fuzzy_levenshtein": "Two-pass equi join on (lang, 16-char block) keys — chars 1-16 and 17-32 — unioned and deduped; candidate pairs are Σ|bucket|² per pass, and bucket sizes track duplicate-cluster size, not corpus size (the 4-char single-pass key collapsed to ~300 buckets and went quadratic at sf1). Levenshtein runs post-join on bounded 40-char probes.",
     "cohort_retention_weekly": "distinct (user, week) grid collapses raw events first; cohort min and the retention count reuse user_id partitioning — raw events shuffle exactly once.",
     "profile_table_columns": "ONE aggregate computes every column's metrics (count/nulls/distincts/min/max); the per-column rows unpivot from the single state row — profiling cost does not scale with column count.",
     "stat_regression_per_type": "All six regression moments AND the builtin regr_slope audit in one partial/final HashAggregate pair over one scan — moments combine associatively across partitions, the canonical distributed-regression shape.",
@@ -36,6 +36,8 @@ COMMENTARY = {
     "pyds_synthetic_pushdown": "BatchScan over the Python data source: 8 range partitions generate Arrow batches worker-side; with spark.sql.python.filterPushdown.enabled the EqualTo predicate is claimed by the source (no Filter node re-applies it) so non-matching rows never cross the Python→JVM boundary.",
     "embedding_quantize_int8": "Cast array + per-vector min/max staged as real columns below the audit projection — as inline expressions the per-element lambda references made row cost O(d²); staged, the whole audit is one codegen'd map over the scan.",
     "dedup_line_level": "Documents explode into trimmed lines; ONE shuffle on the line key computes distinct-doc counts; the boilerplate score joins back on the same key. At 100 TB the shuffle key becomes xxhash64(line) and hot boilerplate lines are the AQE-split skew keys.",
+    "setsim_prefix_filter_join": "Rarity-ordered prefix self-join (PPJoin): shingle document frequencies rank each doc's shingles, only the |x|−⌈τ·|x|⌉+1 rarest join; candidates length-filtered then verified EXACTLY against full sets. All equi joins on 60-bit hashed shingles — no cartesian pair enumeration anywhere (plan-guarded).",
+    "quantiles_exact_distributed": "Exact global quantiles with NO global sort and NO single-reducer value map: O(log n) histogram-refinement scan jobs narrow each order statistic, a final sub-threshold collect reads the exact values; the query plan itself is scan + tiny groupBys only.",
     "arrow_batch_charstats": "Project prunes to (doc_id, text) BEFORE the ArrowEvalPython boundary; pyarrow compute kernels process RecordBatches directly — no pandas conversion, the lowest-overhead Python escape hatch.",
 }
 
