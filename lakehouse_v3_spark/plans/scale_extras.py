@@ -214,8 +214,12 @@ def sample_hash_stratified(spark, sf_dir):
 
 _RANGE_FRAME_ORACLE = """
 SELECT user_id, event_id,
-       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS avg_1h
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         / 100.0 AS avg_1h
 FROM events
 WHERE event_type = 'purchase'
 """
@@ -227,17 +231,40 @@ def window_range_frame_avg(spark, sf_dir):
     epoch seconds — the time-based frame the reference never uses
     (SURVEY §2.5 'not present') but any telemetry/KPI pipeline needs.
     One shuffle on user_id; frames evaluate in sorted order within the
-    partition."""
+    partition.
+
+    Two cross-engine determinism traps, both first observable at sf5
+    density and fixed exactly (no tolerance):
+
+    - The frame aggregate accumulates integer CENTS, not doubles:
+      AVG(double) over a moving frame is evaluated incrementally
+      (Spark) vs via segment trees (DuckDB), so the summation ORDER
+      differs and a 1-ulp divergence eventually lands on a ROUND
+      half-tie. Exact integer sums + the same two IEEE divisions
+      cannot diverge at any scale, so the final ROUND is gone too
+      (the lm_unigram fix, commit 132e500, applied to window frames).
+    - The RANGE key must FLOOR the timestamp on both engines:
+      ``unix_timestamp`` truncates sub-second precision while DuckDB's
+      ``CAST(epoch(ts) AS BIGINT)`` rounds to nearest — the keys then
+      disagree on ~half the rows, which only changes an answer when an
+      event sits exactly on another's 3600 s frame boundary (first hit
+      among 999k sf5 rows; sf≤1 was green by luck). The oracle now
+      floors explicitly."""
     e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_timestamp("ts"))
         .rangeBetween(-3600, 0)
     )
+    cents = F.round(F.col("value") * 100).cast("long")
     return e.select(
         "user_id",
         "event_id",
-        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+        (
+            F.sum(cents).over(w).cast("double")
+            / F.count("value").over(w)
+            / F.lit(100.0)
+        ).alias("avg_1h"),
     )
 
 
