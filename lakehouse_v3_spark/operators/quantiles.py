@@ -32,8 +32,17 @@ comparisons), so rows partition exactly and the collected values are
 the true order statistics — results are bit-identical to a full sort.
 
 Duplicate-heavy columns converge too: a range whose width underflows
-(all remaining values equal within double precision) resolves
-immediately to that value.
+(remaining values span at most ~n_buckets adjacent doubles) is
+resolved exactly by one tiny distinct-value job — never by assuming
+the range holds a single value, which would break bit-exactness for
+near-identical doubles.
+
+Bucket ids are clamped on BOTH ends (``greatest(0, least(floor(...),
+n_buckets-1))``) in the histogram AND the child-membership
+expressions: float rounding in ``(v - vlo)/width`` can place a row one
+ulp outside its recomputed child bounds, and an unclamped floor of -1
+would alias into the previous range's top bucket and corrupt the rank
+bookkeeping.
 """
 
 from __future__ import annotations
@@ -42,6 +51,62 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _bucket_expr(vlo: float, width: float, n_buckets: int) -> Column:
+    """Clamped equal-width bucket id for ``_v`` within a range.
+
+    The SAME expression is used to build the histogram and to define
+    child-range membership, so rows partition exactly. Clamped on both
+    ends: float rounding can put a row one ulp below its recomputed
+    child lower bound (floor -1 would alias into the previous range's
+    top bucket) or at/above the upper bound (floor n_buckets).
+    """
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.floor((F.col("_v") - F.lit(vlo)) / F.lit(width)).cast("long"),
+            F.lit(n_buckets - 1).cast("long"),
+        ),
+    )
+
+
+def _resolve_underflowed(
+    base: DataFrame,
+    underflowed: list[tuple[Column, float, float, int, int, set[int]]],
+    resolved: dict[int, float],
+) -> None:
+    """Exactly resolve ranks in width-underflowed ranges.
+
+    A range whose (vhi-vlo)/n_buckets underflows still spans up to
+    ~n_buckets distinct adjacent doubles, so ``resolved[k] = vlo``
+    would be wrong by up to a few thousand ulps. One job collects the
+    DISTINCT values + counts per range (bounded: ≤ ~n_buckets tiny
+    rows per range) and ranks are read off the value-sorted cumsum.
+    """
+    filt = underflowed[0][0]
+    rid = F.when(underflowed[0][0], F.lit(0))
+    for i, rng in enumerate(underflowed[1:], start=1):
+        filt = filt | rng[0]
+        rid = rid.when(rng[0], F.lit(i))
+    rows = (
+        base.filter(filt)
+        .groupBy(rid.alias("_r"), F.col("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    per_range: dict[int, list[tuple[float, int]]] = {}
+    for r in rows:
+        per_range.setdefault(r["_r"], []).append((r["_v"], r["_c"]))
+    for i, (_, _, _, start, _, ranks) in enumerate(underflowed):
+        cum = start
+        pending = set(ranks)
+        for v, cnt in sorted(per_range.get(i, [])):
+            hit = {k for k in pending if cum <= k < cum + cnt}
+            for k in hit:
+                resolved[k] = v
+            pending -= hit
+            cum += cnt
 
 
 def _interp(lo_val: float, hi_val: float, frac: float) -> float:
@@ -102,18 +167,21 @@ def exact_percentiles(
         total_rows = sum(r[4] for r in live)
         if total_rows <= collect_threshold:
             break
-        # Ranges whose width underflowed: every remaining double is
-        # equal — resolve their ranks directly.
+        # Ranges whose width underflowed cannot be subdivided by the
+        # histogram, but may still span ~n_buckets adjacent doubles —
+        # resolve them exactly via one distinct-value job.
         nxt: list[tuple[Column, float, float, int, int, set[int]]] = []
         hist_ranges = []
+        underflowed = []
         for rng in live:
             _, vlo, vhi, _, _, ranks = rng
             width = (vhi - vlo) / n_buckets
             if width <= 0 or vlo + width == vlo:
-                for k in ranks:
-                    resolved[k] = vlo
+                underflowed.append(rng)
             else:
                 hist_ranges.append(rng)
+        if underflowed:
+            _resolve_underflowed(base, underflowed, resolved)
         if not hist_ranges:
             ranges = []
             break
@@ -123,10 +191,7 @@ def exact_percentiles(
         filt = None
         for i, (fexpr, vlo, vhi, _, _, _) in enumerate(hist_ranges):
             width = (vhi - vlo) / n_buckets
-            b = F.least(
-                F.floor((F.col("_v") - F.lit(vlo)) / F.lit(width)).cast("long"),
-                F.lit(n_buckets - 1),
-            ) + F.lit(i * n_buckets)
+            b = _bucket_expr(vlo, width, n_buckets) + F.lit(i * n_buckets)
             bucket_of = b if bucket_of is None else F.when(fexpr, b).otherwise(bucket_of)
             # build in reverse so each when() guard wins for its range
             filt = fexpr if filt is None else (filt | fexpr)
@@ -149,12 +214,7 @@ def exact_percentiles(
                     continue
                 inside = {k for k in ranks if cum <= k < cum + cnt}
                 if inside:
-                    sub_b = F.least(
-                        F.floor((F.col("_v") - F.lit(vlo)) / F.lit(width)).cast(
-                            "long"
-                        ),
-                        F.lit(n_buckets - 1),
-                    )
+                    sub_b = _bucket_expr(vlo, width, n_buckets)
                     nxt.append(
                         (
                             fexpr & (sub_b == F.lit(j)),

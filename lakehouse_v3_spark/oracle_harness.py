@@ -67,8 +67,8 @@ def _canon_frame(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _cells_equal(a: Any, b: Any) -> bool:
-    a_null = a is None or (isinstance(a, float) and math.isnan(a)) or a is pd.NaT
-    b_null = b is None or (isinstance(b, float) and math.isnan(b)) or b is pd.NaT
+    a_null = a is None or (isinstance(a, float) and math.isnan(a)) or a is pd.NaT or a is pd.NA
+    b_null = b is None or (isinstance(b, float) and math.isnan(b)) or b is pd.NaT or b is pd.NA
     if a_null or b_null:
         return a_null and b_null
     if isinstance(a, (list, np.ndarray)) or isinstance(b, (list, np.ndarray)):
@@ -105,12 +105,19 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
         # through to the tolerant/null-aware per-cell check).
         sc, oc = s[c], o[c]
         if pd.api.types.is_float_dtype(sc.dtype) and pd.api.types.is_float_dtype(oc.dtype):
-            a = sc.to_numpy(dtype=float)
-            b = oc.to_numpy(dtype=float)
-            with np.errstate(invalid="ignore"):
-                fast_eq = np.isclose(a, b, rtol=FLOAT_RTOL, atol=FLOAT_ATOL) | (
-                    np.isnan(a) & np.isnan(b)
-                )
+            # na_value handles pandas nullable Float64 with pd.NA (which
+            # to_numpy(dtype=float) would otherwise raise on); NaN↔NaN
+            # then matches in the null branch below. Any other failure
+            # degrades to the per-cell path like the object branch.
+            try:
+                a = sc.to_numpy(dtype=float, na_value=float("nan"))
+                b = oc.to_numpy(dtype=float, na_value=float("nan"))
+                with np.errstate(invalid="ignore"):
+                    fast_eq = np.isclose(a, b, rtol=FLOAT_RTOL, atol=FLOAT_ATOL) | (
+                        np.isnan(a) & np.isnan(b)
+                    )
+            except Exception:
+                fast_eq = np.zeros(len(s), dtype=bool)
         else:
             try:
                 fast_eq = np.asarray(sc.to_numpy(dtype=object) == oc.to_numpy(dtype=object))

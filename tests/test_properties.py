@@ -371,6 +371,56 @@ def test_exact_percentiles_empty_and_constant(spark):
     assert exact_percentiles(const, "x", [0.1, 0.9], n_buckets=4) == [7.25, 7.25]
 
 
+def test_exact_percentiles_ulp_adjacent_underflow(spark):
+    """Width-underflow ranges spanning several ADJACENT doubles must
+    resolve each rank to its true value, not collapse to the range's
+    lower bound (ADVICE r3: the old path assumed one value per
+    underflowed range). Values a few ulps apart with heavy duplication
+    force (vhi-vlo)/n_buckets to underflow while >collect_threshold
+    rows survive, exercising _resolve_underflowed."""
+    import math as _math
+
+    from lakehouse_v3_spark.operators.quantiles import exact_percentiles
+
+    v0 = 1.0e9
+    vs = [v0]
+    for _ in range(4):
+        vs.append(_math.nextafter(vs[-1], _math.inf))
+    # 40 rows per distinct adjacent double, plus outliers so the first
+    # level has a wide range that narrows onto the dense cluster.
+    vals = [v for v in vs for _ in range(40)] + [-1.0e9, 3.0e9]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9]
+    got = exact_percentiles(df, "x", ps, n_buckets=4, collect_threshold=3, max_levels=60)
+    want = list(
+        df.agg(
+            F.expr(f"percentile(x, array({','.join(str(p) for p in ps)}))").alias("b")
+        ).collect()[0]["b"]
+    )
+    assert got == want, (got, want)
+
+
+def test_exact_percentiles_clamped_child_membership(spark):
+    """Rank bookkeeping survives values that floor one bucket outside
+    their recomputed child bounds (ADVICE r3: missing lower clamp made
+    sub-bucket -1 alias into the previous range's top bucket). Dense
+    irrational-spaced values around many bucket boundaries over several
+    refinement levels make off-by-one-ulp floors likely; the result
+    must stay bit-identical to the builtin."""
+    from lakehouse_v3_spark.operators.quantiles import exact_percentiles
+
+    vals = [(-1) ** i * (i * 0.1 + i * i * 1e-7) for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [0.01, 0.125, 0.5, 0.875, 0.99]
+    got = exact_percentiles(df, "x", ps, n_buckets=3, collect_threshold=5, max_levels=40)
+    want = list(
+        df.agg(
+            F.expr(f"percentile(x, array({','.join(str(p) for p in ps)}))").alias("b")
+        ).collect()[0]["b"]
+    )
+    assert got == want, (got, want)
+
+
 # ---------------------------------------------------------------------------
 # connected_components ≡ driver-side union-find on arbitrary graphs
 # ---------------------------------------------------------------------------
@@ -417,3 +467,24 @@ def test_connected_components_matches_union_find(spark, n, edge_picks):
         for r in connected_components(nodes, edges, "id").collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# oracle_harness.compare_frames — nullable-dtype robustness
+# ---------------------------------------------------------------------------
+
+
+def test_compare_frames_nullable_float64_na():
+    """The float fast path must tolerate pandas nullable Float64 with
+    pd.NA (ADVICE r3: to_numpy(dtype=float) raised there, failing the
+    compare with an exception instead of comparing): NA↔None matches,
+    and real value mismatches are still reported."""
+    import pandas as pd
+
+    from lakehouse_v3_spark.oracle_harness import compare_frames
+
+    a = pd.DataFrame({"x": pd.array([1.0, pd.NA, 3.0], dtype="Float64")})
+    b = pd.DataFrame({"x": [1.0, None, 3.0]})
+    assert compare_frames(a, b) == []
+    b2 = pd.DataFrame({"x": [1.0, 2.0, 3.0]})
+    assert compare_frames(a, b2) != []
