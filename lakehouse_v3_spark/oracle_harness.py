@@ -46,7 +46,7 @@ def _canon_value(v: Any) -> Any:
     return str(v)
 
 
-def _canon_frame(df: pd.DataFrame) -> pd.DataFrame:
+def _canon_frame(df: pd.DataFrame, float_in_key: bool = True) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
     # timestamps → naive datetime64[us]
     for c in df.columns:
@@ -57,8 +57,16 @@ def _canon_frame(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype("datetime64[us]")
     if len(df):
         # per-column map + reduce-join is ~10× faster than a per-row
-        # apply at sf1 result sizes (same key bytes, same ordering)
-        parts = [df[c].map(_canon_value).to_numpy(dtype=object) for c in df.columns]
+        # apply at sf1 result sizes (same key bytes, same ordering).
+        # Tolerant compares (rtol) exclude float columns from the sort
+        # key: approximate values differ per engine and would misalign
+        # rows whose non-float key columns match exactly.
+        key_cols = [
+            c
+            for c in df.columns
+            if float_in_key or not pd.api.types.is_float_dtype(df[c].dtype)
+        ] or list(df.columns)
+        parts = [df[c].map(_canon_value).to_numpy(dtype=object) for c in key_cols]
         key = parts[0]
         for p in parts[1:]:
             key = key + "\x00" + p
@@ -66,17 +74,19 @@ def _canon_frame(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _cells_equal(a: Any, b: Any) -> bool:
+def _cells_equal(a: Any, b: Any, rtol: float = FLOAT_RTOL) -> bool:
     a_null = a is None or (isinstance(a, float) and math.isnan(a)) or a is pd.NaT or a is pd.NA
     b_null = b is None or (isinstance(b, float) and math.isnan(b)) or b is pd.NaT or b is pd.NA
     if a_null or b_null:
         return a_null and b_null
     if isinstance(a, (list, np.ndarray)) or isinstance(b, (list, np.ndarray)):
         a_l, b_l = list(a), list(b)
-        return len(a_l) == len(b_l) and all(_cells_equal(x, y) for x, y in zip(a_l, b_l))
+        return len(a_l) == len(b_l) and all(
+            _cells_equal(x, y, rtol) for x, y in zip(a_l, b_l)
+        )
     if isinstance(a, float) or isinstance(b, float):
         try:
-            return bool(np.isclose(float(a), float(b), rtol=FLOAT_RTOL, atol=FLOAT_ATOL))
+            return bool(np.isclose(float(a), float(b), rtol=rtol, atol=FLOAT_ATOL))
         except (TypeError, ValueError):
             return False
     if isinstance(a, (pd.Timestamp, np.datetime64)) or isinstance(b, (pd.Timestamp, np.datetime64)):
@@ -84,8 +94,17 @@ def _cells_equal(a: Any, b: Any) -> bool:
     return a == b
 
 
-def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
-    """Return a list of human-readable mismatch descriptions (empty = pass)."""
+def compare_frames(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol: float | None = None
+) -> list[str]:
+    """Return a list of human-readable mismatch descriptions (empty = pass).
+
+    ``rtol`` widens the float relative tolerance for queries whose
+    output is a principled approximation (QueryDef.rtol, e.g. an HLL
+    estimate compared against the oracle's exact count); default is the
+    near-bit-exact FLOAT_RTOL."""
+    tolerant = rtol is not None
+    rtol = FLOAT_RTOL if rtol is None else rtol
     errors: list[str] = []
     s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if s_cols != o_cols:
@@ -93,8 +112,8 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     if len(spark_pdf) != len(oracle_pdf):
         errors.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
         return errors
-    s = _canon_frame(spark_pdf)
-    o = _canon_frame(oracle_pdf)
+    s = _canon_frame(spark_pdf, float_in_key=not tolerant)
+    o = _canon_frame(oracle_pdf, float_in_key=not tolerant)
     bad = 0
     for c in s.columns:
         # Vectorized prefilter per column; only cells that FAIL the fast
@@ -113,7 +132,7 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
                 a = sc.to_numpy(dtype=float, na_value=float("nan"))
                 b = oc.to_numpy(dtype=float, na_value=float("nan"))
                 with np.errstate(invalid="ignore"):
-                    fast_eq = np.isclose(a, b, rtol=FLOAT_RTOL, atol=FLOAT_ATOL) | (
+                    fast_eq = np.isclose(a, b, rtol=rtol, atol=FLOAT_ATOL) | (
                         np.isnan(a) & np.isnan(b)
                     )
             except Exception:
@@ -127,7 +146,7 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
                 fast_eq = np.zeros(len(s), dtype=bool)
         for i in np.flatnonzero(~fast_eq):
             i = int(i)
-            if not _cells_equal(s.at[i, c], o.at[i, c]):
+            if not _cells_equal(s.at[i, c], o.at[i, c], rtol):
                 bad += 1
                 if bad <= 5:
                     errors.append(f"row {i} col {c}: spark={s.at[i, c]!r} oracle={o.at[i, c]!r}")
@@ -147,4 +166,4 @@ def check_query(name: str, spark, sf_dir: str) -> list[str]:
             return ["negative row count"]
         return []
     oracle_pdf = run_oracle(qd.oracle, sf_dir)
-    return compare_frames(spark_pdf, oracle_pdf)
+    return compare_frames(spark_pdf, oracle_pdf, rtol=qd.rtol)

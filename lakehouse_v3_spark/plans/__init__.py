@@ -51,6 +51,18 @@ class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL, or None → driver does a rows-only check
     doc: str = ""
+    # Per-query relative tolerance for the REPO-SIDE oracle compare.
+    # Used only for queries whose output is a principled approximation
+    # (e.g. an HLL estimate vs the exact count): the repo gate checks
+    # |spark - oracle| / oracle <= rtol instead of bit equality.
+    rtol: float | None = None
+    # False → keep this oracle OUT of __spark_entry__.oracle_sql(): the
+    # driver's compare is a strict value-hash that cannot express a
+    # tolerance, so rtol-based oracles would mis-report as mismatches
+    # there. The driver then records a rows-only check; the repo gate
+    # (tests/test_oracle_parity.py, tools/sf_gate.py) still value-checks
+    # within rtol.
+    driver_oracle: bool = True
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -81,13 +93,26 @@ _MODULES = [
 ]
 
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    rtol: float | None = None,
+    driver_oracle: bool = True,
+):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the catalog."""
 
     def deco(fn):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = QueryDef(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            rtol=rtol,
+            driver_oracle=driver_oracle,
+        )
         return fn
 
     return deco

@@ -301,3 +301,20 @@ def test_setsim_prefix_join_is_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "setsim_prefix_filter_join")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_hll_sketch_only_has_no_exact_distinct(spark, sf_dir):
+    """approx_count_distinct_hll_sketch_only is the 100 TB form: its
+    plan must contain the HLL sketch aggregate and NO exact
+    countDistinct branch (no 'count(distinct', no Expand) — the audited
+    sibling pays the exact shuffle on purpose; this one must not."""
+    plan = _plan(spark, sf_dir, "approx_count_distinct_hll_sketch_only")
+    low = plan.lower()
+    assert "approx_count_distinct" in low
+    assert "count(distinct" not in low
+    assert "Expand" not in plan
+    # single aggregate pair (partial + final), nothing else
+    import re
+
+    n_aggs = len(re.findall(r"HashAggregate|ObjectHashAggregate|SortAggregate", plan))
+    assert n_aggs <= 4, plan

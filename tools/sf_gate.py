@@ -118,7 +118,7 @@ def main() -> None:
                 if timed_out:
                     rec["status"] = "oracle_timeout"
                 else:
-                    errs = compare_frames(spdf, odf)
+                    errs = compare_frames(spdf, odf, rtol=qd.rtol)
                     rec["status"] = "match" if not errs else "MISMATCH"
                     if errs:
                         rec["errors"] = [str(e)[:200] for e in errs[:3]]
