@@ -7,12 +7,12 @@ Design for image/audio/video at 100 TB:
   - decode / resize / frame-sample run as mapInPandas over Arrow record
     batches — Python touches each batch once, partitioning and pushdown
     stay with Spark;
-  - ``decode_image`` is a REAL pure-stdlib codec for the byte-level
-    formats (uncompressed BMP 24/32-bit, binary PPM/PGM) — decoded-pixel
-    features are oracle-checked end-to-end via
-    multimodal_image_decode_features. Compressed formats (JPEG/PNG) and
-    video still want PIL/ffmpeg on a full cluster image; they plug into
-    the same mapInPandas plumbing.
+  - ``decode_image`` is a REAL pure-stdlib codec: uncompressed BMP
+    24/32-bit, binary PPM/PGM, and non-interlaced 8-bit RGB/RGBA PNG
+    (zlib inflate + all five scanline filters) — decoded-pixel features
+    are oracle-checked end-to-end via multimodal_image_decode_features.
+    JPEG and video still want PIL/ffmpeg on a full cluster image; they
+    plug into the same mapInPandas plumbing.
 """
 
 from __future__ import annotations
@@ -42,12 +42,13 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Pure-stdlib image decode: uncompressed BMP (24/32-bit BI_RGB) and
-    binary PPM (P6) / PGM (P5). No PIL/ffmpeg needed — these formats are
-    byte-level specs, decodable in plain Python. Exotic formats (JPEG,
-    PNG, video) still want a codec library on a full cluster image, but
-    the engine's decode path itself is REAL and oracle-checked
-    (plans/multimodal_queries.py multimodal_image_decode_features).
+    """Pure-stdlib image decode: uncompressed BMP (24/32-bit BI_RGB),
+    binary PPM (P6) / PGM (P5), and non-interlaced 8-bit RGB/RGBA PNG
+    (stdlib zlib inflate + full scanline-filter reconstruction). No
+    PIL/ffmpeg needed. JPEG and video still want a codec library on a
+    full cluster image, but the engine's decode path itself is REAL and
+    oracle-checked (plans/multimodal_queries.py
+    multimodal_image_decode_features).
 
     Returns ``{"width", "height", "channels", "pixels"}`` with pixels as
     top-down row-major bytes — RGB interleaved for color (channels=3),
@@ -58,9 +59,12 @@ def decode_image(payload: bytes) -> dict:
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise ValueError(
         f"unsupported image format (magic {payload[:2]!r}); supported: "
-        "BMP (24/32-bit uncompressed), PPM (P6), PGM (P5)"
+        "BMP (24/32-bit uncompressed), PPM (P6), PGM (P5), "
+        "PNG (non-interlaced 8-bit RGB/RGBA)"
     )
 
 
@@ -137,6 +141,164 @@ def _decode_pnm(payload: bytes) -> dict:
     return {"width": width, "height": height, "channels": channels, "pixels": pixels}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): pick the neighbour (left a,
+    up b, up-left c) closest to a + b - c, ties left > up > up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Non-interlaced 8-bit truecolor PNG: color type 2 (RGB) and 6
+    (RGBA — alpha dropped, matching the BMP32 path). Real inflate via
+    stdlib zlib; all five scanline filters (None/Sub/Up/Average/Paeth)
+    reconstructed per spec §9. Palette, interlace, and sub-byte depths
+    raise — they'd want a full imaging library."""
+    import struct
+    import zlib
+
+    pos = 8
+    width = height = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        pos += 8
+        data = payload[pos : pos + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG: chunk shorter than its length field")
+        pos += ln + 4  # + CRC (not verified: decode is feature-path, not fsck)
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
+            if color_type not in (2, 6):
+                raise ValueError(
+                    f"unsupported PNG color type {color_type} (only 2=RGB, 6=RGBA)"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG compression/filter method")
+            if interlace != 0:
+                raise ValueError("unsupported PNG interlacing (only non-interlaced)")
+            if width <= 0 or height <= 0:
+                raise ValueError(f"bad PNG dimensions {width}x{height}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("truncated PNG: missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    n_ch = 3 if color_type == 2 else 4
+    stride = width * n_ch
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("truncated PNG: raster shorter than header claims")
+    out = bytearray(width * height * 3)
+    prev = bytearray(stride)
+    ptr = 0
+    for row in range(height):
+        ftype = raw[ptr]
+        ptr += 1
+        cur = bytearray(raw[ptr : ptr + stride])
+        ptr += stride
+        if ftype == 1:  # Sub
+            for i in range(n_ch, stride):
+                cur[i] = (cur[i] + cur[i - n_ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = cur[i - n_ch] if i >= n_ch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = cur[i - n_ch] if i >= n_ch else 0
+                upleft = prev[i - n_ch] if i >= n_ch else 0
+                cur[i] = (cur[i] + _paeth(left, prev[i], upleft)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unsupported PNG filter type {ftype}")
+        o = row * width * 3
+        for x in range(width):
+            b = x * n_ch
+            out[o] = cur[b]
+            out[o + 1] = cur[b + 1]
+            out[o + 2] = cur[b + 2]
+            o += 3
+        prev = cur
+    return {"width": width, "height": height, "channels": 3, "pixels": bytes(out)}
+
+
+def encode_png(width: int, height: int, rgb: bytes, color_type: int = 2) -> bytes:
+    """Encode top-down RGB bytes as a real non-interlaced 8-bit PNG
+    (fixture-side counterpart of ``_decode_png``): proper chunk CRCs,
+    zlib-compressed raster. The scanline filter type ROTATES row % 5 so
+    every filter reconstruction path (None/Sub/Up/Average/Paeth) is
+    exercised by any image ≥5 rows. color_type 6 adds an opaque alpha
+    byte per pixel (dropped again on decode)."""
+    import struct
+    import zlib
+
+    assert len(rgb) == width * height * 3
+    assert color_type in (2, 6)
+    n_ch = 3 if color_type == 2 else 4
+    stride = width * n_ch
+    prev = bytearray(stride)
+    raster = bytearray()
+    for row in range(height):
+        cur = bytearray(stride)
+        i = row * width * 3
+        for x in range(width):
+            o = x * n_ch
+            cur[o : o + 3] = rgb[i : i + 3]
+            if n_ch == 4:
+                cur[o + 3] = 0xFF
+            i += 3
+        ftype = row % 5
+        filt = bytearray(stride)
+        for j in range(stride):
+            left = cur[j - n_ch] if j >= n_ch else 0
+            up = prev[j]
+            upleft = prev[j - n_ch] if j >= n_ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(left, up, upleft)
+            filt[j] = (cur[j] - pred) & 0xFF
+        raster.append(ftype)
+        raster += filt
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raster)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_bmp(width: int, height: int, rgb: bytes, bpp: int = 24) -> bytes:
     """Encode top-down RGB bytes as a bottom-up uncompressed BMP (the
     fixture-side counterpart of ``_decode_bmp``; 24- or 32-bit)."""
@@ -180,16 +342,20 @@ def synthetic_image_payload(doc_id: int) -> tuple[str, bytes]:
     """Deterministic tiny test image for a doc id: dimensions and every
     pixel byte are closed-form integer functions of (doc_id, flat index),
     so an SQL oracle can recompute decoded-pixel features without running
-    a decoder. Format rotates bmp24 → ppm → bmp32 so all three decode
-    branches are exercised."""
+    a decoder. Format rotates bmp24 → ppm → bmp32 → png → png32 so all
+    five decode branches (incl. PNG RGB and RGBA) are exercised."""
     w = 3 + doc_id % 5
     h = 2 + doc_id % 4
     rgb = bytes((doc_id * 7919 + i * 131) % 251 for i in range(w * h * 3))
-    fmt = ("bmp24", "ppm", "bmp32")[doc_id % 3]
+    fmt = ("bmp24", "ppm", "bmp32", "png", "png32")[doc_id % 5]
     if fmt == "bmp24":
         return fmt, encode_bmp(w, h, rgb, bpp=24)
     if fmt == "bmp32":
         return fmt, encode_bmp(w, h, rgb, bpp=32)
+    if fmt == "png":
+        return fmt, encode_png(w, h, rgb, color_type=2)
+    if fmt == "png32":
+        return fmt, encode_png(w, h, rgb, color_type=6)
     return fmt, encode_ppm(w, h, rgb)
 
 

@@ -127,7 +127,8 @@ WITH dims AS (
   FROM documents
 )
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'bmp24' WHEN 1 THEN 'ppm' ELSE 'bmp32' END
+       CASE doc_id % 5 WHEN 0 THEN 'bmp24' WHEN 1 THEN 'ppm' WHEN 2 THEN 'bmp32'
+                       WHEN 3 THEN 'png' ELSE 'png32' END
            AS fmt,
        CAST(w AS INT) AS width,
        CAST(h AS INT) AS height,
@@ -151,11 +152,13 @@ FROM dims
 @register("multimodal_image_decode_features", oracle=_DECODE_ORACLE)
 def multimodal_image_decode_features(spark, sf_dir):
     """REAL codec path (no stub): per document, a deterministic tiny
-    image is encoded as BMP-24/PPM-P6/BMP-32 (rotating by doc_id) and
-    decoded back by the pure-stdlib codec (operators/multimodal.py
-    decode_image — BMP bottom-up rows, BGR order, 4-byte padding, PNM
-    header parsing all normalized), then integer pixel features are
-    extracted from the DECODED bytes. The oracle recomputes every
+    image is encoded as BMP-24/PPM-P6/BMP-32/PNG-RGB/PNG-RGBA (rotating
+    by doc_id) and decoded back by the pure-stdlib codec
+    (operators/multimodal.py decode_image — BMP bottom-up rows, BGR
+    order, 4-byte padding, PNM header parsing, PNG zlib inflate +
+    Sub/Up/Average/Paeth filter reconstruction + alpha drop all
+    normalized), then integer pixel features are extracted from the
+    DECODED bytes. The oracle recomputes every
     feature from the closed-form pixel function, so a decoder that
     mis-handles row order, padding, or channel order hash-mismatches
     (row0_sum pins the spatial layout; sum_r/sum_b pin BGR→RGB)."""

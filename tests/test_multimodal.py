@@ -89,10 +89,93 @@ def test_decode_rejects_malformed():
         decode_image(b"P6\n1 1\n65535\n\x00\x00")
 
 
+def _hand_png_2x2() -> bytes:
+    """2x2 8-bit RGB PNG, chunks built field-by-field from the spec
+    (NOT via encode_png, so a symmetric encode/decode bug can't cancel).
+
+    Logical top-down pixels: (1,2,3) (11,12,13) / (5,5,5) (6,7,8).
+    Row 0 uses filter 1 (Sub):  [1,2,3, 11-1,12-2,13-3] = [1,2,3,10,10,10]
+    Row 1 uses filter 2 (Up):   [5-1,5-2,5-3, 6-11,7-12,8-13]
+                              = [4,3,2, 251,251,251] (mod 256)
+    """
+    import zlib
+
+    raster = bytes([1, 1, 2, 3, 10, 10, 10]) + bytes([2, 4, 3, 2, 251, 251, 251])
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_golden_bytes():
+    img = decode_image(_hand_png_2x2())
+    assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+    assert img["pixels"] == bytes([1, 2, 3, 11, 12, 13, 5, 5, 5, 6, 7, 8])
+
+
+@pytest.mark.parametrize("color_type", [2, 6])
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 7), (5, 6)])
+def test_png_roundtrip(w, h, color_type):
+    """h ≥ 5 cases exercise every scanline filter (encode_png rotates
+    filter type row % 5); color type 6 exercises the RGBA/alpha-drop
+    path."""
+    from lakehouse_v3_spark.operators.multimodal import encode_png
+
+    rgb = bytes((i * 89 + 7) % 256 for i in range(w * h * 3))
+    img = decode_image(encode_png(w, h, rgb, color_type=color_type))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    assert img["pixels"] == rgb
+
+
+def test_decode_png_rejects_malformed():
+    import zlib
+
+    from lakehouse_v3_spark.operators.multimodal import encode_png
+
+    good = encode_png(3, 3, bytes(range(27)))
+    # interlaced flag set
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 1  # IHDR interlace byte
+    with pytest.raises(ValueError, match="interlac"):
+        decode_image(bytes(bad))
+    # palette color type
+    bad = bytearray(good)
+    bad[8 + 8 + 9] = 3  # IHDR color type
+    with pytest.raises(ValueError, match="color type"):
+        decode_image(bytes(bad))
+    # raster shorter than the header claims
+    short = zlib.compress(b"\x00" * 5)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    trunc = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", short) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="raster shorter"):
+        decode_image(trunc)
+
+
 def test_synthetic_payload_formats_rotate():
-    fmts = {synthetic_image_payload(i)[0] for i in range(6)}
-    assert fmts == {"bmp24", "ppm", "bmp32"}
-    for i in range(6):
+    fmts = {synthetic_image_payload(i)[0] for i in range(10)}
+    assert fmts == {"bmp24", "ppm", "bmp32", "png", "png32"}
+    for i in range(10):
         fmt, payload = synthetic_image_payload(i)
         img = decode_image(payload)
         assert (img["width"], img["height"]) == (3 + i % 5, 2 + i % 4)
