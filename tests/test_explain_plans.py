@@ -318,3 +318,34 @@ def test_hll_sketch_only_has_no_exact_distinct(spark, sf_dir):
 
     n_aggs = len(re.findall(r"HashAggregate|ObjectHashAggregate|SortAggregate", plan))
     assert n_aggs <= 4, plan
+
+
+def test_q21_shares_one_lineitem_scan_and_orderkey_exchange(spark, sf_dir):
+    """Q21's three lineitem passes must stay equi-joined on l_orderkey
+    with no cartesian/nested-loop pair enumeration and no global-order
+    window; the scan is pruned to the 3 used columns."""
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "l_orderkey" in plan
+    # column pruning: unneeded lineitem columns never reach the scan
+    assert "l_extendedprice" not in plan and "l_comment" not in plan
+
+
+def test_dup_ngram_doc_fraction_shuffles_hashed_keys(spark, sf_dir):
+    """dup_ngram_doc_fraction must hash shingles to 8-byte keys BEFORE
+    any exchange (no raw n-gram strings cross a shuffle), keep the
+    df-count join an equi join, and partial-aggregate the rollup."""
+    plan = _plan(spark, sf_dir, "dup_ngram_doc_fraction")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "md5" in plan
+    assert "partial_" in plan
+
+
+def test_minhash_lsh_candidates_are_band_bucket_join(spark, sf_dir):
+    """dedup_minhash_lsh's candidate pairs must come from an equi join
+    on band_key buckets — never an all-pairs nested-loop/cartesian
+    enumeration (the blow-up LSH exists to avoid)."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "band_key" in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -39,6 +39,9 @@ COMMENTARY = {
     "setsim_prefix_filter_join": "Rarity-ordered prefix self-join (PPJoin): shingle document frequencies rank each doc's shingles, only the |x|−⌈τ·|x|⌉+1 rarest join; candidates length-filtered then verified EXACTLY against full sets. All equi joins on 60-bit hashed shingles — no cartesian pair enumeration anywhere (plan-guarded).",
     "quantiles_exact_distributed": "Exact global quantiles with NO global sort and NO single-reducer value map: O(log n) histogram-refinement scan jobs narrow each order statistic, a final sub-threshold collect reads the exact values; the query plan itself is scan + tiny groupBys only.",
     "arrow_batch_charstats": "Project prunes to (doc_id, text) BEFORE the ArrowEvalPython boundary; pyarrow compute kernels process RecordBatches directly — no pandas conversion, the lowest-overhead Python escape hatch.",
+    "q21_waiting_suppliers": "Three passes over lineitem (multi-supplier keys, per-order max shipdate, blame join-back) all shuffle on the SAME l_orderkey key from ONE pruned 3-column scan — AQE reuses the exchange instead of re-scanning; supplier/orders joins stay equi, the final group-by is on s_name. No crossJoin, no global window.",
+    "dup_ngram_doc_fraction": "Shingles become 8-byte md5-prefix keys BEFORE the distinct, so both shuffles (per-doc distinct, shingle df count) move longs not ~30-byte strings; the df table joins back on the same hash key (exchange reuse) and the per-doc rollup is a partial-aggregated groupBy. Cost tracks Σ shingles, linear in corpus size — the steepest sf1→sf5 slope in SCALE.md but measured linear warm.",
+    "approx_count_distinct_hll_sketch_only": "The 100 TB cardinality plan: ONE partial/final aggregate pair over the scan where the only distinct computation is the fixed-size HLL sketch buffer — no exact countDistinct branch, no Expand (plan-guarded). The audited sibling query pays the exact key shuffle on purpose as a gate; this is the plan you run.",
 }
 
 
