@@ -55,6 +55,16 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 try:  # the processor base class landed in Spark 4.0
+    # The TWS Python↔JVM state-server protocol is protobuf; this
+    # container has no google.protobuf wheel, so fall back to the
+    # vendored mini wire-format runtime (lakehouse_v3_spark/vendor).
+    # Running at module import means every process that unpickles the
+    # processor class (executor workers, the TWS driver worker) gets
+    # the path fix before pyspark's lazy StateMessage_pb2 import.
+    from ..vendor import ensure_protobuf
+
+    ensure_protobuf()
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -59,12 +59,13 @@ def test_transform_with_state_distinct_types(spark, tmp_path):
     if distinct_type_counts is None:
         pytest.skip("transformWithStateInPandas unavailable on this Spark")
     # the TWS state-server protocol needs google.protobuf on the Python
-    # workers; absent in this container (see TESTDATA.md env notes)
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf unavailable: transformWithState state "
-                    "server cannot start in this container")
+    # workers; this container has no wheel, so the vendored mini
+    # wire-format runtime (lakehouse_v3_spark/vendor) must satisfy the
+    # import — no skip, the shim IS under test here end-to-end.
+    from lakehouse_v3_spark.vendor import ensure_protobuf
+
+    assert ensure_protobuf() in ("real", "shim")
+    from google.protobuf import descriptor  # noqa: F401
 
     src = tmp_path / "tws_src"
     src.mkdir()
