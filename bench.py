@@ -32,9 +32,12 @@ def main() -> None:
     from lakehouse_v3_spark.plans import load_all
     from lakehouse_v3_spark.session import get_spark
 
+    # SPARK_GRAFT_MASTER overrides (e.g. spark://127.0.0.1:7077 for the
+    # multi-process standalone-cluster evidence runs); default stays
+    # local[cpus] for the driver's per-round bench.
     spark = get_spark(
         app_name="lakehouse_v3_spark-bench",
-        master=f"local[{cpus}]",
+        master=os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"),
         shuffle_partitions=int(cpus),
         driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     )

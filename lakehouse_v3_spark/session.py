@@ -13,6 +13,7 @@ cluster (with the jars present) and in the local test harness.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -105,6 +106,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    if master.startswith("spark://"):
+        # standalone-cluster runs (multi-process executors): size the
+        # executor JVMs and pin the worker-side Python to the same
+        # interpreter as the driver (pandas/pyarrow live in pyenv, not
+        # the bare distro python).
+        builder = (
+            builder.config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "16g"),
+            )
+            .config("spark.pyspark.python", sys.executable)
+            .config("spark.pyspark.driver.python", sys.executable)
+        )
     if metastore_dir:
         builder = (
             builder.config("spark.sql.warehouse.dir", f"{metastore_dir}/warehouse")

@@ -132,7 +132,19 @@ def gen_orders(sf, out):
     return n
 
 
-def gen_lineitem(sf, out):
+def _skewed_partkeys(r, n: int, n_part: int, hot_frac: float = 0.2):
+    """Zipf-skewed part keys: ONE hot key (0) takes ~hot_frac of all
+    lineitem rows, the rest follow a zipf(1.3) tail over the remaining
+    key space — the shape that makes a plain shuffle join straggle on
+    one reducer (the skew the salted operators and AQE skew-join
+    exist for; ~uniform fixtures never exercise them)."""
+    is_hot = r.random(n) < hot_frac
+    z = r.zipf(1.3, n)  # >= 1, heavy tail
+    cold = 1 + (z - 1) % max(n_part - 1, 1)  # spread over keys 1..n_part-1
+    return np.where(is_hot, 0, cold)
+
+
+def gen_lineitem(sf, out, skew: str = "none"):
     n_orders = int(1_500_000 * sf)
     n_part = int(200_000 * sf)
     n_supp = int(10_000 * sf)
@@ -146,7 +158,12 @@ def gen_lineitem(sf, out):
     t = pa.table(
         {
             "l_orderkey": pa.array(l_orderkey, type=pa.int64()),
-            "l_partkey": pa.array(r.integers(0, n_part, n), type=pa.int64()),
+            "l_partkey": pa.array(
+                _skewed_partkeys(r, n, n_part)
+                if skew == "zipf"
+                else r.integers(0, n_part, n),
+                type=pa.int64(),
+            ),
             "l_suppkey": pa.array(r.integers(0, n_supp, n), type=pa.int64()),
             "l_linenumber": pa.array(linenumber, type=pa.int32()),
             "l_quantity": r.integers(1, 51, n).astype("float64"),
@@ -237,6 +254,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--skew",
+        choices=["none", "zipf"],
+        default="none",
+        help="zipf: one l_partkey takes ~20%% of lineitem (skew-operator fixtures)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     for dim in ("nation", "region"):
@@ -251,7 +274,8 @@ def main():
         gen_documents,
         gen_embeddings,
     ):
-        rows = fn(args.sf, args.out)
+        kw = {"skew": args.skew} if fn is gen_lineitem else {}
+        rows = fn(args.sf, args.out, **kw)
         print(f"{fn.__name__}: {rows} rows")
 
 

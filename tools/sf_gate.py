@@ -77,9 +77,11 @@ def main() -> None:
     from lakehouse_v3_spark.plans import load_all
     from lakehouse_v3_spark.session import get_spark
 
+    # SPARK_GRAFT_MASTER=spark://... runs the gate against a real
+    # multi-process standalone cluster (round-4 evidence runs)
     spark = get_spark(
         app_name="sf-gate",
-        master=f"local[{args.cpus}]",
+        master=os.environ.get("SPARK_GRAFT_MASTER", f"local[{args.cpus}]"),
         shuffle_partitions=int(args.cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
