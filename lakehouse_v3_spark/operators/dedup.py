@@ -109,9 +109,25 @@ def minhash_signatures(shingle_sets: DataFrame, id_col: str) -> DataFrame:
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, star: bool = False
+) -> DataFrame:
     """LSH banding: documents sharing any band of the signature become a
-    candidate pair (id_a < id_b, distinct)."""
+    candidate pair (id_a < id_b, distinct).
+
+    ``star=False`` emits ALL within-bucket pairs — Σ C(|bucket|, 2).
+    That is the right answer when you need every near-dup pair, but it
+    is inherently QUADRATIC in cluster size, and template/boilerplate
+    clusters grow with corpus size (measured on the synthetic corpus:
+    top band bucket 210 → 464 docs from sf5 → sf10, candidate pairs
+    exactly 4× for 2× data). ``star=True`` pairs each bucket member
+    with only the bucket MINIMUM id — Σ (|bucket|−1), linear — which
+    preserves exactly what downstream dedup needs: every member of a
+    bucket stays connected to its cluster through the hub, so
+    connected-components clustering (and keep-one-per-cluster dedup)
+    is unchanged, while the candidate volume stops tracking cluster²;
+    this is the standard edge-reduction for LSH dedup at corpus scale.
+    """
     n_bands = len(MINHASH_SEEDS) // BAND_SIZE
     bands = F.array(
         *[
@@ -124,6 +140,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
         ]
     )
     banded = signatures.select(F.col(id_col), F.explode(bands).alias("band_key"))
+    if star:
+        hub = banded.groupBy("band_key").agg(F.min(id_col).alias("id_a"))
+        return (
+            banded.join(hub, on="band_key")
+            .filter(F.col("id_a") < F.col(id_col))
+            .select("id_a", F.col(id_col).alias("id_b"))
+            .distinct()
+        )
     a = banded.select(F.col(id_col).alias("id_a"), "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band_key")
     return (

@@ -84,9 +84,12 @@ def _minhash_oracle() -> str:
         f"i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1]))"
     )
     return f"""
-WITH sets AS (
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+sets AS (
   SELECT DISTINCT doc_id, unnest(list_distinct({shingles})) AS shingle
-  FROM documents
+  FROM reps
 ),
 sigs AS (
   SELECT doc_id,
@@ -99,8 +102,10 @@ bands AS (
   FROM sigs
 ),
 cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  SELECT DISTINCT h.id_a, b.doc_id AS id_b
+  FROM bands b
+  JOIN (SELECT band_key, MIN(doc_id) AS id_a FROM bands GROUP BY band_key) h
+    ON b.band_key = h.band_key AND h.id_a < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
 inter AS (
@@ -124,11 +129,27 @@ LIMIT 200
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup: shingle → 8 minhashes → 4 bands of 2 →
-    band-bucket candidate pairs → exact jaccard verify → top-200 pairs.
-    All md5-based hashing is recomputed identically by the oracle.
-    Candidate cost is Σ bucket², never n² (operators/dedup.py)."""
-    d = load(spark, sf_dir, "documents")
+    """MinHash+LSH near-dup: collapse exact duplicates → shingle → 8
+    minhashes → 2 bands of 4 → STAR candidate pairs (bucket-min hub ↔
+    member) → exact jaccard verify → top-200 pairs. All md5-based
+    hashing is recomputed identically by the oracle.
+
+    Two scale levers, both measured this round at sf10:
+    - exact-dup collapse first (min doc_id per distinct text, both
+      engines): identical texts share identical signatures, so exact
+      dup groups would flood buckets with jaccard-1.0 pairs — the
+      standard pipeline order is exact dedup (dedup_exact_content)
+      BEFORE fuzzy.
+    - star candidates (operators/dedup.py lsh_candidate_pairs
+      star=True): all-pairs within buckets is Σ C(|bucket|,2), and
+      template-cluster bucket sizes GROW with corpus size (measured:
+      top bucket 210 → 464 docs for sf5 → sf10, all-pairs candidates
+      exactly 4× for 2× data — quadratic). Pairing members with the
+      bucket-min hub keeps every cluster connected (what downstream
+      connected-components dedup consumes) at Σ(|bucket|-1) linear
+      cost."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     # cache: the shingle explosion feeds both the signature branch and
     # the jaccard-verify branch of the DAG — without it the md5 hashing
     # of every (doc, shingle) runs twice
@@ -143,7 +164,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         d, "doc_id", word_shingles(tokens(F.col("text")), k=2)
     ).localCheckpoint()
     sigs = minhash_signatures(sets, "doc_id")
-    cands = lsh_candidate_pairs(sigs, "doc_id")
+    cands = lsh_candidate_pairs(sigs, "doc_id", star=True)
     verified = jaccard_verify(cands, sets, "doc_id")
     return (
         verified.orderBy(F.col("jaccard").desc(), F.col("id_a"), F.col("id_b"))
