@@ -70,3 +70,87 @@ def stream_sliding_window_agg(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas end-to-end (real streaming execution)
+# ---------------------------------------------------------------------------
+
+_TWS_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("stream_tws_distinct_type_counts", oracle=_TWS_ORACLE)
+def stream_tws_distinct_type_counts(spark, sf_dir):
+    """Spark-4 ``transformWithStateInPandas`` run as a REAL streaming
+    query inside the catalog (not a batch stand-in): events stream in
+    via availableNow, per-user distinct-event-type counts accumulate in
+    MapState through the RocksDB state store, and the LAST update-mode
+    emission per user is the final state — which must equal the plain
+    batch aggregate the oracle computes. Exercises the full TWS stack
+    (state-server protobuf protocol — vendored shim in this container,
+    lakehouse_v3_spark/vendor — Arrow per-key batches, update-mode
+    incremental emission) under the same oracle gate as every other
+    operator. MapState point-updates per (user, type) are what keep a
+    100 TB keyspace's state store incremental; the state never holds
+    more than |users|x|types| tiny rows."""
+    import tempfile
+
+    from ..streaming.stateful import distinct_type_counts
+
+    if distinct_type_counts is None:  # pragma: no cover - pre-4.0 Spark
+        raise RuntimeError("transformWithStateInPandas unavailable on this Spark")
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    batches: list = []
+    try:
+        # the streaming file source wants a DIRECTORY; events.parquet is
+        # a single file, so stream the fixture dir with a glob filter
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_type string, value double, ts timestamp"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        with tempfile.TemporaryDirectory(prefix="tws_ckpt_") as ckpt:
+            q = (
+                distinct_type_counts(stream.select("user_id", "event_type"))
+                .writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda df, bid: batches.append((bid, df.toPandas()))
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if old_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old_prov)
+
+    import pandas as pd
+
+    # update mode re-emits a key on every batch that touches it; the
+    # LAST emission per user is the final accumulated state
+    allb = pd.concat(
+        [pdf.assign(_bid=bid) for bid, pdf in batches], ignore_index=True
+    )
+    final = (
+        allb.sort_values("_bid")
+        .groupby("user_id", as_index=False)
+        .last()[["user_id", "n_types", "n_events"]]
+    )
+    return spark.createDataFrame(final)
