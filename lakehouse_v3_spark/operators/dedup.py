@@ -109,6 +109,26 @@ def minhash_signatures(shingle_sets: DataFrame, id_col: str) -> DataFrame:
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def lsh_bands(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Explode a signature table into (id, band_key) rows — the LSH
+    index representation. Persist THIS table to make the index
+    incremental: arriving documents band the same way and probe it
+    with an equi join (see plans/dedup_queries.py
+    dedup_minhash_incremental)."""
+    n_bands = len(MINHASH_SEEDS) // BAND_SIZE
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * BAND_SIZE + r}").cast("string") for r in range(BAND_SIZE)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(F.col(id_col), F.explode(bands).alias("band_key"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, star: bool = False
 ) -> DataFrame:
@@ -128,18 +148,7 @@ def lsh_candidate_pairs(
     is unchanged, while the candidate volume stops tracking cluster²;
     this is the standard edge-reduction for LSH dedup at corpus scale.
     """
-    n_bands = len(MINHASH_SEEDS) // BAND_SIZE
-    bands = F.array(
-        *[
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"mh{b * BAND_SIZE + r}").cast("string") for r in range(BAND_SIZE)],
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = signatures.select(F.col(id_col), F.explode(bands).alias("band_key"))
+    banded = lsh_bands(signatures, id_col)
     if star:
         hub = banded.groupBy("band_key").agg(F.min(id_col).alias("id_a"))
         return (

@@ -21,6 +21,7 @@ from ..operators.dedup import (
     doc_shingle_sets,
     exact_dedup_groups,
     jaccard_verify,
+    lsh_bands,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash16,
@@ -501,5 +502,109 @@ def _setsim_join(d):
     return (
         inter.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= tau)
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: arriving batch probes the existing LSH index
+# ---------------------------------------------------------------------------
+
+_INC_TAU = 0.5
+
+
+def _minhash_incremental_oracle() -> str:
+    sig_lines = ",\n    ".join(
+        f"MIN(({a} * {_MD5_8} + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    n_bands = len(MINHASH_SEEDS) // BAND_SIZE
+    band_items = ",\n     ".join(
+        "concat_ws('|', '%d', %s)"
+        % (b, ", ".join(f"mh{b * BAND_SIZE + r}::VARCHAR" for r in range(BAND_SIZE)))
+        for b in range(n_bands)
+    )
+    shingles = (
+        f"list_transform(range(1, greatest(len({_TOKS}) - 1, 0) + 1), "
+        f"i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1]))"
+    )
+    return f"""
+WITH sets AS (
+  SELECT DISTINCT doc_id, doc_id % 10 = 7 AS is_new,
+         unnest(list_distinct({shingles})) AS shingle
+  FROM documents
+),
+sigs AS (
+  SELECT doc_id, ANY_VALUE(is_new) AS is_new,
+    {sig_lines}
+  FROM sets GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, is_new, unnest([
+     {band_items}]) AS band_key
+  FROM sigs
+),
+cands AS (
+  SELECT DISTINCT LEAST(n.doc_id, o.doc_id) AS id_a,
+                  GREATEST(n.doc_id, o.doc_id) AS id_b
+  FROM bands n JOIN bands o
+    ON n.band_key = o.band_key AND n.doc_id <> o.doc_id
+  WHERE n.is_new
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= {_INC_TAU}
+ORDER BY jaccard DESC, i.id_a, i.id_b
+"""
+
+
+@register("dedup_minhash_incremental", oracle=_minhash_incremental_oracle())
+def dedup_minhash_incremental(spark, sf_dir):
+    """INCREMENTAL near-dup: a deterministic ~10% of documents
+    (doc_id % 10 = 7) plays the arriving batch; only ITS bands probe
+    the full band index, so candidate volume is ∝ |new batch| × avg
+    bucket size — not corpus². This is the production shape for a
+    continuously-ingesting 100 TB corpus: the (doc_id, band_key) index
+    (operators/dedup.py lsh_bands) persists as a bucketed table, each
+    arriving batch bands itself the same way, equi-joins the index,
+    exact-verifies its candidates at τ=0.5, and appends its own bands
+    back. The full-corpus re-scan (dedup_minhash_lsh) never needs to
+    re-run. The oracle recomputes the same new-side-probe semantics
+    exactly (pairs where at least one side is new, jaccard ≥ τ)."""
+    d = load(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 10 == 7).alias("is_new")
+    sets = doc_shingle_sets(
+        d.select("doc_id", "text"), "doc_id",
+        word_shingles(tokens(F.col("text")), k=2),
+    ).localCheckpoint()
+    sigs = minhash_signatures(sets, "doc_id")
+    bands = lsh_bands(sigs, "doc_id")
+    new_bands = bands.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("_nid"), "band_key"
+    )
+    cands = (
+        new_bands.join(bands, on="band_key")
+        .filter(F.col("doc_id") != F.col("_nid"))
+        .select(
+            F.least("_nid", "doc_id").alias("id_a"),
+            F.greatest("_nid", "doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = jaccard_verify(cands, sets, "doc_id")
+    _ = is_new
+    return (
+        verified.filter(F.col("jaccard") >= _INC_TAU)
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
     )
