@@ -389,3 +389,54 @@ def test_stats_reset_fallback_parquet_reanchor(spark, monkeypatch, tmp_path):
         assert sorted(r.nid for r in cur.collect()) == list(range(50))
         ring = [d for d in os.listdir(tmp_path) if d.startswith("_stats_reset_")]
         assert len(ring) <= se._REANCHOR_KEEP
+
+
+def test_lsh_star_candidates_preserve_connectivity(spark):
+    """Star candidates (bucket-min hub ↔ member) must keep every
+    all-pairs-connected component connected: for ANY bucket, all
+    members reach each other through the hub. Checked by comparing
+    union-find closures of star edges vs all-pairs edges over the same
+    synthetic signatures — identical components, while star emits
+    Σ(|bucket|-1) ≤ Σ C(|bucket|,2) edges."""
+    from pyspark.sql import Row
+
+    from lakehouse_v3_spark.operators.dedup import (
+        BAND_SIZE,
+        MINHASH_SEEDS,
+        lsh_candidate_pairs,
+    )
+
+    n_sigs = len(MINHASH_SEEDS)
+    # 3 clusters sharing identical signatures + 4 singletons
+    rows = []
+    doc = 0
+    for cluster, size in ((100, 5), (200, 3), (300, 4)):
+        for _ in range(size):
+            rows.append(Row(doc_id=doc, **{f"mh{j}": cluster + j for j in range(n_sigs)}))
+            doc += 1
+    for s in range(4):
+        rows.append(Row(doc_id=doc, **{f"mh{j}": 7000 + 97 * doc + j for j in range(n_sigs)}))
+        doc += 1
+    sigs = spark.createDataFrame(rows)
+
+    def components(edges):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {d: find(d) for d in range(doc)}
+
+    allp = [(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()]
+    star = [(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id", star=True).collect()]
+    assert components(star) == components(allp)
+    assert set(star) <= set(allp)
+    assert len(star) < len(allp)  # 5+3+4 cluster: star 9 edges vs all-pairs 19
+    _ = BAND_SIZE

@@ -42,6 +42,7 @@ COMMENTARY = {
     "q21_waiting_suppliers": "Three passes over lineitem (multi-supplier keys, per-order max shipdate, blame join-back) all shuffle on the SAME l_orderkey key from ONE pruned 3-column scan — AQE reuses the exchange instead of re-scanning; supplier/orders joins stay equi, the final group-by is on s_name. No crossJoin, no global window.",
     "dup_ngram_doc_fraction": "Shingles become 8-byte md5-prefix keys BEFORE the distinct, so both shuffles (per-doc distinct, shingle df count) move longs not ~30-byte strings; the df table joins back on the same hash key (exchange reuse) and the per-doc rollup is a partial-aggregated groupBy. Cost tracks Σ shingles, linear in corpus size — the steepest sf1→sf5 slope in SCALE.md but measured linear warm.",
     "approx_count_distinct_hll_sketch_only": "The 100 TB cardinality plan: ONE partial/final aggregate pair over the scan where the only distinct computation is the fixed-size HLL sketch buffer — no exact countDistinct branch, no Expand (plan-guarded). The audited sibling query pays the exact key shuffle on purpose as a gate; this is the plan you run.",
+    "dedup_minhash_incremental": "Incremental near-dup: only the NEW batch's bands (deterministic ~10% slice) probe the full band index via an equi join on band_key — candidate volume ∝ |batch| × avg bucket, never corpus². The band index is the persistable artifact (lsh_bands); at 100 TB it lives as a bucketed table and each arriving batch appends its own bands after probing. Verify join is candidate-bounded.",
 }
 
 
