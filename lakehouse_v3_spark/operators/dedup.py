@@ -197,6 +197,61 @@ def jaccard_verify(
     )
 
 
+def ngram_jaccard_pairs(
+    sets: DataFrame,
+    id_col: str,
+    block_cols: list[str] | None = None,
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """EXACT all-pairs jaccard over an inverted shingle index: every
+    pair sharing ≥1 shingle (within the same block) is scored. This is
+    the truth baseline the scalable variants (MinHash-LSH star
+    candidates, PPJoin prefix filtering) are value-checked against —
+    and it is QUADRATIC BY CONSTRUCTION: the shingle self-join costs
+    Σ df² over shingle document frequencies, which tracks corpus² on
+    template-heavy corpora. A 100 TB run of this operator is a
+    non-starter, so it REFUSES to build a plan unless the caller passes
+    ``allow_quadratic=True`` explicitly (the same opt-in pattern as
+    similarity.near_dup_pairs' ``allow_all_pairs``) — use
+    setsim_prefix_filter_join / dedup_minhash_lsh as the scale paths.
+
+    ``sets`` is (id, shingle[, block cols]) distinct rows; pairs join on
+    shingle plus every block col. Returns (id_a, id_b, jaccard).
+    """
+    if not allow_quadratic:
+        raise ValueError(
+            "ngram_jaccard_pairs scores ALL pairs sharing a shingle — "
+            "Σ df² work, quadratic in corpus size on template-heavy "
+            "data. Pass allow_quadratic=True to opt in explicitly for a "
+            "bounded baseline run, or use the scalable variants "
+            "(lsh_candidate_pairs star=True, setsim prefix filter)"
+        )
+    block_cols = block_cols or []
+    sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = sets.select(F.col(id_col).alias("id_a"), *block_cols, "shingle")
+    sb = sets.select(F.col(id_col).alias("id_b"), *block_cols, "shingle")
+    inter = (
+        sa.join(sb, on=[*block_cols, "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(za, on="id_a")
+        .join(zb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def simhash16(tok_arr):
     """16-bit SimHash over md5-derived token ints: bit i is set when the
     token-count-weighted sum of (±1 per token bit i) is positive.

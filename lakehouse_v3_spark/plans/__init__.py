@@ -55,6 +55,15 @@ class QueryDef:
     # Used only for queries whose output is a principled approximation
     # (e.g. an HLL estimate vs the exact count): the repo gate checks
     # |spark - oracle| / oracle <= rtol instead of bit equality.
+    #
+    # REQUIREMENT for rtol queries: the NON-float output columns must
+    # form a unique key per row. Tolerant compares exclude float columns
+    # from the canonical sort key (approximate values differ per engine
+    # and would misalign rows), so two rows tying on every non-float
+    # column would be aligned arbitrarily and their float values
+    # compared crosswise — a false mismatch or false pass. The current
+    # rtol query keys on o_orderpriority (unique); keep any future one
+    # keyed the same way.
     rtol: float | None = None
     # False → keep this oracle OUT of __spark_entry__.oracle_sql(): the
     # driver's compare is a strict value-hash that cannot express a

@@ -24,6 +24,7 @@ from ..operators.dedup import (
     lsh_bands,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_jaccard_pairs,
     simhash16,
     word_shingles,
 )
@@ -206,11 +207,16 @@ LIMIT 50
 
 @register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Direct 3-gram jaccard near-dup with blocking (the exact
-    counterpart the LSH path approximates): only same-block pairs sharing
-    ≥1 shingle are scored. All-pairs jaccard is inherently Σ block², so
-    the query runs one block (lang='de') — the LSH query is the
-    full-corpus scale path.
+    """Direct 3-gram jaccard near-dup — the EXACT truth baseline the
+    scalable variants (dedup_minhash_lsh star candidates,
+    setsim_prefix_filter_join) are value-checked against. All-pairs
+    jaccard is inherently Σ df² (quadratic on template-heavy corpora),
+    so the operator REFUSES to run without an explicit
+    ``allow_quadratic=True`` opt-in (operators/dedup.py
+    ngram_jaccard_pairs; guard pinned by
+    test_ngram_jaccard_refuses_without_opt_in). This catalog entry opts
+    in deliberately AND bounds the work to one lang block ('de') — it
+    exists as the baseline for the gates, never as a scale path.
 
     Shingles are replaced by a 60-bit md5 prefix BEFORE the distinct
     and the self-join, so every shuffle moves 8-byte keys instead of
@@ -226,29 +232,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
         d.select("doc_id", "lang", F.explode(F.array_distinct(sh_h)).alias("shingle"))
         .distinct()
     )
-    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sets.select(F.col("doc_id").alias("id_a"), "lang", "shingle")
-    sb = sets.select(F.col("doc_id").alias("id_b"), "lang", "shingle")
-    inter = (
-        sa.join(sb, on=["lang", "shingle"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    pairs = ngram_jaccard_pairs(
+        sets, "doc_id", block_cols=["lang"],
+        # explicit opt-in: this is the documented exact baseline, run on
+        # a single lang block; the scalable counterparts are the
+        # catalog's production paths
+        allow_quadratic=True,
     )
-    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
-    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
     return (
-        inter.join(za, on="id_a")
-        .join(zb, on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
-        .orderBy(F.col("jaccard").desc(), F.col("id_a"), F.col("id_b"))
+        pairs.orderBy(F.col("jaccard").desc(), F.col("id_a"), F.col("id_b"))
         .limit(50)
     )
 
@@ -583,7 +575,6 @@ def dedup_minhash_incremental(spark, sf_dir):
     re-run. The oracle recomputes the same new-side-probe semantics
     exactly (pairs where at least one side is new, jaccard ≥ τ)."""
     d = load(spark, sf_dir, "documents")
-    is_new = (F.col("doc_id") % 10 == 7).alias("is_new")
     sets = doc_shingle_sets(
         d.select("doc_id", "text"), "doc_id",
         word_shingles(tokens(F.col("text")), k=2),
@@ -603,7 +594,6 @@ def dedup_minhash_incremental(spark, sf_dir):
         .distinct()
     )
     verified = jaccard_verify(cands, sets, "doc_id")
-    _ = is_new
     return (
         verified.filter(F.col("jaccard") >= _INC_TAU)
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")

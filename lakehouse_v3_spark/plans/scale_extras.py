@@ -87,15 +87,30 @@ def _stats_reset_checkpoint(df: DataFrame) -> DataFrame:
     the squaring. ``tests/test_scale_ops.py::
     test_stats_reset_private_api_present`` fails (not skips) the day
     the private path disappears, so the bump is loud."""
+    spark = df.sparkSession
+    # Probe BEFORE localCheckpoint: if the private constructor is gone
+    # (future Spark bump), checkpointing first would materialize and pin
+    # a block-manager RDD that nothing ever unpersists — a per-iteration
+    # executor-memory leak in fallback mode (ADVICE r4).
     try:
-        ckpt = df.localCheckpoint()
-        spark = df.sparkSession
+        # py4j raises Py4JError (not AttributeError) for a missing JVM
+        # member, so a plain hasattr could propagate — catch broadly.
+        getattr(spark._jsparkSession, "internalCreateDataFrame")
+    except Exception:
+        return _parquet_reanchor(df)
+    ckpt = df.localCheckpoint()
+    try:
         jdf = ckpt._jdf
         fresh = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(fresh, spark)
-    except Exception:  # pragma: no cover - exercised via forced fallback test
+    except Exception:  # pragma: no cover - call-shape change mid-version
+        # release the orphaned checkpoint blocks before falling back
+        try:
+            ckpt._jdf.unpersist()
+        except Exception:
+            pass
         return _parquet_reanchor(df)
 
 

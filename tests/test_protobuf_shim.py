@@ -156,3 +156,50 @@ def test_descriptor_parser_matches_generated_metadata():
     assert names[:2] == ["version", "statefulProcessorCall"]
     assert req.DESCRIPTOR.oneofs == ["method"]
     assert sm.PRE_INIT == 0 and sm.CLOSED == 5
+
+
+def test_truncated_fixed_width_raises():
+    """Wire types 1/5 must bounds-check like the length-delimited path:
+    a truncated fixed64/fixed32 payload is a corrupt message, not a
+    silently-short slice (ADVICE r4)."""
+    # tag field1/wt1 (fixed64) followed by only 3 payload bytes
+    with pytest.raises(ValueError, match="truncated fixed64"):
+        rt._raw_parse(b"\x09\x01\x02\x03")
+    # tag field1/wt5 (fixed32) followed by only 2 payload bytes
+    with pytest.raises(ValueError, match="truncated fixed32"):
+        rt._raw_parse(b"\x0d\x01\x02")
+
+
+def test_repeated_field_append_attaches():
+    """msg.repeated.append(x) — the mutation pattern real protobuf
+    supports — must persist into the serialized message, not vanish
+    into a detached list (ADVICE r4)."""
+    r = sm.StateResponseWithListGet(statusCode=0)
+    r.value.append(b"k1")
+    r.value.append(b"k2")
+    out = sm.StateResponseWithListGet()
+    out.ParseFromString(r.SerializeToString())
+    assert out.value == [b"k1", b"k2"]
+    # read-only access of an unset repeated field stays wire-invisible
+    # and equality-neutral
+    probe = sm.StateResponseWithListGet(statusCode=0)
+    assert probe.requireNextFetch is False  # scalar read, no attach
+    touched = sm.StateResponseWithListGet(statusCode=0)
+    assert touched.value == []  # attaches an empty list
+    assert touched.SerializeToString() == probe.SerializeToString()
+    assert touched == probe
+
+
+def test_unset_submessage_mutation_is_loud():
+    """Real protobuf attaches msg.sub on first write; the mini runtime
+    does not implement parent attachment, so writing through the
+    detached default must raise instead of silently dropping data
+    (ADVICE r4). Reads of nested defaults keep working."""
+    req = sm.StateRequest()
+    assert req.statefulProcessorCall.setHandleState.state == 0  # reads OK
+    with pytest.raises(NotImplementedError, match="unset message field"):
+        req.statefulProcessorCall.version = 1
+    with pytest.raises(NotImplementedError, match="unset message field"):
+        req.statefulProcessorCall.MergeFromString(b"")
+    # the refused write must not have attached anything
+    assert not req.HasField("statefulProcessorCall")

@@ -440,3 +440,21 @@ def test_lsh_star_candidates_preserve_connectivity(spark):
     assert set(star) <= set(allp)
     assert len(star) < len(allp)  # 5+3+4 cluster: star 9 edges vs all-pairs 19
     _ = BAND_SIZE
+
+
+def test_ngram_jaccard_refuses_without_opt_in(spark):
+    """The exact all-pairs jaccard baseline is quadratic by
+    construction; without the explicit allow_quadratic opt-in it must
+    refuse to build a plan (r4 verdict item #7 — no unguarded quadratic
+    query in the catalog)."""
+    import pytest as _pytest
+
+    from lakehouse_v3_spark.operators.dedup import ngram_jaccard_pairs
+
+    sets = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 11)], "doc_id long, shingle long"
+    )
+    with _pytest.raises(ValueError, match="allow_quadratic"):
+        ngram_jaccard_pairs(sets, "doc_id")
+    out = ngram_jaccard_pairs(sets, "doc_id", allow_quadratic=True).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 0.5)]

@@ -133,11 +133,13 @@ def gen_orders(sf, out):
 
 
 def _skewed_partkeys(r, n: int, n_part: int, hot_frac: float = 0.2):
-    """Zipf-skewed part keys: ONE hot key (0) takes ~hot_frac of all
-    lineitem rows, the rest follow a zipf(1.3) tail over the remaining
-    key space — the shape that makes a plain shuffle join straggle on
-    one reducer (the skew the salted operators and AQE skew-join
-    exist for; ~uniform fixtures never exercise them)."""
+    """Zipf-skewed part keys: ONE hot key (0) is PLANTED with ~hot_frac
+    of all lineitem rows; the rest follow a zipf(1.3) tail over the
+    remaining key space, whose head (key 1, P(z=1) ≈ 1/ζ(1.3) ≈ 0.25 of
+    the cold mass ≈ another ~20% of all rows) makes the fixture
+    effectively TWO-hot-key — the shape that makes a plain shuffle join
+    straggle on a couple of reducers (the skew the salted operators and
+    AQE skew-join exist for; ~uniform fixtures never exercise them)."""
     is_hot = r.random(n) < hot_frac
     z = r.zipf(1.3, n)  # >= 1, heavy tail
     cold = 1 + (z - 1) % max(n_part - 1, 1)  # spread over keys 1..n_part-1

@@ -1,7 +1,11 @@
 """Measure skew mitigation on a zipf-skewed fixture (gen_sf.py --skew zipf).
 
 Times three plans of the same lineitem ⋈ part join + brand rollup on a
-fixture where two hot part keys carry ~20% of lineitem each:
+fixture with two ~20% hot part keys: key 0 is PLANTED by
+gen_sf._skewed_partkeys (hot_frac=0.2 of all rows), and key 1 emerges
+from the zipf(1.3) tail head (0.8 × P(z=1) ≈ 0.8/ζ(1.3) ≈ 0.20 —
+measured 0.2034 / 0.2001 at sf1). hot_shares below reports the top-2
+keys to cover both:
 
   plain_no_aqe   — shuffle sort-merge join, AQE skew-join split OFF:
                    the straggler baseline (one reducer gets ~20% of the
