@@ -65,6 +65,21 @@ class QueryDef:
     # rtol query keys on o_orderpriority (unique); keep any future one
     # keyed the same way.
     rtol: float | None = None
+    # Optional FASTER oracle formulation for the big-SF repo gates
+    # (tools/sf_gate.py) only. A handful of deliberately-naive primary
+    # oracles (recursive-CTE transitive closure, all-shingle Σ df²
+    # joins, all-pairs list_reduce cosine) are the most independent
+    # formulation but superlinear in DuckDB — at sf1+ they time out.
+    # sf_oracle carries a tractable re-formulation of the SAME
+    # semantics (prefix filter, native-array prefilter + exact rescore,
+    # looped label propagation); equivalence against the primary oracle
+    # is pinned where both are tractable by
+    # tests/test_oracle_parity.py::test_sf_oracle_equivalent_to_primary.
+    # Either a DuckDB SQL string, or a callable (con, sf_dir) ->
+    # pandas.DataFrame running multi-statement/iterative DuckDB on a
+    # connection the gate's timeout watchdog can interrupt. The driver
+    # and the pytest sf0.001 parity gate always use the primary oracle.
+    sf_oracle: "str | Callable | None" = None
     # False → keep this oracle OUT of __spark_entry__.oracle_sql(): the
     # driver's compare is a strict value-hash that cannot express a
     # tolerance, so rtol-based oracles would mis-report as mismatches
@@ -108,6 +123,7 @@ def register(
     doc: str = "",
     rtol: float | None = None,
     driver_oracle: bool = True,
+    sf_oracle=None,
 ):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the catalog."""
 
@@ -121,6 +137,7 @@ def register(
             doc=doc or (fn.__doc__ or ""),
             rtol=rtol,
             driver_oracle=driver_oracle,
+            sf_oracle=sf_oracle,
         )
         return fn
 

@@ -394,7 +394,67 @@ ORDER BY jaccard DESC, i.id_a, i.id_b
 """
 
 
-@register("setsim_prefix_filter_join", oracle=_setsim_oracle())
+def _setsim_prefix_sf_oracle() -> str:
+    """Big-SF gate formulation (r4 verdict item #3): the primary naive
+    all-shingle oracle pays Σ df² probe pairs and times out above sf1;
+    this one re-implements the SAME prefix-filter algorithm the Spark
+    side runs — independently, in SQL, in a different engine — and
+    verifies candidates exactly, so outputs are identical wherever both
+    run. The prefix filter's no-false-negative guarantee itself stays
+    value-checked against the NAIVE oracle at sf0.001–sf1 (pytest
+    parity + test_sf_oracle_equivalent_to_primary + the committed sf1
+    gate rows); above that, the block variant
+    (setsim_prefix_filter_join_block) keeps naive-oracle evidence
+    alive at full scale on a bounded block."""
+    return f"""
+WITH sets AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(unnest(list_distinct(list_transform(
+           range(1, greatest(len({_TOKS}) - 4, 0) + 1),
+           i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2],
+                          {_TOKS}[i+3], {_TOKS}[i+4]))))), 1, 15))::BIGINT
+           AS shingle
+  FROM documents
+),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+dfreq AS MATERIALIZED (SELECT shingle, COUNT(*) AS df FROM sets GROUP BY shingle),
+ranked AS MATERIALIZED (
+  SELECT s.doc_id, s.shingle, z.sz,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rn
+  FROM sets s JOIN dfreq d USING (shingle) JOIN sizes z USING (doc_id)
+),
+prefix AS MATERIALIZED (
+  SELECT doc_id, shingle, sz FROM ranked
+  WHERE rn <= sz - CAST(ceil({_SETSIM_TAU} * sz) AS BIGINT) + 1
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+    AND b.sz >= CAST(ceil({_SETSIM_TAU} * a.sz) AS BIGINT)
+    AND b.sz <= CAST(floor(a.sz / {_SETSIM_TAU}) AS BIGINT)
+),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= {_SETSIM_TAU}
+ORDER BY jaccard DESC, i.id_a, i.id_b
+"""
+
+
+@register(
+    "setsim_prefix_filter_join",
+    oracle=_setsim_oracle(),
+    sf_oracle=_setsim_prefix_sf_oracle(),
+)
 def setsim_prefix_filter_join(spark, sf_dir):
     """Full-corpus EXACT jaccard similarity join at threshold τ=0.5 —
     made tractable by PREFIX FILTERING (Bayardo et al. "Scaling Up All
@@ -561,31 +621,103 @@ ORDER BY jaccard DESC, i.id_a, i.id_b
 """
 
 
+def _lsh_index_manager(spark, sf_dir):
+    """Per-(process, fixture) warehouse for the persisted LSH index.
+    The fingerprint covers the documents file's identity (path, size,
+    mtime) so a regenerated fixture invalidates the index; the pid
+    keeps concurrent gate/pytest processes from racing each other's
+    atomic overwrite swaps."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..tables import TableManager
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
+    wh = os.path.join(
+        tempfile.gettempdir(), f"lsh_index_{fp}_{os.getpid()}"
+    )
+    return TableManager(spark, wh, backend="parquet")
+
+
 @register("dedup_minhash_incremental", oracle=_minhash_incremental_oracle())
 def dedup_minhash_incremental(spark, sf_dir):
     """INCREMENTAL near-dup: a deterministic ~10% of documents
     (doc_id % 10 = 7) plays the arriving batch; only ITS bands probe
-    the full band index, so candidate volume is ∝ |new batch| × avg
+    a PERSISTED band index, so candidate volume is ∝ |new batch| × avg
     bucket size — not corpus². This is the production shape for a
-    continuously-ingesting 100 TB corpus: the (doc_id, band_key) index
-    (operators/dedup.py lsh_bands) persists as a bucketed table, each
-    arriving batch bands itself the same way, equi-joins the index,
-    exact-verifies its candidates at τ=0.5, and appends its own bands
-    back. The full-corpus re-scan (dedup_minhash_lsh) never needs to
-    re-run. The oracle recomputes the same new-side-probe semantics
-    exactly (pairs where at least one side is new, jaccard ≥ τ)."""
+    continuously-ingesting 100 TB corpus, and since r5 the index is
+    REAL, not recomputed per run (r4 verdict item #2):
+
+    - ``lsh_bands`` (doc_id, band_key) and ``lsh_shingles`` (doc_id,
+      shingle) for the existing corpus (doc_id % 10 != 7) are
+      MATERIALIZED via TableManager into a per-fixture warehouse,
+      repartitioned on their join keys at write time (band_key /
+      shingle) so probe joins hit co-located files — the path-table
+      stand-in for a bucketed or Delta table on a real deployment.
+      Built once per fixture fingerprint; every later run probes the
+      stored tables.
+    - the arriving batch shingles/bands ONLY ITSELF, equi-joins the
+      stored index (∪ its own bands, so new-new pairs surface),
+      exact-verifies candidates at τ=0.5 against stored shingle sets
+      ∪ its own, and APPENDS its bands back (left-anti on doc_id makes
+      the append idempotent across re-runs).
+    - the returned plan therefore contains NO full-corpus shingle scan:
+      documents.parquet appears nowhere in it (the batch's own shingle
+      set is an eager localCheckpoint) — pinned by
+      test_explain_plans.py::test_minhash_incremental_probes_stored_index.
+
+    The full-corpus re-scan (dedup_minhash_lsh) never needs to re-run.
+    The oracle recomputes the same new-side-probe semantics exactly
+    (pairs where at least one side is new, jaccard ≥ τ); bands are a
+    pure per-doc function, so old-corpus bands from the stored table
+    are bit-identical to an in-query recompute."""
+    tm = _lsh_index_manager(spark, sf_dir)
     d = load(spark, sf_dir, "documents")
-    sets = doc_shingle_sets(
-        d.select("doc_id", "text"), "doc_id",
+    new_filter = F.col("doc_id") % 10 == 7
+
+    if not (tm.exists("lsh_bands") and tm.exists("lsh_shingles")):
+        old_sets = doc_shingle_sets(
+            d.filter(~new_filter).select("doc_id", "text"), "doc_id",
+            word_shingles(tokens(F.col("text")), k=2),
+        )
+        tm.overwrite(old_sets.repartition(32, "shingle"), "lsh_shingles")
+        old_sigs = minhash_signatures(tm.read("lsh_shingles"), "doc_id")
+        tm.overwrite(
+            lsh_bands(old_sigs, "doc_id").repartition(32, "band_key"),
+            "lsh_bands",
+        )
+
+    # stored index snapshots (file listing happens here, BEFORE the
+    # append below, so the probe never sees the batch's appended bands
+    # twice)
+    index_bands = tm.read("lsh_bands")
+    index_sets = tm.read("lsh_shingles")
+
+    batch_sets = doc_shingle_sets(
+        d.filter(new_filter).select("doc_id", "text"), "doc_id",
         word_shingles(tokens(F.col("text")), k=2),
     ).localCheckpoint()
-    sigs = minhash_signatures(sets, "doc_id")
-    bands = lsh_bands(sigs, "doc_id")
-    new_bands = bands.filter(F.col("doc_id") % 10 == 7).select(
-        F.col("doc_id").alias("_nid"), "band_key"
+    batch_bands = lsh_bands(
+        minhash_signatures(batch_sets, "doc_id"), "doc_id"
+    ).localCheckpoint()
+
+    # append the batch's bands back into the stored index — idempotent
+    # (left-anti on already-indexed doc_ids), so re-runs are no-ops
+    tm.append(
+        batch_bands.join(
+            index_bands.select("doc_id").distinct(), on="doc_id", how="left_anti"
+        ).repartition(8, "band_key"),
+        "lsh_bands",
     )
+
+    new_bands = batch_bands.select(F.col("doc_id").alias("_nid"), "band_key")
+    probe_target = index_bands.unionByName(batch_bands)
     cands = (
-        new_bands.join(bands, on="band_key")
+        new_bands.join(probe_target, on="band_key")
         .filter(F.col("doc_id") != F.col("_nid"))
         .select(
             F.least("_nid", "doc_id").alias("id_a"),
@@ -593,7 +725,8 @@ def dedup_minhash_incremental(spark, sf_dir):
         )
         .distinct()
     )
-    verified = jaccard_verify(cands, sets, "doc_id")
+    all_sets = index_sets.unionByName(batch_sets)
+    verified = jaccard_verify(cands, all_sets, "doc_id")
     return (
         verified.filter(F.col("jaccard") >= _INC_TAU)
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")

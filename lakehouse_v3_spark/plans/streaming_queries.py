@@ -12,6 +12,11 @@ from ..io_utils import load
 from ..streaming.ingest import windowed_event_counts
 from . import register
 
+# Ring of per-invocation TWS update-mode sink dirs (the returned lazy
+# DataFrame scans the newest one; older dirs are best-effort deleted).
+_TWS_SINK_DIRS: list[str] = []
+_TWS_SINK_KEEP = 2
+
 _TUMBLING_ORACLE = """
 SELECT time_bucket(INTERVAL '1 hour', ts)            AS window_start,
        event_type,
@@ -98,8 +103,22 @@ def stream_tws_distinct_type_counts(spark, sf_dir):
     incremental emission) under the same oracle gate as every other
     operator. MapState point-updates per (user, type) are what keep a
     100 TB keyspace's state store incremental; the state never holds
-    more than |users|x|types| tiny rows."""
+    more than |users|x|types| tiny rows.
+
+    PRODUCTION-SHAPED return path (r4 verdict item #4): every update-mode
+    micro-batch emission is SUNK DISTRIBUTED — foreachBatch appends the
+    batch (stamped with its batch_id) to a parquet table, exactly how a
+    real deployment lands update-mode output in a lakehouse table. The
+    final answer is a distributed last-emission-per-key window
+    (row_number over batch_id desc) over that table. Nothing flows
+    through the driver: no toPandas(), no createDataFrame — at 10⁹ keys
+    the result path is a shuffle on user_id, same as any other query.
+    On a multi-node cluster the sink root must be shared storage; like
+    _parquet_reanchor, the SparkContext checkpoint dir is preferred
+    when set."""
+    import os
     import tempfile
+    import uuid
 
     from ..streaming.stateful import distinct_type_counts
 
@@ -112,7 +131,15 @@ def stream_tws_distinct_type_counts(spark, sf_dir):
         prov_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    batches: list = []
+    sink_root = spark.sparkContext.getCheckpointDir() or tempfile.gettempdir()
+    sink_dir = os.path.join(sink_root, f"tws_sink_{uuid.uuid4().hex}")
+
+    def _sink_batch(df, bid):
+        # distributed append: one parquet table keyed by (batch_id, user)
+        df.withColumn("_bid", F.lit(int(bid))).write.mode("append").parquet(
+            sink_dir
+        )
+
     try:
         # the streaming file source wants a DIRECTORY; events.parquet is
         # a single file, so stream the fixture dir with a glob filter
@@ -127,9 +154,7 @@ def stream_tws_distinct_type_counts(spark, sf_dir):
             q = (
                 distinct_type_counts(stream.select("user_id", "event_type"))
                 .writeStream.outputMode("update")
-                .foreachBatch(
-                    lambda df, bid: batches.append((bid, df.toPandas()))
-                )
+                .foreachBatch(_sink_batch)
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
@@ -141,16 +166,26 @@ def stream_tws_distinct_type_counts(spark, sf_dir):
         else:
             spark.conf.set(prov_key, old_prov)
 
-    import pandas as pd
+    # bounded scratch ring: the returned (lazy) DataFrame reads from
+    # sink_dir, so the newest dirs must outlive this call; older ones
+    # are best-effort deleted (same pattern as scale_extras' re-anchor)
+    _TWS_SINK_DIRS.append(sink_dir)
+    while len(_TWS_SINK_DIRS) > _TWS_SINK_KEEP:
+        import shutil
+
+        old = _TWS_SINK_DIRS.pop(0)
+        if "://" not in old:
+            shutil.rmtree(old, ignore_errors=True)
 
     # update mode re-emits a key on every batch that touches it; the
-    # LAST emission per user is the final accumulated state
-    allb = pd.concat(
-        [pdf.assign(_bid=bid) for bid, pdf in batches], ignore_index=True
+    # LAST emission per user is the final accumulated state — a
+    # distributed window over the sunk table, not a driver concat
+    from pyspark.sql import Window
+
+    emissions = spark.read.parquet(sink_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("_bid").desc())
+    return (
+        emissions.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_types", "n_events")
     )
-    final = (
-        allb.sort_values("_bid")
-        .groupby("user_id", as_index=False)
-        .last()[["user_id", "n_types", "n_events"]]
-    )
-    return spark.createDataFrame(final)

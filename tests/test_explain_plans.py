@@ -349,3 +349,19 @@ def test_minhash_lsh_candidates_are_band_bucket_join(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "band_key" in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_minhash_incremental_probes_stored_index(spark, sf_dir):
+    """r4 verdict item #2: dedup_minhash_incremental must PROBE the
+    persisted band index, never recompute full-corpus bands in-query.
+    The returned plan therefore (a) scans the materialized lsh_bands
+    and lsh_shingles tables, and (b) contains NO scan of
+    documents.parquet at all — the arriving batch's own shingle set is
+    an eager localCheckpoint, and the old corpus exists only as the
+    stored index."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_incremental")
+    assert "lsh_bands" in plan, "probe must read the persisted band index"
+    assert "lsh_shingles" in plan, "verify must read the persisted shingle sets"
+    assert "documents.parquet" not in plan, (
+        "full-corpus shingle scan leaked back into the probe plan"
+    )

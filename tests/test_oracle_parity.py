@@ -33,3 +33,38 @@ def test_contract_shapes():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert all(callable(f) for f in q.values())
+
+
+SF_ORACLE_NAMES = sorted(
+    n for n, qd in load_all().items() if qd.sf_oracle is not None
+)
+
+
+@pytest.mark.parametrize("name", SF_ORACLE_NAMES)
+def test_sf_oracle_equivalent_to_primary(name):
+    """Every tractable-big-SF oracle reformulation (QueryDef.sf_oracle)
+    must produce IDENTICAL results to the primary (most-independent)
+    oracle where both run — compared at sf0.01 with the same
+    order-insensitive value comparison the gates use. This is what lets
+    the sf1/sf5 gates swap in the fast formulation without weakening
+    the correctness claim."""
+    import duckdb
+
+    from lakehouse_v3_spark.io_utils import TABLES
+    from lakehouse_v3_spark.oracle_harness import compare_frames, run_oracle
+
+    qd = load_all()[name]
+    sf = "/root/testdata/sf0.01"
+    primary = run_oracle(qd.oracle, sf)
+    if callable(qd.sf_oracle):
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+            )
+        fast = qd.sf_oracle(con, sf)
+        con.close()
+    else:
+        fast = run_oracle(qd.sf_oracle, sf)
+    errs = compare_frames(fast, primary, rtol=qd.rtol)
+    assert not errs, f"{name}: " + "; ".join(errs)

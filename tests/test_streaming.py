@@ -235,3 +235,41 @@ def test_streaming_merge_into_snapshots(spark, tmp_path):
         for r in tm.snapshot_diff("silver.state", 0, 1, ["user_id"]).collect()
     }
     assert changes == {2: "update", 3: "insert"}
+
+
+def test_tws_catalog_query_return_path_is_distributed(spark):
+    """r4 verdict item #4: the TWS catalog query's update-mode output
+    must be sunk to a parquet table in foreachBatch and the final
+    answer computed as a distributed last-emission-per-key window —
+    never driver-side pandas accumulation. Checks (a) values against
+    the plain batch aggregate, (b) the returned plan reads the parquet
+    sink through a Window, (c) no toPandas/createDataFrame anywhere in
+    the query source."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_v3_spark.plans import load_all
+    from lakehouse_v3_spark.plans.streaming_queries import (
+        stream_tws_distinct_type_counts,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = load_all()["stream_tws_distinct_type_counts"].fn(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "tws_sink_" in plan, "final answer must scan the parquet sink"
+    assert "Window" in plan, "last-emission-per-key must be a window"
+    src = inspect.getsource(stream_tws_distinct_type_counts)
+    assert ".toPandas(" not in src and ".createDataFrame(" not in src
+    got = {(r.user_id, r.n_types, r.n_events) for r in out.collect()}
+    exp = {
+        (r.user_id, r.n_types, r.n_events)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("event_type").alias("n_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == exp

@@ -30,8 +30,13 @@ if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
 
-def run_oracle_with_timeout(sql: str, sf_dir: str, timeout: float):
-    """DuckDB oracle with a watchdog: returns (df, timed_out)."""
+def run_oracle_with_timeout(oracle, sf_dir: str, timeout: float):
+    """DuckDB oracle with a watchdog: returns (df, timed_out).
+
+    ``oracle`` is either a SQL string or a QueryDef.sf_oracle callable
+    ``(con, sf_dir) -> pandas.DataFrame`` (iterative/multi-statement
+    oracles, e.g. looped connected-components label propagation); the
+    watchdog interrupts the shared connection either way."""
     import duckdb
 
     con = duckdb.connect()
@@ -47,7 +52,9 @@ def run_oracle_with_timeout(sql: str, sf_dir: str, timeout: float):
     timer = threading.Timer(timeout, con.interrupt)
     timer.start()
     try:
-        return con.execute(sql).fetchdf(), False
+        if callable(oracle):
+            return oracle(con, sf_dir), False
+        return con.execute(oracle).fetchdf(), False
     except duckdb.InterruptException:
         return None, True
     except Exception as exc:
@@ -103,13 +110,16 @@ def main() -> None:
                 out.write(json.dumps(rec) + "\n")
                 out.flush()
                 continue
-            if qd.oracle is None:
+            oracle = qd.sf_oracle or qd.oracle
+            if oracle is None:
                 rec["status"] = "rows_only"
             else:
+                if qd.sf_oracle is not None:
+                    rec["sf_oracle"] = True
                 t1 = time.monotonic()
                 try:
                     odf, timed_out = run_oracle_with_timeout(
-                        qd.oracle, args.sf_dir, args.oracle_timeout
+                        oracle, args.sf_dir, args.oracle_timeout
                     )
                 except Exception as exc:
                     rec["error"] = f"oracle: {str(exc)[:300]}"
