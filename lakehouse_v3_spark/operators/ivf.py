@@ -77,10 +77,43 @@ def cell_dist_structs(vec, cents: list[list[float]]):
     )
 
 
-def assign_cell_expr(vec, cents: list[list[float]]):
-    """Nearest-centroid id for one vector column — argmin by (dist, cid)
-    via array_min over the struct array; pure projection, no shuffle."""
-    return F.array_min(cell_dist_structs(vec, cents))["cid"]
+def assign_cells(
+    df: DataFrame, cents: list[list[float]], vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Append the nearest-centroid id (argmin by (dist, cid)) as
+    ``out_col`` — the CORPUS-scale assignment path, so it must stay in
+    whole-stage codegen. A single fused argmin expression would be
+    k × dim ≈ 512 nested adds in ONE expression tree, which overflows
+    the JVM's 64 KB method limit and silently drops the stage to
+    interpreted eval (observed: 'Code ... grows beyond 64 KB'). Instead:
+
+      1. one projection computes the k distances as SEPARATE columns —
+         separate expressions, so codegen splits them into one ~64-term
+         method each;
+      2. a second projection picks the argmin via least() + a CASE
+         chain. Each distance column is referenced TWICE there (in
+         least and in its own WHEN), and CollapseProject declines to
+         inline non-cheap expressions referenced more than once — which
+         is exactly what keeps step 1's columns from being re-fused
+         into a monster tree.
+
+    The CASE scans cids in ascending order and takes the first equal to
+    the minimum, so ties resolve to the lowest cid — identical to the
+    (dist, cid) row_number tie-break in the DuckDB oracle."""
+    dists = [f"_ivf_d{c}" for c in range(len(cents))]
+    with_d = df.select(
+        "*",
+        *[
+            sqdist_unrolled(F.col(vec_col), cent).alias(d)
+            for d, cent in zip(dists, cents)
+        ],
+    )
+    best = F.least(*[F.col(d) for d in dists])
+    cell = F.lit(None)
+    for c in reversed(range(len(cents))):
+        cell = F.when(F.col(dists[c]) == best, F.lit(c)).otherwise(cell)
+    return with_d.select(*df.columns, cell.alias(out_col))
 
 
 def probe_cells_expr(vec, cents: list[list[float]], nprobe: int):
@@ -202,8 +235,8 @@ def _lloyd_update(e: DataFrame, cents: list[list[float]]) -> DataFrame:
     nearest centroid (flat codegen argmin), then per-(cid, dim) counts
     and 6-dp decimal-mean components. Used both inside the driver loop
     and to rebuild the converged state distributed for query output."""
-    assigned = e.select(
-        assign_cell_expr(F.col("embedding"), cents).alias("cid"), "embedding"
+    assigned = assign_cells(
+        e.select("embedding"), cents, out_col="cid"
     )
     return (
         assigned.select("cid", F.posexplode("embedding").alias("dim", "val"))

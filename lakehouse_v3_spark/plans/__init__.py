@@ -105,6 +105,7 @@ _MODULES = [
     "text_queries",
     "dedup_queries",
     "similarity_queries",
+    "ivf_queries",
     "audit_queries",
     "streaming_queries",
     "multimodal_queries",
