@@ -217,6 +217,14 @@ def ngram_jaccard_pairs(
 
     ``sets`` is (id, shingle[, block cols]) distinct rows; pairs join on
     shingle plus every block col. Returns (id_a, id_b, jaccard).
+
+    CONTRACT: when ``block_cols`` are given, every id must map to a
+    SINGLE block-column combination (e.g. one language per document).
+    Intersections are computed within blocks while set sizes are
+    per-id, so an id whose shingle rows straddle blocks would get a
+    silently-wrong jaccard denominator (r5 advisory). The contract is
+    enforced eagerly below — one cheap aggregate scan, negligible next
+    to the opted-into quadratic join — and violations raise.
     """
     if not allow_quadratic:
         raise ValueError(
@@ -227,6 +235,24 @@ def ngram_jaccard_pairs(
             "(lsh_candidate_pairs star=True, setsim prefix filter)"
         )
     block_cols = block_cols or []
+    if block_cols:
+        straddlers = (
+            sets.groupBy(id_col)
+            .agg(
+                F.countDistinct(F.struct(*block_cols)).alias("_n_blocks")
+            )
+            .filter(F.col("_n_blocks") > 1)
+            .limit(1)
+            .count()
+        )
+        if straddlers:
+            raise ValueError(
+                "ngram_jaccard_pairs: at least one id has shingle rows "
+                f"under more than one {block_cols} combination — "
+                "per-id set sizes would no longer be the jaccard "
+                "denominator within a block. Split such ids per block "
+                "(or drop block_cols) before calling."
+            )
     sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = sets.select(F.col(id_col).alias("id_a"), *block_cols, "shingle")
     sb = sets.select(F.col(id_col).alias("id_b"), *block_cols, "shingle")

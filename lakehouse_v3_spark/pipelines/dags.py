@@ -1,0 +1,190 @@
+"""Reference-shaped DAG factories on the minimal orchestrator
+(:mod:`lakehouse_v3_spark.orchestrate`).
+
+Two graphs mirror the reference's Airflow wiring:
+
+- :func:`uber_dag` — the linear medallion chain ``ingest >>
+  csv_to_delta >> bronze2_to_silver >> silver_to_gold``
+  (airflow/dags/uber_dag.py:29-98, default_args retries=10/1min,
+  max_active_runs=1). Ingest discovers NEW csv files against a
+  processed-file log (binaryFile listing ∖ log, the reference's
+  incremental contract) and raises :class:`~..orchestrate.Skip` when
+  there is nothing new — downstream layers then skip too, which is the
+  Airflow behavior of the reference's isEmpty() short-circuit.
+- :func:`audit_dag` — the fan-out/fan-in audit graph
+  ``001 >> 002_completeness >> 004_fact_completeness`` ∥
+  ``001 >> 002_validity >> 004_fact_validity`` with both 004s joining
+  into ``005_send_alert`` (airflow/dags/001_004_dataaudit.py:149-153).
+
+Tasks communicate ONLY through warehouse tables (each task re-reads
+its upstream layer), exactly like the reference's spark-submit jobs
+communicate through Delta tables — this is what makes every task, and
+therefore every DAG re-run, idempotent: bronze append is guarded by
+the file log, every later layer is a deterministic overwrite of a
+derived table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..audit.config import (
+    completeness_rules_from_df,
+    completeness_rules_to_df,
+    validity_rules_from_df,
+    validity_rules_to_df,
+)
+from ..audit.engine import run_completeness_rules, run_validity_rules
+from ..audit.facts import explode_results_to_fact, latest_run_failures
+from ..audit.alerting import failure_report, send_alert
+from ..incremental import FileLogCheckpoint, list_files
+from ..orchestrate import Dag, Skip
+from ..tables import TableManager
+from . import uber
+
+
+# ---------------------------------------------------------------------------
+# UBER: ingest >> csv_to_delta >> bronze2_to_silver >> silver_to_gold
+# ---------------------------------------------------------------------------
+
+def uber_dag(
+    spark,
+    raw_dir: str,
+    tm: TableManager,
+    retries: int = 2,
+    retry_delay: float = 0.0,
+) -> Dag:
+    """Build the uber medallion DAG. ``raw_dir`` holds the landing-zone
+    csv files; tables land in ``tm``'s warehouse as
+    ``uber.bronze1/bronze2/silver`` and four ``uber.gold_*`` KPI
+    tables (reference job files: uber/csv_to_delta.py,
+    uber/bronze2_to_silver.py, uber/silver_to_gold.py)."""
+
+    def ingest(ctx):
+        log = FileLogCheckpoint(tm, "uber_csv")
+        listing = list_files(spark, raw_dir, suffix=".csv")
+        new = log.new_files(listing).select("path")
+        paths = [r.path for r in new.collect()]  # file NAMES, not data
+        if not paths:
+            raise Skip("no new csv files under " + raw_dir)
+        raw = (
+            spark.read.option("header", "true")
+            .csv(paths)
+            .withColumn("_ingest_file", F.input_file_name())
+        )
+        tm.append(raw, "uber.bronze1")
+        log.record(new)
+        return {"new_files": len(paths)}
+
+    def csv_to_delta(ctx):
+        raw = tm.read("uber.bronze1").drop("_ingest_file")
+        tm.overwrite(uber.bronze2(raw), "uber.bronze2")
+
+    def bronze2_to_silver(ctx):
+        tm.overwrite(uber.silver(tm.read("uber.bronze2")), "uber.silver")
+
+    def silver_to_gold(ctx):
+        sv = tm.read("uber.silver")
+        tm.overwrite(uber.gold_booking_stats(sv), "uber.gold_booking_stats")
+        tm.overwrite(uber.gold_rushhour_stats(sv), "uber.gold_rushhour_stats")
+        tm.overwrite(
+            uber.gold_cancellation_stats(sv), "uber.gold_cancellation_stats"
+        )
+        tm.overwrite(uber.gold_payment_stats(sv), "uber.gold_payment_stats")
+
+    dag = Dag("uber", lock_dir=tm.warehouse_dir)
+    dag.task("ingest", ingest, retries=retries, retry_delay=retry_delay)
+    dag.task("csv_to_delta", csv_to_delta, upstream=("ingest",),
+             retries=retries, retry_delay=retry_delay)
+    dag.task("bronze2_to_silver", bronze2_to_silver,
+             upstream=("csv_to_delta",), retries=retries,
+             retry_delay=retry_delay)
+    dag.task("silver_to_gold", silver_to_gold,
+             upstream=("bronze2_to_silver",), retries=retries,
+             retry_delay=retry_delay)
+    return dag
+
+
+# ---------------------------------------------------------------------------
+# AUDIT: 001 >> (002c >> 004c) ∥ (002v >> 004v) >> 005
+# ---------------------------------------------------------------------------
+
+def audit_dag(
+    spark,
+    tables,
+    completeness_rules,
+    validity_rules,
+    tm: TableManager,
+    transport,
+    recipients: tuple[str, ...] = ("ops@example.com",),
+    retries: int = 2,
+) -> Dag:
+    """Build the data-audit DAG over in-memory ``tables``
+    (name → DataFrame). 001 persists the rule config to control
+    tables; each 002 re-reads its config table and evaluates its rule
+    family; each 004 explodes results into the violated-PK fact table;
+    005 fan-ins both facts into one alert (skips itself when there are
+    no failures, like the reference's "No failed audits to send")."""
+
+    def load_config(ctx):
+        tm.overwrite(
+            completeness_rules_to_df(spark, completeness_rules),
+            "audit.config_completeness",
+        )
+        tm.overwrite(
+            validity_rules_to_df(spark, validity_rules),
+            "audit.config_validity",
+        )
+
+    def dim_completeness(ctx):
+        rules = completeness_rules_from_df(tm.read("audit.config_completeness"))
+        tm.overwrite(
+            run_completeness_rules(spark, tables, rules),
+            "audit.dim_completeness",
+        )
+
+    def dim_validity(ctx):
+        rules = validity_rules_from_df(tm.read("audit.config_validity"))
+        tm.overwrite(
+            run_validity_rules(spark, tables, rules), "audit.dim_validity"
+        )
+
+    def fact_completeness(ctx):
+        tm.overwrite(
+            explode_results_to_fact(tm.read("audit.dim_completeness")),
+            "audit.fact_completeness",
+        )
+
+    def fact_validity(ctx):
+        tm.overwrite(
+            explode_results_to_fact(tm.read("audit.dim_validity")),
+            "audit.fact_validity",
+        )
+
+    def send_alert_hourly(ctx):
+        # latest run PER FACT TABLE, then union: the two 002 branches
+        # stamp their own dt_checked_at, so a global MAX would silently
+        # drop whichever branch finished first
+        fact = latest_run_failures(
+            tm.read("audit.fact_completeness")
+        ).unionByName(
+            latest_run_failures(tm.read("audit.fact_validity")),
+            allowMissingColumns=True,
+        )
+        report = failure_report(fact)
+        return send_alert(report, transport=transport, recipients=recipients)
+
+    dag = Dag("dataaudit", lock_dir=tm.warehouse_dir)
+    dag.task("001_load_config", load_config, retries=retries)
+    dag.task("002_completeness", dim_completeness,
+             upstream=("001_load_config",), retries=retries)
+    dag.task("002_validity", dim_validity,
+             upstream=("001_load_config",), retries=retries)
+    dag.task("004_fact_completeness", fact_completeness,
+             upstream=("002_completeness",), retries=retries)
+    dag.task("004_fact_validity", fact_validity,
+             upstream=("002_validity",), retries=retries)
+    dag.task("005_send_alert_hourly", send_alert_hourly,
+             upstream=("004_fact_completeness", "004_fact_validity"),
+             retries=retries)
+    return dag

@@ -10,6 +10,8 @@ independent re-execution, not a stub.
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -622,25 +624,65 @@ ORDER BY jaccard DESC, i.id_a, i.id_b
 
 
 def _lsh_index_manager(spark, sf_dir):
-    """Per-(process, fixture) warehouse for the persisted LSH index.
-    The fingerprint covers the documents file's identity (path, size,
-    mtime) so a regenerated fixture invalidates the index; the pid
-    keeps concurrent gate/pytest processes from racing each other's
-    atomic overwrite swaps."""
+    """Per-fixture warehouse for the persisted LSH index, SHARED across
+    processes (r5 advisory: the previous per-pid path rebuilt the
+    "persisted" index in every new pytest/gate/driver process and
+    leaked the per-pid dirs). The dir name is
+    ``lsh_index_<path-hash>_<content-hash>``:
+
+    - path-hash identifies the fixture dir, so different SFs keep
+      separate indexes;
+    - content-hash covers (size, st_mtime_ns) of documents.parquet —
+      nanosecond mtime, so a same-second fixture regeneration (possible
+      with tools/gen_sf.py on a fast disk) cannot serve a stale index;
+    - superseded dirs (same path-hash, different content-hash) are
+      deleted under the lock, so regenerating a fixture reclaims the
+      old index's disk.
+
+    Cross-process build/append races are serialized by
+    ``_lsh_index_lock`` (flock on a sibling lock file — see the query
+    body); overwrite's atomic rename remains the last line of defense.
+    Returns (TableManager, lock_path)."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from ..tables import TableManager
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    fp = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{int(st.st_mtime)}".encode()
-    ).hexdigest()[:12]
-    wh = os.path.join(
-        tempfile.gettempdir(), f"lsh_index_{fp}_{os.getpid()}"
-    )
-    return TableManager(spark, wh, backend="parquet")
+    ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    ch = hashlib.md5(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
+    lock_path = os.path.join(tmp, f"lsh_index_{ph}.lock")
+    wh = os.path.join(tmp, f"lsh_index_{ph}_{ch}")
+    with _lsh_index_lock(lock_path):
+        for old in os.listdir(tmp):
+            if old.startswith(f"lsh_index_{ph}_") and old != os.path.basename(wh):
+                shutil.rmtree(os.path.join(tmp, old), ignore_errors=True)
+    return TableManager(spark, wh, backend="parquet"), lock_path
+
+
+@_contextmanager
+def _lsh_index_lock(lock_path):
+    """Exclusive advisory flock serializing index builders/appenders
+    across processes. POSIX-only (fcntl); on platforms without fcntl
+    the lock degrades to a no-op and overwrite's write-to-temp +
+    atomic-rename keeps builds from corrupting each other."""
+    import os
+
+    try:
+        import fcntl
+    except ImportError:  # pragma: no cover - non-POSIX
+        yield
+        return
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 @register("dedup_minhash_incremental", oracle=_minhash_incremental_oracle())
@@ -675,27 +717,29 @@ def dedup_minhash_incremental(spark, sf_dir):
     (pairs where at least one side is new, jaccard ≥ τ); bands are a
     pure per-doc function, so old-corpus bands from the stored table
     are bit-identical to an in-query recompute."""
-    tm = _lsh_index_manager(spark, sf_dir)
+    tm, lock_path = _lsh_index_manager(spark, sf_dir)
     d = load(spark, sf_dir, "documents")
     new_filter = F.col("doc_id") % 10 == 7
 
-    if not (tm.exists("lsh_bands") and tm.exists("lsh_shingles")):
-        old_sets = doc_shingle_sets(
-            d.filter(~new_filter).select("doc_id", "text"), "doc_id",
-            word_shingles(tokens(F.col("text")), k=2),
-        )
-        tm.overwrite(old_sets.repartition(32, "shingle"), "lsh_shingles")
-        old_sigs = minhash_signatures(tm.read("lsh_shingles"), "doc_id")
-        tm.overwrite(
-            lsh_bands(old_sigs, "doc_id").repartition(32, "band_key"),
-            "lsh_bands",
-        )
+    with _lsh_index_lock(lock_path):
+        if not (tm.exists("lsh_bands") and tm.exists("lsh_shingles")):
+            old_sets = doc_shingle_sets(
+                d.filter(~new_filter).select("doc_id", "text"), "doc_id",
+                word_shingles(tokens(F.col("text")), k=2),
+            )
+            tm.overwrite(old_sets.repartition(32, "shingle"), "lsh_shingles")
+            old_sigs = minhash_signatures(tm.read("lsh_shingles"), "doc_id")
+            tm.overwrite(
+                lsh_bands(old_sigs, "doc_id").repartition(32, "band_key"),
+                "lsh_bands",
+            )
 
-    # stored index snapshots (file listing happens here, BEFORE the
-    # append below, so the probe never sees the batch's appended bands
-    # twice)
-    index_bands = tm.read("lsh_bands")
-    index_sets = tm.read("lsh_shingles")
+        # stored index snapshots (file listing happens here, under the
+        # lock and BEFORE the append below, so the probe never sees the
+        # batch's appended bands twice and never races a concurrent
+        # process's append)
+        index_bands = tm.read("lsh_bands")
+        index_sets = tm.read("lsh_shingles")
 
     batch_sets = doc_shingle_sets(
         d.filter(new_filter).select("doc_id", "text"), "doc_id",
@@ -706,13 +750,18 @@ def dedup_minhash_incremental(spark, sf_dir):
     ).localCheckpoint()
 
     # append the batch's bands back into the stored index — idempotent
-    # (left-anti on already-indexed doc_ids), so re-runs are no-ops
-    tm.append(
-        batch_bands.join(
-            index_bands.select("doc_id").distinct(), on="doc_id", how="left_anti"
-        ).repartition(8, "band_key"),
-        "lsh_bands",
-    )
+    # (left-anti on already-indexed doc_ids), so re-runs are no-ops;
+    # the flock serializes concurrent appenders so two processes can't
+    # both pass the left-anti check and double-append the same batch
+    with _lsh_index_lock(lock_path):
+        # fresh snapshot for the idempotence check — another process
+        # may have appended since our probe snapshot above
+        already = tm.read("lsh_bands").select("doc_id").distinct()
+        tm.append(
+            batch_bands.join(already, on="doc_id", how="left_anti")
+            .repartition(8, "band_key"),
+            "lsh_bands",
+        )
 
     new_bands = batch_bands.select(F.col("doc_id").alias("_nid"), "band_key")
     probe_target = index_bands.unionByName(batch_bands)

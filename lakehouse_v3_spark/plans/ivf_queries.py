@@ -41,7 +41,15 @@ from ..operators.ivf import (
 from ..operators.similarity import knn_bruteforce
 from . import register
 
-_N_UNROLL = 22
+# Must exceed the max measured iteration count of EVERY fixture the
+# driver or gates can run the primary (unrolled) oracle at — measured:
+# 13 / 19 / 31 / 24 / 9 at sf0.001 / 0.01 / 0.1 / 1 / 5. The r5
+# advisor caught 22 < 31: at sf0.1 the chain had no converged
+# iteration, tsel was NULL, and the oracle silently returned ZERO rows
+# (a false correctness failure). 36 covers the worst case with
+# headroom; test_oracle_parity.py::test_ivf_unroll_covers_fixtures
+# pins _N_UNROLL > the fixture-measured max.
+_N_UNROLL = 36
 _NPROBE = 3
 
 

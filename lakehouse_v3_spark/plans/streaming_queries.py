@@ -12,10 +12,27 @@ from ..io_utils import load
 from ..streaming.ingest import windowed_event_counts
 from . import register
 
-# Ring of per-invocation TWS update-mode sink dirs (the returned lazy
-# DataFrame scans the newest one; older dirs are best-effort deleted).
+# Per-invocation TWS update-mode sink dirs. The returned DataFrame is
+# LAZY over its sink dir, so a reference from any earlier invocation
+# must stay collectable for the life of the process (the r5 advisor
+# caught the previous 2-deep ring silently invalidating a result held
+# across two further invocations). Dirs are only removed at process
+# exit; each holds one fixture's update-mode emissions (~MBs), so
+# within-process growth is bounded by invocation count, not data size.
 _TWS_SINK_DIRS: list[str] = []
-_TWS_SINK_KEEP = 2
+
+
+def _tws_sink_cleanup() -> None:  # registered once, below
+    import shutil
+
+    for d in _TWS_SINK_DIRS:
+        if "://" not in d:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit as _atexit
+
+_atexit.register(_tws_sink_cleanup)
 
 _TUMBLING_ORACLE = """
 SELECT time_bucket(INTERVAL '1 hour', ts)            AS window_start,
@@ -166,16 +183,10 @@ def stream_tws_distinct_type_counts(spark, sf_dir):
         else:
             spark.conf.set(prov_key, old_prov)
 
-    # bounded scratch ring: the returned (lazy) DataFrame reads from
-    # sink_dir, so the newest dirs must outlive this call; older ones
-    # are best-effort deleted (same pattern as scale_extras' re-anchor)
+    # the returned (lazy) DataFrame reads from sink_dir — every sink
+    # dir lives until process exit (atexit above) so EVERY DataFrame
+    # this query has ever returned stays collectable
     _TWS_SINK_DIRS.append(sink_dir)
-    while len(_TWS_SINK_DIRS) > _TWS_SINK_KEEP:
-        import shutil
-
-        old = _TWS_SINK_DIRS.pop(0)
-        if "://" not in old:
-            shutil.rmtree(old, ignore_errors=True)
 
     # update mode re-emits a key on every batch that touches it; the
     # LAST emission per user is the final accumulated state — a

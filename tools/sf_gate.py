@@ -49,8 +49,26 @@ def run_oracle_with_timeout(oracle, sf_dir: str, timeout: float):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
-    timer = threading.Timer(timeout, con.interrupt)
-    timer.start()
+    # Re-firing watchdog (r5 advisory): duckdb's interrupt() only
+    # cancels an IN-FLIGHT statement, so a one-shot Timer whose fire
+    # lands between two statements of a multi-statement callable oracle
+    # (looped label propagation, Lloyd iterations) was silently lost
+    # and the oracle ran unbounded. After the deadline this thread
+    # interrupts every 0.5 s until the worker acknowledges, so the next
+    # statement to start is killed even if the previous fire missed.
+    deadline = time.monotonic() + timeout
+    stop = threading.Event()
+
+    def _watchdog():
+        while not stop.wait(0.5):
+            if time.monotonic() >= deadline:
+                try:
+                    con.interrupt()
+                except Exception:
+                    return
+
+    wd = threading.Thread(target=_watchdog, daemon=True)
+    wd.start()
     try:
         if callable(oracle):
             return oracle(con, sf_dir), False
@@ -62,7 +80,8 @@ def run_oracle_with_timeout(oracle, sf_dir: str, timeout: float):
             return None, True
         raise
     finally:
-        timer.cancel()
+        stop.set()
+        wd.join(timeout=2)
         con.close()
 
 
