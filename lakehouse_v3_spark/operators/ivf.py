@@ -8,9 +8,9 @@ and single-cell probing. This module closes r4 verdict item #5.
 
 Design for 100 TB:
   - Each Lloyd iteration is ONE distributed aggregation job: assignment
-    is a flat whole-stage-codegen expression (k × dim fused
-    multiply-adds per row — no join, no shuffle, no interpreted
-    higher-order function on the hot path), and the centroid update is
+    is an Arrow-batched numpy argmin (k × dim vectorized multiply-adds
+    per batch — no join, no shuffle; see assign_cells for why this
+    beats a codegen expression here), and the centroid update is
     posexplode → groupBy(cid, dim) with map-side partial aggregation,
     so the shuffle carries only k × dim × partitions partial sums no
     matter the corpus size.
@@ -29,7 +29,9 @@ Design for 100 TB:
 Determinism contract shared with the oracles (plans/ivf_queries.py):
   - seeds = the k vectors with vec_id < k, rounded to 6 dp;
   - squared distance = left-to-right fold of (v[i]-c[i])² in index
-    order seeded with 0.0 double (bit-identical to DuckDB list_reduce);
+    order seeded with 0.0 double (bit-identical to DuckDB list_reduce;
+    numpy evaluates the same fold vectorized over rows, sequential
+    over dims — never pairwise/SIMD summation);
   - argmin tie-break on (dist, cid);
   - new component = ROUND(decimal(30,6)-accumulated mean of the
     double-promoted float values, 6) — the kmeans_lloyd_step recipe;
@@ -42,6 +44,9 @@ from __future__ import annotations
 import math
 import os
 
+# module-level so the pandas_udf type hints (stringified by the
+# __future__ annotations import) resolve via module globals
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,31 +55,29 @@ IVF_TOL_MICRO = 2000  # max |Δcomponent| ≤ 0.002 between iterations
 IVF_MAX_ITER = 60
 
 
-def sqdist_unrolled(vec, cent: list[float]):
-    """Σ (vec[i]-cent[i])² as a flat codegen expression: double products,
-    left-associated adds seeded with 0.0 — bit-identical to DuckDB's
-    list_reduce fold over the same rounded-centroid doubles, ~100×
-    faster than an interpreted zip_with/aggregate per row."""
-    total = F.lit(0.0)
-    for i, c in enumerate(cent):
-        d = vec[i].cast("double") - F.lit(float(c))
-        total = total + d * d
-    return total
+def _cell_dists_np(emb_series, cents: list[list[float]]):
+    """(n × k) float64 distance matrix via an EXACT LEFT FOLD: for each
+    centroid, acc starts at 0.0 and the 64 per-dimension (v-c)² terms
+    are added SEQUENTIALLY (vectorized over rows, sequential over dims)
+    — each output element sees the identical IEEE operation sequence as
+    DuckDB's ``list_reduce(list_prepend(0.0, ...), +)`` fold and the
+    previous unrolled-expression implementation, so argmin/tie-break
+    decisions are bit-identical across engines. ``np.dot``/``np.sum``
+    would be faster but use pairwise/SIMD summation — a DIFFERENT
+    rounding order that can flip an argmin on near-ties and silently
+    diverge from the oracle."""
+    import numpy as np
 
-
-def cell_dist_structs(vec, cents: list[list[float]]):
-    """array<struct<dist,cid>> of distances to every centroid; struct
-    ordering (dist first, cid second) gives the deterministic
-    (dist, cid) tie-break both engines use."""
-    return F.array(
-        *[
-            F.struct(
-                sqdist_unrolled(vec, cent).alias("dist"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cent in enumerate(cents)
-        ]
-    )
+    M = np.vstack(emb_series.to_numpy()).astype(np.float64)  # float32 widen
+    n = M.shape[0]
+    dists = np.empty((n, len(cents)), dtype=np.float64)
+    for cid, cent in enumerate(cents):
+        acc = np.zeros(n, dtype=np.float64)
+        for d, c in enumerate(cent):
+            diff = M[:, d] - c
+            acc = acc + diff * diff
+        dists[:, cid] = acc
+    return dists
 
 
 def assign_cells(
@@ -82,48 +85,73 @@ def assign_cells(
     out_col: str = "cell",
 ) -> DataFrame:
     """Append the nearest-centroid id (argmin by (dist, cid)) as
-    ``out_col`` — the CORPUS-scale assignment path, so it must stay in
-    whole-stage codegen. A single fused argmin expression would be
-    k × dim ≈ 512 nested adds in ONE expression tree, which overflows
-    the JVM's 64 KB method limit and silently drops the stage to
-    interpreted eval (observed: 'Code ... grows beyond 64 KB'). Instead:
+    ``out_col`` — the CORPUS-scale assignment path.
 
-      1. one projection computes the k distances as SEPARATE columns —
-         separate expressions, so codegen splits them into one ~64-term
-         method each;
-      2. a second projection picks the argmin via least() + a CASE
-         chain. Each distance column is referenced TWICE there (in
-         least and in its own WHEN), and CollapseProject declines to
-         inline non-cheap expressions referenced more than once — which
-         is exactly what keeps step 1's columns from being re-fused
-         into a monster tree.
+    This is an Arrow-batched pandas_udf over numpy, NOT a codegen
+    expression, for two measured reasons (r6, found by a GC-thrash OOM
+    in the pytest suite):
 
-    The CASE scans cids in ascending order and takes the first equal to
-    the minimum, so ties resolve to the lowest cid — identical to the
-    (dist, cid) row_number tie-break in the DuckDB oracle."""
-    dists = [f"_ivf_d{c}" for c in range(len(cents))]
-    with_d = df.select(
-        "*",
-        *[
-            sqdist_unrolled(F.col(vec_col), cent).alias(d)
-            for d, cent in zip(dists, cents)
-        ],
-    )
-    best = F.least(*[F.col(d) for d in dists])
-    cell = F.lit(None)
-    for c in reversed(range(len(cents))):
-        cell = F.when(F.col(dists[c]) == best, F.lit(c)).otherwise(cell)
-    return with_d.select(*df.columns, cell.alias(out_col))
+    1. the expression form is k × dim ≈ 512 operator nodes; every
+       single-reference projection downstream lets CollapseProject
+       inline it again (join keys, window partitions), and the
+       optimizer's tree copies blew an 8 g driver heap at sf0.001 —
+       an optimizer-time failure no data-size guard can catch;
+    2. the centroid literals change EVERY Lloyd iteration, forcing a
+       full Catalyst + whole-stage-codegen recompile per iteration
+       (measured 6-10 s per iteration on 500 rows — compile time, not
+       compute). The UDF plan shape is constant; only the closure's
+       float list changes, so iterations cost one Arrow round-trip.
+
+    Per-batch work is 512 vectorized numpy ops — BLAS-class batch math,
+    the one hot path where an Arrow UDF beats JVM expressions. At
+    100 TB this runs embarrassingly parallel per partition with no
+    shuffle, and the assignment is written once, partitioned by cell
+    (see materialize_cells).
+
+    np.argmin scans cells in ascending cid order and keeps the FIRST
+    minimum, so ties resolve to the lowest cid — identical to the
+    (dist, cid) ordering in the DuckDB oracle; distances use the exact
+    left-fold (_cell_dists_np), so the compared values are
+    bit-identical too."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents_local = [[float(v) for v in c] for c in cents]
+
+    @pandas_udf("int")
+    def _nearest(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        d = _cell_dists_np(emb, cents_local)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return df.withColumn(out_col, _nearest(F.col(vec_col)))
 
 
 def probe_cells_expr(vec, cents: list[list[float]], nprobe: int):
-    """The nprobe nearest centroid ids (closest first) — the multi-probe
-    list a query vector searches. array_sort on struct<dist,cid> sorts
-    by distance with the cid tie-break."""
-    return F.transform(
-        F.slice(F.array_sort(cell_dist_structs(vec, cents)), 1, nprobe),
-        lambda s: s["cid"],
-    )
+    """The nprobe nearest centroid ids (closest first) as an
+    array<int> column — the multi-probe list a query vector searches.
+    Same Arrow/numpy shape (and the same rationale) as assign_cells;
+    the per-row sort is a STABLE argsort on the exact-left-fold
+    distances, so equal distances keep ascending-cid order — the
+    (dist, cid) tie-break the oracle's row_number uses."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents_local = [[float(v) for v in c] for c in cents]
+    np_ = int(nprobe)
+
+    @pandas_udf("array<int>")
+    def _probe(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        d = _cell_dists_np(emb, cents_local)
+        order = np.argsort(d, axis=1, kind="stable")[:, :np_].astype("int32")
+        return pd.Series(list(order))
+
+    return _probe(vec)
 
 
 def _round_half_away(x: float) -> int:

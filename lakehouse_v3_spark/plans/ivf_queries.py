@@ -67,7 +67,9 @@ def _cos(a: str, b: str) -> str:
 
 def _sqdist(emb: str, cv: str) -> str:
     """Left-fold Σ (emb[j]-cv[j])² — the DuckDB twin of
-    operators.ivf.sqdist_unrolled (same 0.0 seed, same index order)."""
+    operators.ivf._cell_dists_np (same 0.0 seed, same index order —
+    the Arrow UDF does the identical sequential fold, vectorized over
+    rows)."""
     return (
         f"list_reduce(list_prepend(0.0::DOUBLE, "
         f"list_transform(range(1, len({emb}) + 1), "

@@ -928,3 +928,79 @@ def quantiles_exact_distributed(spark, sf_dir):
         [(p, v, n) for p, v in zip(_QUANT_PS, vals)],
         "pct double, value double, n_rows long",
     )
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT p.p_brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand IN ('Brand#23', 'Brand#12')
+GROUP BY p.p_brand
+"""
+
+
+@register("bloom_runtime_filter_join", oracle=_BLOOM_JOIN_ORACLE)
+def bloom_runtime_filter_join(spark, sf_dir):
+    """Sort-merge fact↔dim join with a RUNTIME BLOOM FILTER injected on
+    the fact side (Catalyst's InjectRuntimeFilter): the selective dim
+    subset (2 brands of part) builds a bloom_filter_agg, and the
+    lineitem scan is pre-filtered by might_contain(xxhash64(l_partkey))
+    BEFORE the join shuffle.
+
+    100 TB design: this is the join shape where broadcast is off the
+    table (dim side too big or, as forced here via the MERGE hint, the
+    planner chose SMJ) — without the runtime filter every fact row
+    shuffles; with it, rows whose key cannot be in the filtered dim are
+    dropped at the scan, so shuffle volume tracks the JOIN OUTPUT size
+    instead of the fact size. Injection thresholds are relaxed only
+    while THIS query plans: the physical plan is pinned inside the
+    conf window (queryExecution is cached per Dataset), then the
+    session confs are restored so no other catalog query inherits
+    them. Plan-guarded in test_explain_plans.py (bloom_filter_agg +
+    might_contain must both be present)."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#23", "Brand#12")
+    )
+    joined = (
+        li.join(pt.hint("merge"), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+    )
+    confs = {
+        # always build the filter when the creation side is plausible
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        # and regardless of how small the application-side scan is
+        # (the fixtures are MBs; production default 10GB only fires on
+        # genuinely large scans — exactly when it matters)
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # InjectRuntimeFilter refuses joins it deems broadcastable by
+        # size (a broadcast join has no pre-join shuffle to prune) —
+        # at fixture scale the dim side always is, so model the
+        # production too-big-to-broadcast case explicitly. The MERGE
+        # hint alone does NOT do this: the rule checks sizes, not hints
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # force planning NOW, inside the conf window; the Dataset caches
+        # its QueryExecution so later actions reuse this plan
+        joined._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return joined

@@ -200,3 +200,180 @@ def stream_tws_distinct_type_counts(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_types", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# shared harness: drain a streaming DataFrame into a parquet sink dir
+# ---------------------------------------------------------------------------
+
+
+def _events_stream(spark, sf_dir):
+    """The fixture's events table as a file-source STREAM (the file
+    source wants a directory; events.parquet is one file, so stream the
+    fixture dir with a glob filter — same recipe as the TWS query)."""
+    return (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _drain_to_parquet(spark, streaming_df, output_mode: str, tag: str):
+    """Run ``streaming_df`` to completion under availableNow, landing
+    every micro-batch (stamped with its batch_id as ``_bid``) in a fresh
+    parquet sink dir — the production return path shared by all
+    streaming catalog queries: update/append-mode output goes to a
+    lakehouse table via foreachBatch, never through the driver. Returns
+    the sink dir; the lazy result must be read from it (dirs live until
+    process exit via the atexit hook above, so returned DataFrames stay
+    collectable)."""
+    import os
+    import tempfile
+    import uuid
+
+    sink_root = spark.sparkContext.getCheckpointDir() or tempfile.gettempdir()
+    sink_dir = os.path.join(sink_root, f"{tag}_sink_{uuid.uuid4().hex}")
+
+    def _sink_batch(df, bid):
+        df.withColumn("_bid", F.lit(int(bid))).write.mode("append").parquet(
+            sink_dir
+        )
+
+    with tempfile.TemporaryDirectory(prefix=f"{tag}_ckpt_") as ckpt:
+        q = (
+            streaming_df.writeStream.outputMode(output_mode)
+            .foreachBatch(_sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _TWS_SINK_DIRS.append(sink_dir)
+    return sink_dir
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join (real two-stream join execution)
+# ---------------------------------------------------------------------------
+
+_SS_JOIN_ORACLE = """
+SELECT p.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts       AS click_ts,
+       p.ts       AS purchase_ts
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+"""
+
+
+@register("stream_stream_interval_join", oracle=_SS_JOIN_ORACLE)
+def stream_stream_interval_join(spark, sf_dir):
+    """REAL stream-stream interval join (SURVEY §2.9 extension): clicks
+    and purchases are two independent file-source STREAMS over the
+    events fixture; each purchase joins every click by the same user in
+    the 24 h before it. Inner-join output is append-only — each matched
+    pair is emitted exactly once — and lands distributed in a parquet
+    sink via foreachBatch (same production return path as the TWS
+    query; nothing flows through the driver).
+
+    100 TB design: the join is the genuine Structured Streaming
+    stream-stream join — both sides keep state in the state store,
+    hash-partitioned by user_id, and the 25 h watermark + the explicit
+    time-bound in the join condition let Spark EVICT state older than
+    the interval, so steady-state memory is bounded by the event rate ×
+    25 h per partition, not by stream length. That eviction contract is
+    the entire reason the interval bound must live in the JOIN
+    CONDITION (not a post-filter): a post-filter join would retain both
+    streams' full history forever."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "25 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "25 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND "
+            "click_ts BETWEEN purchase_ts - INTERVAL 24 HOURS AND purchase_ts"
+        ),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+    sink_dir = _drain_to_parquet(spark, joined, "append", "ssjoin")
+    return spark.read.parquet(sink_dir).select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState running totals (the pre-TWS stateful API)
+# ---------------------------------------------------------------------------
+
+_STATE_TOTALS_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("stream_state_running_totals", oracle=_STATE_TOTALS_ORACLE)
+def stream_state_running_totals(spark, sf_dir):
+    """``applyInPandasWithState`` run as a REAL streaming query — the
+    GroupState stateful API (Spark 3.4+), covered alongside its Spark-4
+    successor ``transformWithStateInPandas`` (query above) so BOTH
+    custom-stateful surfaces carry an oracle gate. Per-user running
+    (count, exact value total) persists across micro-batches in
+    GroupState; the last update-mode emission per user must equal the
+    plain batch aggregate.
+
+    Numeric contract: the state accumulates value in EXACT decimal
+    (each double quantized to 6 dp half-up — the same per-element
+    quantization as the catalog-wide ``dsum`` /
+    ``CAST(value AS DECIMAL(30,6))`` recipe — then summed exactly), so
+    the emitted double is bit-identical to the oracle's decimal-sum
+    cast regardless of micro-batch order or per-batch row order. State
+    carries the decimal as a string: exact, schema-stable, and tiny.
+
+    100 TB design: state is one (long, string) pair per user,
+    hash-partitioned; update-mode emissions land distributed in a
+    parquet sink (foreachBatch) and the final answer is a
+    last-emission-per-key window — no driver materialization anywhere."""
+    from ..streaming.stateful import running_user_totals_exact
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    sink_dir = _drain_to_parquet(
+        spark, running_user_totals_exact(ev), "update", "aipws"
+    )
+
+    from pyspark.sql import Window
+
+    emissions = spark.read.parquet(sink_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("_bid").desc())
+    return (
+        emissions.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

@@ -50,6 +50,58 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+EXACT_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+EXACT_STATE_SCHEMA = "n long, total string"
+
+
+def _update_totals_exact(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Exact-decimal running totals: each incoming double is quantized
+    to 6 dp HALF-UP on its exact binary value — the same per-element
+    rounding as Spark's CAST(double AS DECIMAL(30,6)) (and DuckDB's) —
+    then summed in exact decimal arithmetic, so the emitted double is
+    independent of micro-batch boundaries and row order. The running
+    decimal rides in state as a string (exact, schema-stable)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+    if state.exists:
+        n, total_s = state.get
+        total = Decimal(total_s)
+    else:
+        n, total = 0, Decimal(0)
+    for pdf in pdfs:
+        n += len(pdf)
+        for v in pdf["value"]:
+            # Decimal(float) is the EXACT binary value; quantize matches
+            # the engines' double→decimal(30,6) cast semantics
+            total += Decimal(float(v)).quantize(q6, rounding=ROUND_HALF_UP)
+    state.update((n, str(total)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [float(total)],
+        }
+    )
+
+
+def running_user_totals_exact(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState running totals whose value sum is exact
+    decimal (oracle-hash-stable) — the catalog-facing variant; see
+    plans/streaming_queries.py stream_state_running_totals."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_totals_exact,
+        outputStructType=EXACT_OUTPUT_SCHEMA,
+        stateStructType=EXACT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # transformWithStateInPandas (Spark 4 arbitrary stateful processing)
 # ---------------------------------------------------------------------------

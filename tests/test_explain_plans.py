@@ -365,3 +365,19 @@ def test_minhash_incremental_probes_stored_index(spark, sf_dir):
     assert "documents.parquet" not in plan, (
         "full-corpus shingle scan leaked back into the probe plan"
     )
+
+
+def test_bloom_runtime_filter_injected(spark, sf_dir):
+    """bloom_runtime_filter_join models the too-big-to-broadcast SMJ:
+    Catalyst must inject a runtime bloom filter — bloom_filter_agg on
+    the filtered dim side, might_contain pre-filtering the fact scan
+    BEFORE the join shuffle — and the session confs the query relaxes
+    to plan itself must be restored afterwards."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = load_all()["bloom_runtime_filter_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in plan, "no bloom filter built on dim side"
+    assert "might_contain" in plan, "fact scan not pre-filtered by bloom"
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before, (
+        "query leaked its planning-time conf overrides into the session"
+    )

@@ -1,0 +1,122 @@
+"""SQL gateway (external interactive endpoint, r4 "What's missing #3"):
+same-catalog SQL served over HTTP, verified from BOTH an in-process
+client and a genuinely separate OS process."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import urllib.error
+import urllib.request
+
+import pytest
+
+from lakehouse_v3_spark.sql_gateway import SqlGateway
+
+
+def _post(url, payload, token=None):
+    req = urllib.request.Request(
+        url + "/sql",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}
+        | ({"Authorization": f"Bearer {token}"} if token else {}),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+@pytest.fixture(scope="module")
+def gateway(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "gw_nation"
+    )
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "gw_orders"
+    )
+    with SqlGateway(spark, port=0) as gw:
+        yield gw
+
+
+def test_health_and_tables(gateway):
+    with urllib.request.urlopen(gateway.url + "/health", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok" and h["spark"]
+    with urllib.request.urlopen(gateway.url + "/tables", timeout=30) as r:
+        t = json.loads(r.read())
+    names = {x["name"] for x in t["tables"]}
+    assert {"gw_nation", "gw_orders"} <= names
+
+
+def test_select_values_and_schema(gateway):
+    out = _post(
+        gateway.url,
+        {"sql": "SELECT n_name, n_regionkey FROM gw_nation ORDER BY n_name LIMIT 3"},
+    )
+    assert out["columns"] == ["n_name", "n_regionkey"]
+    assert out["types"][1] in ("int", "bigint")
+    assert len(out["rows"]) == 3
+    assert out["rows"] == sorted(out["rows"])
+    assert out["truncated"] is False
+
+
+def test_row_cap_truncates_not_explodes(gateway):
+    out = _post(
+        gateway.url, {"sql": "SELECT o_orderkey FROM gw_orders", "limit": 5}
+    )
+    assert len(out["rows"]) == 5
+    assert out["truncated"] is True
+
+
+def test_analysis_error_is_http_400(gateway):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(gateway.url, {"sql": "SELECT * FROM no_such_table"})
+    assert ei.value.code == 400
+    body = json.loads(ei.value.read())
+    assert "no_such_table" in body["message"]
+
+
+def test_ddl_roundtrip(gateway):
+    out = _post(
+        gateway.url,
+        {"sql": "CREATE OR REPLACE TEMP VIEW gw_tmp AS SELECT 1 AS one"},
+    )
+    assert out["rows"] == []
+    out2 = _post(gateway.url, {"sql": "SELECT one FROM gw_tmp"})
+    assert out2["rows"] == [[1]]
+
+
+def test_token_auth(spark):
+    with SqlGateway(spark, port=0, token="s3cret") as gw:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(gw.url, {"sql": "SELECT 1"})
+        assert ei.value.code == 401
+        ok = _post(gw.url, {"sql": "SELECT 1 AS x"}, token="s3cret")
+        assert ok["rows"] == [[1]]
+
+
+def test_cross_process_client(gateway):
+    """The point of the endpoint: a SEPARATE OS process (no JVM, no
+    pyspark import) runs interactive SQL against the lakehouse session
+    — the reference's Trino capability across a real process boundary."""
+    script = (
+        "import json,urllib.request,sys\n"
+        "url=sys.argv[1]\n"
+        "req=urllib.request.Request(url+'/sql',"
+        "data=json.dumps({'sql':\"SELECT COUNT(*) AS n, MIN(n_name) AS f \""
+        "\"FROM gw_nation\"}).encode(),"
+        "headers={'Content-Type':'application/json'},method='POST')\n"
+        "print(urllib.request.urlopen(req,timeout=60).read().decode())\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script, gateway.url],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout)
+    assert out["columns"] == ["n", "f"]
+    assert out["rows"][0][0] == 25
+    assert out["rows"][0][1].startswith("NATION_")

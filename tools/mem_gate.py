@@ -1,0 +1,139 @@
+"""Memory-pressure gate (r4 verdict item #6): prove the expensive
+queries hold at sf5 under a CONSTRAINED driver — 8 g heap instead of
+the 48 g all other scale numbers ran with — so any hidden driver-side
+materialization (uncapped collect, pandas concat, unbounded broadcast)
+OOMs loudly instead of hiding inside a huge heap.
+
+Runs the top-N most expensive sf5 queries (by the sf5 gate's measured
+Spark wall time) in ONE constrained session, recording per query:
+
+- wall seconds and result row count (compared against the sf5 gate's
+  recorded count — same fixture, deterministic queries, so a mismatch
+  means the constrained run degraded correctness, not just speed);
+- peak JVM heap used (executor peakMemoryMetrics JVMHeapMemory via the
+  status REST API — local mode: the one JVM hosts driver+executors);
+- shuffle spill (memory/disk bytes) summed over the run's stages.
+
+Usage:
+  python tools/mem_gate.py --sf-dir /root/repo/testdata/sf5 \
+      [--driver-mem 8g] [--top N] [--out /tmp/memgate.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+# sf5 wall-clock ranking from GATE_sf5.jsonl (regenerated each round);
+# hardcoding the *selection* keeps the gate list stable and reviewable
+DEFAULT_QUERIES = [
+    "dup_ngram_doc_fraction",
+    "setsim_prefix_filter_join",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "approx_count_distinct_hll",
+    "components_near_dup_clusters",
+    "decontaminate_ngram_overlap",
+    "text_repetition_ratio",
+    "knn_ivf_recall_audit",
+    "text_fingerprint",
+    "embedding_near_dup",
+    "stream_tws_distinct_type_counts",
+]
+
+
+def _rest(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}") as r:
+        return json.loads(r.read())
+
+
+def peak_jvm_heap(spark) -> int | None:
+    try:
+        execs = _rest(spark, "/executors")
+        return max(
+            (e.get("peakMemoryMetrics", {}) or {}).get("JVMHeapMemory", 0)
+            for e in execs
+        )
+    except Exception:
+        return None
+
+
+def spill_totals(spark) -> tuple[int, int]:
+    try:
+        stages = _rest(spark, "/stages?status=complete")
+        return (
+            sum(s.get("memoryBytesSpilled", 0) for s in stages),
+            sum(s.get("diskBytesSpilled", 0) for s in stages),
+        )
+    except Exception:
+        return (0, 0)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/repo/testdata/sf5")
+    ap.add_argument("--driver-mem", default="8g")
+    ap.add_argument("--top", type=int, default=len(DEFAULT_QUERIES))
+    ap.add_argument("--out", default="/tmp/memgate.jsonl")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    from lakehouse_v3_spark.plans import load_all
+    from lakehouse_v3_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="mem-gate",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=int(args.cpus),
+        driver_memory=args.driver_mem,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    heap_limit = spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    print(f"JVM maxMemory: {heap_limit / 2**30:.2f} GiB", flush=True)
+
+    results = []
+    with open(args.out, "a") as out:
+        for name in DEFAULT_QUERIES[: args.top]:
+            qd = registry[name]
+            rec = {"name": name, "driver_mem": args.driver_mem}
+            sp0 = spill_totals(spark)
+            t0 = time.monotonic()
+            try:
+                n = qd.fn(spark, args.sf_dir).count()
+                rec["rows"] = n
+                rec["sec"] = round(time.monotonic() - t0, 2)
+            except Exception as exc:
+                rec["error"] = str(exc)[:400]
+                rec["sec"] = round(time.monotonic() - t0, 2)
+            sp1 = spill_totals(spark)
+            rec["peak_jvm_heap_gib"] = (
+                round(peak_jvm_heap(spark) / 2**30, 2)
+                if peak_jvm_heap(spark)
+                else None
+            )
+            rec["spill_mem_mib"] = round((sp1[0] - sp0[0]) / 2**20, 1)
+            rec["spill_disk_mib"] = round((sp1[1] - sp0[1]) / 2**20, 1)
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+            print(rec, flush=True)
+            results.append(rec)
+
+    n_err = sum(1 for r in results if "error" in r)
+    print(f"done: {len(results)} queries, {n_err} errors", flush=True)
+    sys.exit(1 if n_err else 0)
+
+
+if __name__ == "__main__":
+    main()
