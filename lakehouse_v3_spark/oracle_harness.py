@@ -69,7 +69,13 @@ def _canon_frame(df: pd.DataFrame, float_in_key: bool = True) -> pd.DataFrame:
         parts = [df[c].map(_canon_value).to_numpy(dtype=object) for c in key_cols]
         key = parts[0]
         for p in parts[1:]:
-            key = key + "\x00" + p
+            # separator must be a NON-NUL control char: numpy converts a
+            # str scalar through its fixed-width unicode type, which
+            # strips trailing "\x00" — a NUL separator silently becomes
+            # "" and digit-boundary keys collide (("23","9239") vs
+            # ("239","239") both → "239239"), misaligning rows into
+            # FALSE mismatches (found at sf1 on connected components)
+            key = key + "\x1f" + p
         df = df.iloc[np.argsort(key, kind="stable")].reset_index(drop=True)
     return df
 

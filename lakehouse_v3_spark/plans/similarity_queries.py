@@ -8,6 +8,10 @@ vs generated list_reduce SQL) so cosines are bit-identical.
 
 from __future__ import annotations
 
+# module-level so stringified pandas_udf type hints resolve via module
+# globals (the __future__ annotations import stringifies them — see
+# operators/ivf.py for the same pattern)
+import pandas as pd
 from pyspark.sql import functions as F
 
 from ..io_utils import load
@@ -440,5 +444,257 @@ def knn_ivf_recall_audit(spark, sf_dir):
             F.col("qid").alias("vec_id"),
             F.coalesce("n", F.lit(0)).cast("long").alias("n_cand"),
             (F.coalesce("h", F.lit(0)).cast("double") / 5.0).alias("recall_at_5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ADC top-k (operators/pq.py)
+# ---------------------------------------------------------------------------
+
+
+def _sq8(a: str, b: str) -> str:
+    """Left-fold Σ (a[d]-b[d])² over an 8-dim subspace; both operands
+    are already-DOUBLE lists. Same 0.0 seed + index order as the numpy
+    kernels in operators/pq.py."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, 9), "
+        f"d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+_QSUB = (
+    "list_transform(range(ss.s*8 + 1, ss.s*8 + 9), "
+    "d -> CAST(q.embedding[d] AS DOUBLE))"
+)
+
+_PQ_CTES = f"""seeds AS (
+  SELECT vec_id AS j,
+         list_transform(range(1, len(embedding) + 1),
+                        d -> ROUND(CAST(embedding[d] AS DOUBLE), 6)) AS c
+  FROM embeddings WHERE vec_id < 16
+),
+ss AS (SELECT unnest(range(0, 8)) AS s),
+cb AS (
+  SELECT ss.s, seeds.j,
+         list_transform(range(ss.s*8 + 1, ss.s*8 + 9), d -> c[d]) AS cw
+  FROM ss, seeds
+),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+subv AS (
+  SELECT c.vec_id, ss.s,
+         list_transform(range(ss.s*8 + 1, ss.s*8 + 9),
+                        d -> CAST(c.embedding[d] AS DOUBLE)) AS sv
+  FROM corpus c, ss
+),
+enc AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT v.vec_id, v.s, b.j,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                              ORDER BY {_sq8('v.sv', 'b.cw')}, b.j) AS rn
+    FROM subv v JOIN cb b ON b.s = v.s
+  ) WHERE rn = 1
+),
+dists AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS corpus_id, e.s,
+         {_sq8(_QSUB, 'b.cw')} AS ds
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q,
+       enc e
+  JOIN cb b ON b.s = e.s AND b.j = e.code
+  JOIN ss ON ss.s = e.s
+),
+adc AS (
+  SELECT query_id, corpus_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(ds ORDER BY s)),
+                     (acc, x) -> acc + x) AS adc
+  FROM dists GROUP BY query_id, corpus_id
+),
+pq5 AS (
+  SELECT query_id, corpus_id, rank, adc FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc, corpus_id) AS rank
+    FROM adc
+  ) WHERE rank <= 5
+)"""
+
+_PQ_ORACLE = f"""
+WITH {_PQ_CTES}
+SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(adc, 6) AS adc_dist
+FROM pq5
+"""
+
+
+@register("knn_pq_adc", oracle=_PQ_ORACLE)
+def knn_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with an asymmetric-distance (ADC) scan:
+    the corpus is ENCODED as 8 codeword ids (one per 8-dim subspace,
+    16-codeword sampled codebook = the 6 dp-rounded subvectors of
+    vec_id < 16), and queries rank candidates from codes + codebook
+    alone — the raw corpus vectors are never touched after encoding.
+
+    100 TB design: codes are ~32× smaller than float32 vectors, encode
+    is a shuffle-free Arrow map, the tiny queries side broadcasts onto
+    the code-only corpus projection, and the single shuffle is the
+    per-query top-k window over |queries|×|corpus| scored rows (at
+    production scale, per-partition top-k pre-reduction before that
+    window — operators/similarity.knn_bruteforce shows the shape).
+    Exact-fold contract with the oracle documented in operators/pq.py."""
+    from pyspark.sql import Window
+
+    from ..operators.pq import adc_distance, encode_codes, pq_codebooks
+
+    e = load(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(spark, e)
+    corpus = encode_codes(
+        e.filter(F.col("vec_id") >= 10).select("vec_id", "embedding"), cbs
+    ).select(F.col("vec_id").alias("corpus_id"), "codes")
+    queries = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "adc", adc_distance(cbs)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("adc", 6).alias("adc_dist"),
+        )
+    )
+
+
+def _sqflat(a: str, b: str) -> str:
+    """Flat exact left-fold Σ (a[d]-b[d])² over the FULL vector — the
+    ground-truth squared-L2 the PQ audit compares against (one 0.0-
+    seeded fold over all 64 dims, distinct from ADC's nested fold)."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"d -> ({a}[d]::DOUBLE - {b}[d]::DOUBLE) * "
+        f"({a}[d]::DOUBLE - {b}[d]::DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+_PQ_AUDIT_ORACLE = f"""
+WITH {_PQ_CTES},
+bf5 AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sqflat('q.embedding', 'c.embedding')},
+                                       c.vec_id) AS rn
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q,
+         (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10) c
+  ) WHERE rn <= 5
+),
+hits AS (
+  SELECT b.query_id, COUNT(p.corpus_id) AS h
+  FROM bf5 b
+  LEFT JOIN pq5 p ON p.query_id = b.query_id AND p.corpus_id = b.corpus_id
+  GROUP BY b.query_id
+)
+SELECT query_id, CAST(h AS BIGINT) AS n_hits,
+       CAST(h AS DOUBLE) / 5.0 AS recall_adc
+FROM hits
+"""
+
+
+@register("knn_pq_adc_recall_audit", oracle=_PQ_AUDIT_ORACLE)
+def knn_pq_adc_recall_audit(spark, sf_dir):
+    """Recall@5 of the PQ-ADC scan against exact squared-L2 brute
+    force, per query — the quantitative cost-of-compression row for
+    the PQ index (mirrors knn_ivf_nprobe_recall_audit / the LSH
+    audit). The brute-force side exists only for the audit; the exact
+    distance is ONE flat 0.0-seeded fold over all dims (per-row Arrow
+    numpy, sequential over dims) so both engines rank the same truth.
+    Measured: 0.22 mean recall@5 at sf0.001 with the untrained sampled
+    codebook on these isotropic-random fixtures (64 dims → 8 bytes is a
+    32× compression; random vectors are the worst case for PQ) — the
+    honest floor a trained (per-subspace Lloyd) codebook and/or an
+    ADC-then-exact-rerank stage is judged against."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.pq import adc_distance, encode_codes, pq_codebooks
+
+    e = load(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(spark, e)
+    queries = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+    )
+    corpus_raw = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+
+    # PQ side: ADC top-5 from codes only
+    scored = (
+        encode_codes(corpus_raw, cbs)
+        .select("corpus_id", "codes")
+        .crossJoin(F.broadcast(queries))
+        .withColumn("adc", adc_distance(cbs))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("corpus_id").asc()
+    )
+    pq5 = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "corpus_id")
+    )
+
+    # truth side: exact flat-fold squared L2
+    @pandas_udf("double")
+    def _l2(q: pd.Series, c: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(q) == 0:
+            return pd.Series([], dtype="float64")
+        Q = np.vstack(q.to_numpy()).astype(np.float64)
+        C = np.vstack(c.to_numpy()).astype(np.float64)
+        acc = np.zeros(Q.shape[0], dtype=np.float64)
+        for d in range(Q.shape[1]):
+            diff = Q[:, d] - C[:, d]
+            acc = acc + diff * diff
+        return pd.Series(acc)
+
+    exact = corpus_raw.crossJoin(F.broadcast(queries)).withColumn(
+        "l2", _l2(F.col("q_embedding"), F.col("embedding"))
+    )
+    wbf = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("corpus_id").asc()
+    )
+    bf5 = (
+        exact.withColumn("rn", F.row_number().over(wbf))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "corpus_id")
+    )
+
+    hit = pq5.withColumn("_hit", F.lit(1))
+    return (
+        bf5.join(hit, ["query_id", "corpus_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").alias("n_hits"))
+        .select(
+            "query_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits").cast("double") / 5.0).alias("recall_adc"),
         )
     )

@@ -488,3 +488,24 @@ def test_compare_frames_nullable_float64_na():
     assert compare_frames(a, b) == []
     b2 = pd.DataFrame({"x": [1.0, 2.0, 3.0]})
     assert compare_frames(a, b2) != []
+
+
+def test_compare_frames_key_separator_no_digit_collision():
+    """Regression (r6, found at sf1 on connected components): the row
+    sort key joined columns with "\\x00", which numpy's fixed-width
+    unicode scalar conversion strips — ("23","9239") and ("239","239")
+    collided to the same key, misaligning rows into FALSE mismatches.
+    Equal multisets in different input orders must always compare []."""
+    import pandas as pd
+
+    from lakehouse_v3_spark.oracle_harness import compare_frames
+
+    a = pd.DataFrame(
+        {"vec_id": [2392, 9239, 239, 9304], "component": [2392, 23, 239, 23]}
+    )
+    b = a.iloc[[2, 0, 3, 1]].reset_index(drop=True)
+    assert compare_frames(a, b) == []
+    # and genuinely different values must still fail
+    c = b.copy()
+    c.loc[0, "component"] = 999
+    assert compare_frames(a, c) != []

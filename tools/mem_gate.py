@@ -58,14 +58,39 @@ def _rest(spark, path: str):
 
 
 def peak_jvm_heap(spark) -> int | None:
+    """Peak heap = Σ per-pool getPeakUsage over the HEAP memory pools
+    (java.lang.management) — exact since JVM start, no dependency on
+    the 10 s executor-heartbeat metric polling that makes the REST
+    peakMemoryMetrics read 0 for sub-interval queries. Local mode:
+    the one JVM hosts driver + all executor threads, which is exactly
+    the heap the gate constrains."""
     try:
-        execs = _rest(spark, "/executors")
-        return max(
-            (e.get("peakMemoryMetrics", {}) or {}).get("JVMHeapMemory", 0)
-            for e in execs
-        )
+        jvm = spark.sparkContext._jvm
+        mf = jvm.java.lang.management.ManagementFactory
+        total = 0
+        it = mf.getMemoryPoolMXBeans().iterator()
+        while it.hasNext():
+            pool = it.next()
+            if pool.getType().toString() == "Heap memory":
+                total += pool.getPeakUsage().getUsed()
+        return total or None
     except Exception:
         return None
+
+
+def reset_peak_heap(spark) -> None:
+    """Zero the per-pool peak counters so each query's record is its
+    own peak, not the max-so-far of the session."""
+    try:
+        jvm = spark.sparkContext._jvm
+        it = (
+            jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+            .iterator()
+        )
+        while it.hasNext():
+            it.next().resetPeakUsage()
+    except Exception:
+        pass
 
 
 def spill_totals(spark) -> tuple[int, int]:
@@ -96,6 +121,9 @@ def main() -> None:
         master=f"local[{args.cpus}]",
         shuffle_partitions=int(args.cpus),
         driver_memory=args.driver_mem,
+        # the gate reads peakMemoryMetrics/spill off the status REST
+        # API, which rides on the UI server (get_spark disables it)
+        extra_conf={"spark.ui.enabled": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
@@ -108,10 +136,15 @@ def main() -> None:
         for name in DEFAULT_QUERIES[: args.top]:
             qd = registry[name]
             rec = {"name": name, "driver_mem": args.driver_mem}
+            reset_peak_heap(spark)
             sp0 = spill_totals(spark)
             t0 = time.monotonic()
             try:
-                n = qd.fn(spark, args.sf_dir).count()
+                # full materialization (noop sink, same as bench.py) —
+                # count() would let column pruning hide wide-row memory
+                df = qd.fn(spark, args.sf_dir)
+                n = df.count()
+                df.write.mode("overwrite").format("noop").save()
                 rec["rows"] = n
                 rec["sec"] = round(time.monotonic() - t0, 2)
             except Exception as exc:
