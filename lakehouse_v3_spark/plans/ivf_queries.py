@@ -433,3 +433,169 @@ def knn_ivf_nprobe_recall_audit(spark, sf_dir):
             (F.coalesce("h3", F.lit(0)).cast("double") / 5.0).alias("recall_probe3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Query 4: IVF-PQ — coarse converged cells + PQ-ADC ranking inside the
+# probed cells (the FAISS-style composite production ANN index; PQ
+# pieces documented in operators/pq.py / plans/similarity_queries.py)
+# ---------------------------------------------------------------------------
+
+# PQ CTEs over the ivf namespace (corp(nid, nv) from _TAIL_CTES instead
+# of similarity_queries' corpus(vec_id, embedding); same folds, same
+# determinism contract — _sq8 is imported so the fold text cannot drift)
+
+
+def _ivfpq_ctes() -> str:
+    from .similarity_queries import _sq8
+
+    qsub = (
+        "list_transform(range(ss.s*8 + 1, ss.s*8 + 9), "
+        "d -> CAST(q.qv[d] AS DOUBLE))"
+    )
+    return f"""
+seeds AS (
+  SELECT vec_id AS j,
+         list_transform(range(1, len(embedding) + 1),
+                        d -> ROUND(CAST(embedding[d] AS DOUBLE), 6)) AS c
+  FROM embeddings WHERE vec_id < 16
+),
+ss AS (SELECT unnest(range(0, 8)) AS s),
+cb AS (
+  SELECT ss.s, seeds.j,
+         list_transform(range(ss.s*8 + 1, ss.s*8 + 9), d -> c[d]) AS cw
+  FROM ss, seeds
+),
+psubv AS (
+  SELECT corp.nid, ss.s,
+         list_transform(range(ss.s*8 + 1, ss.s*8 + 9),
+                        d -> CAST(corp.nv[d] AS DOUBLE)) AS sv
+  FROM corp, ss
+),
+penc AS (
+  SELECT nid, s, j AS code FROM (
+    SELECT v.nid, v.s, b.j,
+           ROW_NUMBER() OVER (PARTITION BY v.nid, v.s
+                              ORDER BY {_sq8('v.sv', 'b.cw')}, b.j) AS rn
+    FROM psubv v JOIN cb b ON b.s = v.s
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT p.qid, ca.nid
+  FROM qprobe p JOIN cass ca ON ca.cid = p.cid AND p.pr <= {_NPROBE}
+),
+pdists AS (
+  SELECT c.qid, c.nid, e.s, {_sq8(qsub, 'b.cw')} AS ds
+  FROM cand c
+  JOIN penc e ON e.nid = c.nid
+  JOIN cb b ON b.s = e.s AND b.j = e.code
+  JOIN ss ON ss.s = e.s
+  JOIN q ON q.qid = c.qid
+),
+padc AS (
+  SELECT qid, nid,
+         list_reduce(list_prepend(0.0::DOUBLE, list(ds ORDER BY s)),
+                     (acc, x) -> acc + x) AS adc
+  FROM pdists GROUP BY qid, nid
+)"""
+
+
+_IVFPQ_SELECT = """
+SELECT qid AS query_id, nid AS corpus_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(adc, 6) AS adc_dist
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY adc, nid) AS rank
+  FROM padc
+) WHERE rank <= 5
+"""
+
+
+def _ivfpq_oracle() -> str:
+    return (
+        "WITH\n"
+        + _lloyd_chain()
+        + ",\n"
+        + _TAIL_CTES
+        + ",\n"
+        + _ivfpq_ctes()
+        + _IVFPQ_SELECT
+    )
+
+
+def _ivfpq_sf_oracle(con, sf_dir):
+    _duckdb_lloyd_converged(con)
+    return con.execute(
+        "WITH cents AS (SELECT cid, dim, component FROM _km_cents),\n"
+        + _TAIL_CTES
+        + ",\n"
+        + _ivfpq_ctes()
+        + _IVFPQ_SELECT
+    ).fetchdf()
+
+
+@register(
+    "knn_ivf_pq_adc",
+    oracle=_ivfpq_oracle(),
+    sf_oracle=_ivfpq_sf_oracle,
+)
+def knn_ivf_pq_adc(spark, sf_dir):
+    """IVF-PQ composite ANN — the production vector-index shape (FAISS
+    IVFPQ, per Jégou et al.): a CONVERGED coarse quantizer routes each
+    query to its nprobe=3 nearest cells, and within those cells
+    candidates are ranked by PQ asymmetric distance from 8-byte codes —
+    raw corpus vectors are touched by NEITHER the routing NOR the
+    ranking at query time.
+
+    100 TB design: the two index artifacts (cell assignment, PQ codes)
+    are both shuffle-free Arrow maps computed once at ingest; a query
+    reads ~nprobe/k of the code table (partition-pruned when stored
+    partitioned by cell) and ranks with codebook lookups. Scan cost =
+    (3/8 corpus) × 8-byte codes ≈ 1/85th of brute force over float32
+    vectors. Both engines share the exact-fold/argmin/ordered-subspace
+    determinism contract of the component queries
+    (knn_ivf_converged_nprobe, knn_pq_adc)."""
+    from ..operators.pq import adc_distance, encode_codes, pq_codebooks
+
+    cents, _, _, _ = lloyd_converged(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(spark, e)
+
+    corpus = assign_cells(
+        encode_codes(
+            e.filter(F.col("vec_id") >= 10).select("vec_id", "embedding"),
+            cbs,
+        ),
+        cents,
+    ).select(F.col("vec_id").alias("corpus_id"), "cell", "codes")
+
+    probes = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+            probe_cells_expr(F.col("embedding"), cents, _NPROBE).alias(
+                "cells"
+            ),
+        )
+        .select("query_id", "q_embedding", F.explode("cells").alias("cell"))
+    )
+
+    from pyspark.sql import Window
+
+    scored = corpus.join(F.broadcast(probes), "cell").withColumn(
+        "adc", adc_distance(cbs)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("adc", 6).alias("adc_dist"),
+        )
+    )

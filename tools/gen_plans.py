@@ -43,6 +43,8 @@ COMMENTARY = {
     "dup_ngram_doc_fraction": "Shingles become 8-byte md5-prefix keys BEFORE the distinct, so both shuffles (per-doc distinct, shingle df count) move longs not ~30-byte strings; the df table joins back on the same hash key (exchange reuse) and the per-doc rollup is a partial-aggregated groupBy. Cost tracks Σ shingles, linear in corpus size — the steepest sf1→sf5 slope in SCALE.md but measured linear warm.",
     "approx_count_distinct_hll_sketch_only": "The 100 TB cardinality plan: ONE partial/final aggregate pair over the scan where the only distinct computation is the fixed-size HLL sketch buffer — no exact countDistinct branch, no Expand (plan-guarded). The audited sibling query pays the exact key shuffle on purpose as a gate; this is the plan you run.",
     "dedup_minhash_incremental": "Incremental near-dup: only the NEW batch's bands (deterministic ~10% slice) probe the full band index via an equi join on band_key — candidate volume ∝ |batch| × avg bucket, never corpus². The band index is the persistable artifact (lsh_bands); at 100 TB it lives as a bucketed table and each arriving batch appends its own bands after probing. Verify join is candidate-bounded.",
+    "bloom_runtime_filter_join": "InjectRuntimeFilter in action for the too-big-to-broadcast SMJ: bloom_filter_agg builds from the 2-brand part subset, might_contain(xxhash64(l_partkey)) pre-filters the lineitem scan BEFORE its shuffle — shuffle volume tracks join OUTPUT, not fact size. Thresholds relaxed only during this query's planning (plan pinned, confs restored).",
+    "knn_pq_adc": "PQ-ADC scan: corpus reduced to 8 codeword ids per vector by a shuffle-free Arrow encode (ArrowEvalPython over a codes-only projection); the 10-query side broadcasts onto the codes (BroadcastNestedLoopJoin), ADC distances come from codes + closure codebook, and the only hash exchange is the per-query top-k window. Raw corpus vectors are never read after encoding — at 100 TB the scan working set is ~32× smaller than the embeddings.",
 }
 
 
