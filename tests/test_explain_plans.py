@@ -381,3 +381,16 @@ def test_bloom_runtime_filter_injected(spark, sf_dir):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before, (
         "query leaked its planning-time conf overrides into the session"
     )
+
+
+def test_ivf_pq_routes_by_cell_equi_join(spark, sf_dir):
+    """knn_ivf_pq_adc must route candidates through the cell EQUI-join
+    (probes broadcast onto the code table) — never an all-pairs
+    nested-loop — and both index artifacts (codes, cells) must come
+    from Arrow maps, not shuffles."""
+    plan = _plan(spark, sf_dir, "knn_ivf_pq_adc")
+    assert "BroadcastHashJoin" in plan, "cell routing lost the equi-join"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "IVF-PQ degenerated to an all-pairs scan"
+    )
+    assert "ArrowEvalPython" in plan, "encode/ADC should be Arrow UDFs"
