@@ -111,6 +111,12 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=len(DEFAULT_QUERIES))
     ap.add_argument("--out", default="/tmp/memgate.jsonl")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument(
+        "--queries",
+        default="",
+        help="comma-separated override of the query list (default: the "
+        "hardcoded most-expensive-at-sf5 selection)",
+    )
     args = ap.parse_args()
 
     from lakehouse_v3_spark.plans import load_all
@@ -133,7 +139,11 @@ def main() -> None:
 
     results = []
     with open(args.out, "a") as out:
-        for name in DEFAULT_QUERIES[: args.top]:
+        names = (
+            [q for q in args.queries.split(",") if q]
+            or DEFAULT_QUERIES[: args.top]
+        )
+        for name in names:
             qd = registry[name]
             rec = {"name": name, "driver_mem": args.driver_mem}
             reset_peak_heap(spark)
