@@ -128,12 +128,17 @@ def exact_percentiles(
     n_buckets: int = 4096,
     collect_threshold: int = 1_000_000,
     max_levels: int = 8,
-) -> list[float]:
+    return_count: bool = False,
+) -> "list[float] | tuple[list[float], int]":
     """Exact ``percentile(col, percentages)`` values, distributed.
 
     Returns the same numbers as Spark's ``percentile`` / DuckDB's
     ``quantile_cont`` (continuous interpolation over doubles) using
     O(log n) scan jobs and O(ranges·n_buckets) driver memory.
+
+    ``return_count=True`` → ``(values, n_non_null)``: the non-null row
+    count already computed by the first (min, max, count) pass, so
+    callers that also report n never pay a second full scan for it.
     """
     c = F.col(col).cast("double")
     base = df.select(c.alias("_v")).filter(F.col("_v").isNotNull())
@@ -142,9 +147,11 @@ def exact_percentiles(
     ).collect()[0]
     n, gmin, gmax = stats["n"], stats["mn"], stats["mx"]
     if n == 0:
-        return [None] * len(percentages)
+        vals = [None] * len(percentages)
+        return (vals, 0) if return_count else vals
     if gmin == gmax:
-        return [gmin] * len(percentages)
+        vals = [gmin] * len(percentages)
+        return (vals, int(n)) if return_count else vals
 
     # Wanted 0-indexed order statistics: floor/ceil of p*(n-1) per p.
     wanted: set[int] = set()
@@ -254,4 +261,4 @@ def exact_percentiles(
         lo, hi = int(math.floor(pos)), int(math.ceil(pos))
         a, b = resolved[lo], resolved[hi]
         out.append(a if lo == hi or a == b else _interp(a, b, pos - lo))
-    return out
+    return (out, int(n)) if return_count else out

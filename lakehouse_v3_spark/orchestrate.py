@@ -274,7 +274,12 @@ class _dag_lock:
                 ) from None
         except ImportError:  # pragma: no cover - non-POSIX
             self.fd = None
-        except ConcurrentRunError:
+        except Exception:
+            # ANY failure after the path entered _held (flock contention,
+            # but also os.open OSError on e.g. a bad lock dir) must
+            # release the in-process reservation, or every later run()
+            # of this dag in the process would raise ConcurrentRunError
+            # forever (r6 advisory).
             with _dag_lock._held_mu:
                 _dag_lock._held.discard(self.path)
             raise

@@ -11,6 +11,8 @@ exact shuffles.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -18,6 +20,11 @@ from ..io_utils import load
 from ..operators.dedup import md5_int
 from ..operators.similarity import near_dup_pairs
 from . import dsum, register
+
+# Serializes session-conf planning windows (bloom_runtime_filter_join)
+# against each other; see the in-function comment for the contract with
+# concurrent gateway traffic.
+_PLAN_CONF_LOCK = threading.Lock()
 
 # ---------------------------------------------------------------------------
 # Connected components over near-dup pairs (iterative, driver-bounded)
@@ -922,8 +929,9 @@ def quantiles_exact_distributed(spark, sf_dir):
     from ..operators.quantiles import exact_percentiles
 
     o = load(spark, sf_dir, "orders")
-    n = o.filter(F.col("o_totalprice").isNotNull()).count()
-    vals = exact_percentiles(o, "o_totalprice", _QUANT_PS)
+    # n comes back from the histogram's own first (min, max, count)
+    # pass — no separate count() scan (r6 verdict item #7)
+    vals, n = exact_percentiles(o, "o_totalprice", _QUANT_PS, return_count=True)
     return spark.createDataFrame(
         [(p, v, n) for p, v in zip(_QUANT_PS, vals)],
         "pct double, value double, n_rows long",
@@ -990,17 +998,59 @@ def bloom_runtime_filter_join(spark, sf_dir):
         # hint alone does NOT do this: the rule checks sizes, not hints
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
-    saved = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
-        # force planning NOW, inside the conf window; the Dataset caches
-        # its QueryExecution so later actions reuse this plan
-        joined._jdf.queryExecution().executedPlan()
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    # The conf window is session-global, NOT thread-safe: any query
+    # planned concurrently on the same session (e.g. via the
+    # multi-threaded SqlGateway) inherits the relaxed thresholds for
+    # the window's duration — never a correctness issue (the confs only
+    # bias plan CHOICE: bloom injection on, broadcast off), but a
+    # concurrently-planned small join could pick SMJ instead of
+    # broadcast. _PLAN_CONF_LOCK serializes the catalog's own
+    # conf-window users; gateway traffic that must never observe the
+    # window should plan on a cloned session (r6 advisory, documented
+    # contract).
+    with _PLAN_CONF_LOCK:
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            # force planning NOW, inside the conf window; the Dataset
+            # caches its QueryExecution so later actions reuse this
+            # plan. Private-API pin: guarded by a fails-loudly probe —
+            # _pin_executed_plan raises if the py4j call shape ever
+            # stops returning an executed plan (r6 verdict item: a
+            # silent miss here would replan WITHOUT the bloom filter
+            # after the confs restore — correct but silently slower).
+            _pin_executed_plan(joined)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
     return joined
+
+
+def _pin_executed_plan(df) -> str:
+    """Force + pin a DataFrame's physical plan via the private py4j
+    surface, FAILING LOUDLY if that surface moves (same treatment
+    _stats_reset_checkpoint got in r4): returns the executed-plan
+    string, and raises RuntimeError if the call chain breaks or yields
+    an implausible result — so a Spark upgrade surfaces as a test
+    failure (test_explain_plans.py::test_bloom_pin_fails_loudly), not
+    as a silently-unpinned plan."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception as exc:  # pragma: no cover - fires on API move
+        raise RuntimeError(
+            "bloom_runtime_filter_join: the private plan-pinning API "
+            "(_jdf.queryExecution().executedPlan()) is gone — the plan "
+            "would silently replan without the runtime bloom filter "
+            "after the conf window closes. Pin via a public mechanism "
+            f"before shipping on this Spark version. Cause: {exc!r}"
+        ) from exc
+    if not plan or "Exchange" not in plan and "Scan" not in plan:
+        raise RuntimeError(
+            "bloom_runtime_filter_join: executedPlan() returned an "
+            f"implausible plan ({plan[:120]!r}) — pinning is broken"
+        )
+    return plan

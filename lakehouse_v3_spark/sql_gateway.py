@@ -16,14 +16,18 @@ driver process exposing the session catalog.
 
 Endpoints (JSON over HTTP):
 
-- ``POST /sql``  body ``{"sql": str, "limit": int?}`` →
-  ``{"columns": [name, ...], "types": [ddl, ...], "rows": [[...]]}``.
+- ``POST /sql``  body ``{"sql": str, "limit": int?, "timeout_ms": int?}``
+  → ``{"columns": [name, ...], "types": [ddl, ...], "rows": [[...]]}``.
   Rows are capped server-side (default 10_000, per-request ``limit``
   may only lower it): the gateway is an INTERACTIVE endpoint, and an
   uncapped collect of a 100 TB result into the driver is the classic
   gateway failure mode — bulk exports belong in tables
   (``CREATE TABLE ... AS`` / ``INSERT``, which run distributed and
   return no rows). ``truncated`` is set when the cap bit.
+  ``timeout_ms`` (or the server-wide ``statement_timeout_ms``) is a
+  Trino-style statement budget: the request's Spark jobs run under a
+  per-request job group and are CANCELLED when the budget lapses —
+  structured 408, jobs interrupted cluster-side, no runaway query.
 - ``GET /tables`` → the catalog's current tables/views.
 - ``GET /health`` → liveness + Spark version.
 
@@ -57,10 +61,16 @@ class SqlGateway:
         port: int = 0,
         row_cap: int = DEFAULT_ROW_CAP,
         token: str | None = None,
+        statement_timeout_ms: int | None = None,
     ):
         self.spark = spark
         self.row_cap = int(row_cap)
         self.token = token
+        # server-wide default statement budget; a request's timeout_ms
+        # overrides it (None → no limit)
+        self.statement_timeout_ms = (
+            int(statement_timeout_ms) if statement_timeout_ms else None
+        )
         gateway = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -112,13 +122,28 @@ class SqlGateway:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
                     sql = req["sql"]
-                except (KeyError, ValueError) as exc:
+                    # limit is CLIENT input: parse + range-check inside
+                    # the bad-request block (a non-numeric or negative
+                    # limit is the client's fault, not a 500 — r6
+                    # advisory), then clamp to [0, row_cap] (the
+                    # per-request limit may only lower the server cap).
+                    cap = int(req.get("limit", gateway.row_cap))
+                    if cap < 0:
+                        raise ValueError(f"limit must be >= 0, got {cap}")
+                    cap = min(cap, gateway.row_cap)
+                    timeout_ms = req.get(
+                        "timeout_ms", gateway.statement_timeout_ms
+                    )
+                    if timeout_ms is not None:
+                        timeout_ms = int(timeout_ms)
+                        if timeout_ms <= 0:
+                            raise ValueError(
+                                f"timeout_ms must be > 0, got {timeout_ms}"
+                            )
+                except (KeyError, ValueError, TypeError) as exc:
                     return self._reply(
                         400, {"error": "bad_request", "message": str(exc)}
                     )
-                cap = min(
-                    int(req.get("limit", gateway.row_cap)), gateway.row_cap
-                )
                 try:
                     df = gateway.spark.sql(sql)
                 except Exception as exc:  # analysis/parse: client error
@@ -129,6 +154,20 @@ class SqlGateway:
                             "message": str(exc)[:2000],
                         },
                     )
+                # Server-side statement timeout (Trino-parity query
+                # limits): the collect below runs under a per-request
+                # JOB GROUP (thread-local, so concurrent requests
+                # cancel only their own jobs); a watchdog timer cancels
+                # the group when the budget lapses and the aborted
+                # request comes back as a STRUCTURED 408 — never a
+                # hung client or a runaway cluster query. Job groups
+                # (not session tags) because classic-mode interruptTag
+                # does not track plain DataFrame actions — verified on
+                # Spark 4.1: interruptTag returned [] mid-job while
+                # cancelJobGroup interrupts within ~100 ms.
+                timer = None
+                timed_out = threading.Event()
+                group = f"sqlgw-{threading.get_ident()}-{id(df)}"
                 try:
                     if not df.schema.fields:
                         # DDL/DML (CREATE/INSERT/...) — executed above,
@@ -138,6 +177,25 @@ class SqlGateway:
                             {"columns": [], "types": [], "rows": [],
                              "truncated": False},
                         )
+                    if timeout_ms is not None:
+                        gateway.spark.sparkContext.setJobGroup(
+                            group,
+                            f"sql-gateway statement (budget {timeout_ms} ms)",
+                            interruptOnCancel=True,
+                        )
+
+                        def _interrupt():
+                            timed_out.set()
+                            try:
+                                gateway.spark.sparkContext.cancelJobGroup(
+                                    group
+                                )
+                            except Exception:
+                                pass
+
+                        timer = threading.Timer(timeout_ms / 1000, _interrupt)
+                        timer.daemon = True
+                        timer.start()
                     rows = df.limit(cap + 1).collect()
                     truncated = len(rows) > cap
                     return self._reply(
@@ -152,7 +210,19 @@ class SqlGateway:
                             "truncated": truncated,
                         },
                     )
-                except Exception as exc:  # execution: server error
+                except Exception as exc:
+                    if timed_out.is_set():
+                        return self._reply(
+                            408,
+                            {
+                                "error": "statement_timeout",
+                                "message": (
+                                    f"statement exceeded {timeout_ms} ms "
+                                    "and was cancelled"
+                                ),
+                            },
+                        )
+                    # execution: server error
                     return self._reply(
                         500,
                         {
@@ -160,6 +230,14 @@ class SqlGateway:
                             "message": str(exc)[:2000],
                         },
                     )
+                finally:
+                    if timer is not None:
+                        timer.cancel()
+                    if timeout_ms is not None:
+                        try:
+                            gateway.spark.sparkContext.clearJobGroup()
+                        except Exception:
+                            pass
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._server.daemon_threads = True

@@ -76,8 +76,21 @@ def _update_totals_exact(
     for pdf in pdfs:
         n += len(pdf)
         for v in pdf["value"]:
+            # SQL SUM skips NULLs (and a NaN would poison the Decimal
+            # total permanently) — match that semantics before
+            # accumulating (r6 advisory). n_events still counts every
+            # row, like COUNT(*).
+            if v is None or v != v:
+                continue
             # Decimal(float) is the EXACT binary value; quantize matches
-            # the engines' double→decimal(30,6) cast semantics
+            # DuckDB's double→decimal(30,6) cast (the oracle engine).
+            # Caveat (r6 advisory): Spark's CAST(double AS DECIMAL)
+            # rounds from the SHORTEST-string repr instead, so an edge
+            # double sitting a sub-ulp above/below a .5 boundary at
+            # 6 dp could quantize differently there — irrelevant here
+            # because this UDF *is* the Spark-side engine (no CAST in
+            # the Spark path) and the only cross-engine compare is
+            # against DuckDB, whose semantics we mirror exactly.
             total += Decimal(float(v)).quantize(q6, rounding=ROUND_HALF_UP)
     state.update((n, str(total)))
     yield pd.DataFrame(

@@ -383,6 +383,43 @@ def test_bloom_runtime_filter_injected(spark, sf_dir):
     )
 
 
+def test_bloom_pin_fails_loudly(spark, sf_dir):
+    """The bloom join pins its physical plan through a PRIVATE py4j
+    surface (_jdf.queryExecution().executedPlan()). If a Spark
+    minor-version move changes that call shape, the conf window would
+    silently stop pinning and the restored confs would replan WITHOUT
+    the bloom filter — correct results, silently slower (r6 verdict
+    item #4). This pin makes that failure loud:
+
+    1. the pinned EXECUTED plan (not just the optimized plan) must
+       carry the bloom filter AFTER the confs were restored — proof the
+       private call actually pinned it;
+    2. _pin_executed_plan must raise RuntimeError, not return junk,
+       when the call chain breaks (simulated by an object whose _jdf
+       access explodes, which is exactly what an API move looks like).
+    """
+    import pytest
+
+    from lakehouse_v3_spark.plans.scale_extras import _pin_executed_plan
+
+    df = load_all()["bloom_runtime_filter_join"].fn(spark, sf_dir)
+    # confs are restored by now — only a pinned QueryExecution can
+    # still show the filter in the EXECUTED plan
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in executed or "might_contain" in executed, (
+        "bloom filter did not survive the conf restore — plan pinning "
+        "is broken on this Spark version"
+    )
+
+    class _Broken:
+        @property
+        def _jdf(self):
+            raise AttributeError("queryExecution call shape moved")
+
+    with pytest.raises(RuntimeError, match="plan-pinning API"):
+        _pin_executed_plan(_Broken())
+
+
 def test_ivf_pq_routes_by_cell_equi_join(spark, sf_dir):
     """knn_ivf_pq_adc must route candidates through the cell EQUI-join
     (probes broadcast onto the code table) — never an all-pairs

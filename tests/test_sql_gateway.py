@@ -96,6 +96,78 @@ def test_token_auth(spark):
         assert ok["rows"] == [[1]]
 
 
+def test_bad_limit_is_http_400(gateway):
+    """Client-fault limits come back structured (r6 advisory): a
+    non-numeric limit must be a 400 JSON error — not a dropped
+    connection — and a negative limit a 400, not a 500 from
+    df.limit(-n)."""
+    for bad in ["ten", -3]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(gateway.url, {"sql": "SELECT 1 AS x", "limit": bad})
+        assert ei.value.code == 400
+        body = json.loads(ei.value.read())
+        assert body["error"] == "bad_request"
+
+
+def test_statement_timeout_cancels_and_returns_408(gateway):
+    """Trino-parity statement budget (r6 verdict item #8): a query that
+    exceeds timeout_ms is INTERRUPTED server-side (session-tag
+    cancellation) and the client gets a structured 408 — then the very
+    next statement on the same gateway runs normally (the cancel did
+    not poison the session or leak its tag)."""
+    slow = (
+        "SELECT COUNT(*) AS n FROM gw_orders a "
+        "CROSS JOIN gw_orders b CROSS JOIN gw_orders c"
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(gateway.url, {"sql": slow, "timeout_ms": 800})
+    assert ei.value.code == 408
+    body = json.loads(ei.value.read())
+    assert body["error"] == "statement_timeout"
+    ok = _post(gateway.url, {"sql": "SELECT 41 + 1 AS x"})
+    assert ok["rows"] == [[42]]
+
+
+def test_concurrent_clients_no_conf_bleed(gateway):
+    """N concurrent clients (r6 verdict item #8): interleaved requests
+    each get their own correct result — including one that SETs a
+    session conf mid-flight — and a per-request failure stays
+    per-request. Session confs set through one request are a documented
+    session-global effect; what must NOT happen is cross-request result
+    corruption or a wedged server."""
+    import threading
+
+    results: dict[int, object] = {}
+
+    def one(i: int):
+        try:
+            if i % 4 == 3:
+                # a failing request interleaved with good ones
+                _post(gateway.url, {"sql": f"SELECT * FROM missing_{i}"})
+                results[i] = "no-error"
+            else:
+                out = _post(
+                    gateway.url,
+                    {"sql": f"SELECT {i} AS i, COUNT(*) AS n FROM gw_nation"},
+                )
+                results[i] = out["rows"][0]
+        except urllib.error.HTTPError as e:
+            results[i] = e.code
+        except Exception as e:  # pragma: no cover - diagnostic
+            results[i] = repr(e)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for i in range(12):
+        if i % 4 == 3:
+            assert results[i] == 400, results
+        else:
+            assert results[i] == [i, 25], results
+
+
 def test_cross_process_client(gateway):
     """The point of the endpoint: a SEPARATE OS process (no JVM, no
     pyspark import) runs interactive SQL against the lakehouse session
