@@ -31,6 +31,8 @@ plans/similarity_queries.py):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +41,17 @@ import pandas as pd
 
 PQ_N_SUB = 8  # subspaces
 PQ_K_CODES = 16  # codewords per subspace
+
+# Trained-codebook hyperparameters (r6 verdict item #1): 64 codewords
+# per subspace (6-bit codes — still one byte each stored), per-subspace
+# Lloyd iterated to a 0.01 max-component shift. The tolerance is looser
+# than the coarse quantizer's 0.002 deliberately: codebook components
+# are averages of ≥ a handful of subvectors and the ADC ranking is
+# insensitive to the 3rd decimal, while every extra iteration costs an
+# unrolled CTE block in the cross-engine oracle.
+PQ_TRAIN_K = 64
+PQ_TRAIN_TOL_MICRO = 10000
+PQ_TRAIN_MAX_ITER = 60
 
 
 def _seq_sqdist_np(M, cent):
@@ -94,6 +107,247 @@ def pq_codebooks(
     ]
 
 
+def _pq_update(
+    e: DataFrame,
+    cbs_by_s: dict[int, list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One per-subspace Lloyd update as a lazy DataFrame
+    ``(s, j, dim, n_assigned, component)`` covering every subspace in
+    ``cbs_by_s`` (keys = subspace ids, values = current codebooks).
+
+    Scale shape (the PQ twin of operators/ivf._lloyd_update): the
+    assignment is an Arrow-batched numpy argmin per subspace —
+    constant plan shape, codebooks ride in the closure, no
+    join/shuffle — and the update is posexplode → groupBy(s, j, dim)
+    with map-side partial aggregation, so the shuffle carries only
+    |subspaces| × k × w × partitions partial sums regardless of corpus
+    size. Components are 6-dp decimal means (the cross-engine exact
+    recipe shared with kmeans_lloyd_step)."""
+    from pyspark.sql.functions import pandas_udf
+
+    active = sorted(cbs_by_s)
+    cbs_local = [
+        [[float(x) for x in cw] for cw in cbs_by_s[s]] for s in active
+    ]
+    w = len(cbs_local[0][0])
+
+    @pandas_udf("array<int>")
+    def _codes(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        M = np.vstack(emb.to_numpy()).astype(np.float64)
+        out = np.empty((M.shape[0], len(cbs_local)), dtype=np.int32)
+        for a, (s, sub) in enumerate(zip(active, cbs_local)):
+            Ms = M[:, s * w : (s + 1) * w]
+            d = np.empty((M.shape[0], len(sub)), dtype=np.float64)
+            for j, cw in enumerate(sub):
+                d[:, j] = _seq_sqdist_np(Ms, cw)
+            out[:, a] = np.argmin(d, axis=1)  # first min → lowest j
+        return pd.Series(list(out))
+
+    s_pos = F.array(*[F.lit(int(s)) for s in active])
+    assigned = e.select(F.col(vec_col).alias("_v")).withColumn(
+        "_codes", _codes(F.col("_v"))
+    )
+    return (
+        assigned.select("_codes", F.posexplode("_v").alias("gd", "val"))
+        .withColumn("s", F.floor(F.col("gd") / w).cast("int"))
+        .withColumn("_pos", F.array_position(s_pos, F.col("s")))
+        .filter(F.col("_pos") > 0)
+        .select(
+            "s",
+            F.element_at("_codes", F.col("_pos").cast("int")).alias("j"),
+            (F.col("gd") % w).cast("int").alias("dim"),
+            "val",
+        )
+        .groupBy("s", "j", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            # float32 → double FIRST, then exact decimal accumulation;
+            # ×1e6 turns the 6-dp decimal sum into an EXACT int64
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(30,6)"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("_am"),
+        )
+        # component = half-away-from-zero(Σ/n at 6 dp) computed ENTIRELY
+        # in int64 rational arithmetic — round_half_up(a/n) =
+        # (2a + n) div (2n) for a ≥ 0, mirrored for a < 0. The r6-era
+        # ROUND(decimal_sum/n, 6) recipe rounds a DOUBLE quotient, and
+        # with the small cells of a 64-codeword codebook (~8 members)
+        # the quotient lands on a .xxxxxx5 boundary often enough that
+        # Spark's BigDecimal-expansion ROUND and DuckDB's scaled-double
+        # ROUND disagreed on 3 of 4096 components (measured). Integer
+        # arithmetic has no boundary: both engines compute the same
+        # int64, and micro/1e6 is the same double everywhere.
+        .select(
+            "s",
+            "j",
+            "dim",
+            "n_assigned",
+            (
+                F.expr(
+                    "CASE WHEN _am >= 0 "
+                    "THEN (2 * _am + n_assigned) DIV (2 * n_assigned) "
+                    "ELSE -((-2 * _am + n_assigned) DIV (2 * n_assigned)) "
+                    "END"
+                ).cast("double")
+                / 1000000.0
+            ).alias("component"),
+        )
+    )
+
+
+# Trained codebooks are a pure deterministic function of the fixture +
+# hyperparameters; cache keyed on the embeddings file identity (same
+# recipe as operators/ivf._CACHE).
+_TRAIN_CACHE: dict[tuple, tuple] = {}
+
+
+def _fixture_key(sf_dir: str) -> tuple:
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    return (os.path.abspath(sf_dir), st.st_size, int(st.st_mtime))
+
+
+def pq_train_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    vec_col: str = "embedding",
+    n_sub: int = PQ_N_SUB,
+    k_codes: int = PQ_TRAIN_K,
+    tol_micro: int = PQ_TRAIN_TOL_MICRO,
+    max_iter: int = PQ_TRAIN_MAX_ITER,
+    train_df: DataFrame | None = None,
+    cache_token: str | None = None,
+) -> tuple[list[list[list[float]]], list[int], dict[int, list[list[float]]]]:
+    """TRAINED per-subspace codebooks: Lloyd's k-means run independently
+    in each of the ``n_sub`` subspaces until that subspace's max
+    per-component centroid shift drops to ≤ ``tol_micro`` micro-units
+    (per-subspace stopping — each codebook is a converged k-means, not
+    a snapshot of a jointly-stopped loop). Returns
+    ``(codebooks, n_iters, prev_cbs)``:
+
+    - ``codebooks[s][j]`` — converged codeword j of subspace s;
+    - ``n_iters[s]`` — the iteration at which subspace s converged;
+    - ``prev_cbs[s]`` — subspace s's codebook at ``n_iters[s] − 1``, so
+      catalog queries can rebuild the final aggregation LAZILY and
+      return a distributed plan (the lloyd_converged convention).
+
+    Training set = the full embeddings table by default (fixture
+    scale); at 100 TB pass ``train_df`` with a deterministic sample —
+    the k × dim × n_sub model parameters and the per-iteration job
+    shapes are independent of corpus size either way. Every iteration
+    is ONE distributed aggregation over all still-active subspaces
+    (converged subspaces drop out of the job — the Arrow closure
+    shrinks as training proceeds).
+
+    Raises loudly on empty codewords or non-convergence (both would
+    silently diverge from the DuckDB oracle's unrolled chain).
+    Measured convergence (max over subspaces): 20 / 11 / 10 iterations
+    at sf0.001 / 0.01 / 0.1 — smoother means converge FASTER at scale,
+    so the unrolled oracle's depth is sized by the SMALL fixtures.
+    """
+    from ..io_utils import load
+
+    # caching: always for the default (full-embeddings) train set; for a
+    # caller-supplied train_df only when the caller vouches for its
+    # determinism-per-fixture with a cache_token (e.g. "residual")
+    use_cache = train_df is None or cache_token is not None
+    key = (
+        _fixture_key(sf_dir),
+        vec_col,
+        n_sub,
+        k_codes,
+        tol_micro,
+        max_iter,
+        cache_token,
+    )
+    if use_cache and key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
+
+    e = (
+        train_df
+        if train_df is not None
+        else load(spark, sf_dir, "embeddings").select("vec_id", vec_col)
+    )
+    seeds = pq_codebooks(
+        spark, e, vec_col=vec_col, n_sub=n_sub, k_codes=k_codes
+    )
+    w = len(seeds[0][0])
+
+    vecs = e.select(vec_col).persist()
+    try:
+        active: dict[int, list[list[float]]] = {
+            s: seeds[s] for s in range(n_sub)
+        }
+        final: list = [None] * n_sub
+        n_iters: list = [None] * n_sub
+        prev_cbs: dict[int, list[list[float]]] = {}
+        for it in range(1, max_iter + 1):
+            if not active:
+                break
+            rows = _pq_update(vecs, active, vec_col=vec_col).collect()
+            by_s: dict[int, dict] = {s: {} for s in active}
+            for r in rows:
+                by_s[r["s"]][(r["j"], r["dim"])] = (
+                    float(r["component"]),
+                    int(r["n_assigned"]),
+                )
+            for s in list(active):
+                got = by_s[s]
+                if len(got) != k_codes * w:
+                    seen_j = {j for (j, _) in got}
+                    missing = sorted(set(range(k_codes)) - seen_j)
+                    raise RuntimeError(
+                        f"pq_train_codebooks: empty codeword(s) {missing} in "
+                        f"subspace {s} at iteration {it} — undefined vs the "
+                        "oracle (grow the training set or lower k_codes)"
+                    )
+                new = [
+                    [got[(j, d)][0] for d in range(w)]
+                    for j in range(k_codes)
+                ]
+                old = active[s]
+                shift = max(
+                    abs(_micro(new[j][d]) - _micro(old[j][d]))
+                    for j in range(k_codes)
+                    for d in range(w)
+                )
+                if shift <= tol_micro:
+                    final[s] = new
+                    n_iters[s] = it
+                    prev_cbs[s] = old
+                    del active[s]
+                else:
+                    active[s] = new
+        if active:
+            raise RuntimeError(
+                f"pq_train_codebooks: subspaces {sorted(active)} did not "
+                f"converge to {tol_micro} micro-units within {max_iter} "
+                "iterations"
+            )
+    finally:
+        vecs.unpersist()
+
+    result = (final, n_iters, prev_cbs)
+    if use_cache:
+        _TRAIN_CACHE[key] = result
+    return result
+
+
+def _micro(component: float) -> int:
+    """Half-away-from-zero micro-units — shared rounding with the SQL
+    oracle's CAST(ROUND(x * 1e6, 0) AS BIGINT) (see operators/ivf)."""
+    import math
+
+    return int(math.copysign(math.floor(abs(component * 1e6) + 0.5), component))
+
+
 def encode_codes(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -125,6 +379,123 @@ def encode_codes(
         return pd.Series(list(codes))
 
     return df.withColumn(out_col, _encode(F.col(vec_col)))
+
+
+def residual_struct(cents: list[list[float]], vec_col: str = "embedding"):
+    """Column: ``struct<cell:int, rv:array<double>>`` — the vector's
+    nearest coarse centroid (argmin by (dist, cid), exact left-fold
+    distances) and its RESIDUAL v − centroid[cell], the quantity real
+    FAISS IVFPQ encodes instead of the raw vector (residuals are
+    cell-centered, so a small codebook spends its codewords on the
+    informative part). One Arrow map, constant plan shape (centroids in
+    the closure — the r6 lesson: k×dim literal expression trees blow up
+    CollapseProject re-inlining), no shuffle. rv[d] =
+    float64(v[d]) − component[d]: both engines subtract the identical
+    doubles, so residuals are bit-shared with the oracle's
+    list_transform."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents_local = [[float(x) for x in c] for c in cents]
+
+    @pandas_udf("struct<cell:int, rv:array<double>>")
+    def _res(emb: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.DataFrame({"cell": [], "rv": []})
+        M = np.vstack(emb.to_numpy()).astype(np.float64)
+        n = M.shape[0]
+        dists = np.empty((n, len(cents_local)), dtype=np.float64)
+        for cid, cent in enumerate(cents_local):
+            dists[:, cid] = _seq_sqdist_np(M, cent)
+        cells = np.argmin(dists, axis=1)
+        C = np.asarray(cents_local, dtype=np.float64)[cells]
+        R = M - C
+        return pd.DataFrame(
+            {"cell": cells.astype("int32"), "rv": list(R)}
+        )
+
+    return _res(F.col(vec_col))
+
+
+def decode_error(
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    cents: list[list[float]] | None = None,
+    cell_col: str = "cell",
+):
+    """Column: squared reconstruction error ‖v − decode(codes)‖² — ONE
+    flat 0.0-seeded fold over all dims of (v[d] − recon[d])², where
+    recon = concat of the chosen codewords (+ the coarse centroid of
+    ``cell_col`` when ``cents`` is given: the residual-encoding
+    reconstruction cent + decode(res_codes)). The quantization-quality
+    metric ivfpq_residual_quantization_audit reports; Arrow map, no
+    shuffle, corpus-parallel."""
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [[list(map(float, cw)) for cw in sub] for sub in codebooks]
+    w = len(cbs[0][0])
+    cents_local = (
+        [[float(x) for x in c] for c in cents] if cents is not None else None
+    )
+
+    @pandas_udf("double")
+    def _err(emb: pd.Series, codes: pd.Series, cell: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="float64")
+        M = np.vstack(emb.to_numpy()).astype(np.float64)
+        C = np.vstack(codes.to_numpy()).astype(np.int64)
+        recon = np.empty_like(M)
+        for s, sub in enumerate(cbs):
+            recon[:, s * w : (s + 1) * w] = np.asarray(sub, dtype=np.float64)[
+                C[:, s]
+            ]
+        if cents_local is not None:
+            recon = (
+                np.asarray(cents_local, dtype=np.float64)[
+                    cell.to_numpy().astype(np.int64)
+                ]
+                + recon
+            )
+        acc = np.zeros(M.shape[0], dtype=np.float64)
+        for d in range(M.shape[1]):
+            diff = M[:, d] - recon[:, d]
+            acc = acc + diff * diff
+        return pd.Series(acc)
+
+    cell_arg = (
+        F.col(cell_col) if cents is not None else F.lit(0).cast("int")
+    )
+    return _err(F.col(vec_col), F.col(codes_col), cell_arg)
+
+
+def exact_l2_distance(query_col: str = "q_embedding", vec_col: str = "embedding"):
+    """Column: exact squared L2 between two vector columns — ONE flat
+    0.0-seeded left fold over all dims (sequential over dims,
+    vectorized over rows), bit-identical to the DuckDB flat fold the
+    rerank oracles use. This is the RERANK distance: applied only to
+    the top-R ADC survivors after their raw vectors are joined back,
+    so the exact math touches R×|queries| rows, never the corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _l2(q: pd.Series, c: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(q) == 0:
+            return pd.Series([], dtype="float64")
+        Q = np.vstack(q.to_numpy()).astype(np.float64)
+        C = np.vstack(c.to_numpy()).astype(np.float64)
+        acc = np.zeros(Q.shape[0], dtype=np.float64)
+        for d in range(Q.shape[1]):
+            diff = Q[:, d] - C[:, d]
+            acc = acc + diff * diff
+        return pd.Series(acc)
+
+    return _l2(F.col(query_col), F.col(vec_col))
 
 
 def adc_distance(

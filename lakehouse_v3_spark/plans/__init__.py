@@ -106,6 +106,7 @@ _MODULES = [
     "dedup_queries",
     "similarity_queries",
     "ivf_queries",
+    "pq_trained_queries",
     "audit_queries",
     "streaming_queries",
     "multimodal_queries",

@@ -436,102 +436,246 @@ def knn_ivf_nprobe_recall_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Query 4: IVF-PQ — coarse converged cells + PQ-ADC ranking inside the
-# probed cells (the FAISS-style composite production ANN index; PQ
-# pieces documented in operators/pq.py / plans/similarity_queries.py)
+# Query 4: IVF-PQ — coarse converged cells routing + TRAINED-codebook
+# PQ-ADC ranking inside the probed cells + exact rerank (the FAISS-style
+# composite production ANN index; r6 verdict items #1/#2). PQ training
+# chain shared via plans/pq_train_sql.py; PQ pieces documented in
+# operators/pq.py / plans/similarity_queries.py.
 # ---------------------------------------------------------------------------
 
-# PQ CTEs over the ivf namespace (corp(nid, nv) from _TAIL_CTES instead
-# of similarity_queries' corpus(vec_id, embedding); same folds, same
-# determinism contract — _sq8 is imported so the fold text cannot drift)
 
-
-def _ivfpq_ctes() -> str:
-    from .similarity_queries import _sq8
-
-    qsub = (
-        "list_transform(range(ss.s*8 + 1, ss.s*8 + 9), "
-        "d -> CAST(q.qv[d] AS DOUBLE))"
+def _sqflat64(a: str, b: str) -> str:
+    """Flat exact left-fold Σ (a[d]-b[d])² over the FULL vector — the
+    rerank's ground-truth squared-L2 (same text as
+    similarity_queries._sqflat; duplicated to avoid an import cycle)."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"d -> ({a}[d]::DOUBLE - {b}[d]::DOUBLE) * "
+        f"({a}[d]::DOUBLE - {b}[d]::DOUBLE))), "
+        f"(acc, x) -> acc + x)"
     )
+
+
+# rerank budget — same corpus-proportional formula as knn_pq_adc
+_IVFPQ_RERANK = (
+    "(SELECT GREATEST(100, CAST(CEIL(COUNT(*) / 20.0) AS BIGINT)) FROM corp)"
+)
+
+_QSUB_IVF = (
+    "list_transform(range(ss.s*8 + 1, ss.s*8 + 9), "
+    "d -> CAST(q.qv[d] AS DOUBLE))"
+)
+
+
+def _ivfpq_trained_ctes() -> str:
+    """CTEs from (cents→_TAIL_CTES namespace + pqcb/pqsubv) to the
+    reranked top-5: corpus codes from the TRAINED codebooks, candidates
+    from the probed cells, ADC rank, top-R shortlist, exact rerank."""
+    from .pq_train_sql import sq_fold
+
     return f"""
-seeds AS (
-  SELECT vec_id AS j,
-         list_transform(range(1, len(embedding) + 1),
-                        d -> ROUND(CAST(embedding[d] AS DOUBLE), 6)) AS c
-  FROM embeddings WHERE vec_id < 16
-),
-ss AS (SELECT unnest(range(0, 8)) AS s),
-cb AS (
-  SELECT ss.s, seeds.j,
-         list_transform(range(ss.s*8 + 1, ss.s*8 + 9), d -> c[d]) AS cw
-  FROM ss, seeds
-),
-psubv AS (
-  SELECT corp.nid, ss.s,
-         list_transform(range(ss.s*8 + 1, ss.s*8 + 9),
-                        d -> CAST(corp.nv[d] AS DOUBLE)) AS sv
-  FROM corp, ss
-),
-penc AS (
-  SELECT nid, s, j AS code FROM (
-    SELECT v.nid, v.s, b.j,
-           ROW_NUMBER() OVER (PARTITION BY v.nid, v.s
-                              ORDER BY {_sq8('v.sv', 'b.cw')}, b.j) AS rn
-    FROM psubv v JOIN cb b ON b.s = v.s
+pcbw AS MATERIALIZED (SELECT s, j, list(component ORDER BY dim) AS cw
+                      FROM pqcb GROUP BY s, j),
+pss AS (SELECT unnest(range(0, 8)) AS s),
+penc AS MATERIALIZED (
+  SELECT vec_id AS nid, s, j AS code FROM (
+    SELECT v.vec_id, v.s, b.j,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                              ORDER BY {sq_fold('v.sv', 'b.cw')}, b.j) AS rn
+    FROM pqsubv v JOIN pcbw b ON b.s = v.s
+    WHERE v.vec_id >= 10
   ) WHERE rn = 1
 ),
 cand AS (
   SELECT p.qid, ca.nid
   FROM qprobe p JOIN cass ca ON ca.cid = p.cid AND p.pr <= {_NPROBE}
 ),
-pdists AS (
-  SELECT c.qid, c.nid, e.s, {_sq8(qsub, 'b.cw')} AS ds
-  FROM cand c
-  JOIN penc e ON e.nid = c.nid
-  JOIN cb b ON b.s = e.s AND b.j = e.code
-  JOIN ss ON ss.s = e.s
-  JOIN q ON q.qid = c.qid
-),
-padc AS (
+padc AS MATERIALIZED (
   SELECT qid, nid,
          list_reduce(list_prepend(0.0::DOUBLE, list(ds ORDER BY s)),
                      (acc, x) -> acc + x) AS adc
-  FROM pdists GROUP BY qid, nid
+  FROM (
+    SELECT c.qid, c.nid, e.s, {sq_fold(_QSUB_IVF, 'b.cw')} AS ds
+    FROM cand c
+    JOIN penc e ON e.nid = c.nid
+    JOIN pcbw b ON b.s = e.s AND b.j = e.code
+    JOIN pss ss ON ss.s = e.s
+    JOIN q ON q.qid = c.qid
+  ) GROUP BY qid, nid
+),
+pshort AS (
+  SELECT qid, nid, adc FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS r
+    FROM padc
+  ) WHERE r <= {_IVFPQ_RERANK}
+),
+prr AS (
+  SELECT s.qid, s.nid, s.adc, {_sqflat64('q.qv', 'corp.nv')} AS l2
+  FROM pshort s
+  JOIN corp ON corp.nid = s.nid
+  JOIN q ON q.qid = s.qid
 )"""
 
 
 _IVFPQ_SELECT = """
 SELECT qid AS query_id, nid AS corpus_id, CAST(rank AS BIGINT) AS rank,
-       ROUND(adc, 6) AS adc_dist
+       ROUND(l2, 6) AS l2_dist, ROUND(adc, 6) AS adc_dist
 FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-                               ORDER BY adc, nid) AS rank
-  FROM padc
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2, nid) AS rank
+  FROM prr
 ) WHERE rank <= 5
 """
 
+_PQSUBV_SQL = (
+    "pqsubv AS (SELECT vec_id, CAST(ss.s AS INT) AS s, "
+    "list_transform(range(ss.s*8 + 1, ss.s*8 + 9), "
+    "d -> CAST(embedding[d] AS DOUBLE)) AS sv "
+    "FROM embeddings, (SELECT unnest(range(0, 8)) AS s) ss)"
+)
+
 
 def _ivfpq_oracle() -> str:
+    from .pq_train_sql import train_chain
+
     return (
         "WITH\n"
         + _lloyd_chain()
         + ",\n"
         + _TAIL_CTES
         + ",\n"
-        + _ivfpq_ctes()
+        + train_chain(prefix="pq")
+        + ",\n"
+        + _ivfpq_trained_ctes()
         + _IVFPQ_SELECT
     )
 
 
 def _ivfpq_sf_oracle(con, sf_dir):
+    from .pq_train_sql import duckdb_pq_train
+
     _duckdb_lloyd_converged(con)
+    duckdb_pq_train(con)
     return con.execute(
         "WITH cents AS (SELECT cid, dim, component FROM _km_cents),\n"
         + _TAIL_CTES
+        + ",\npqcb AS (SELECT * FROM _pq_cb),\n"
+        + _PQSUBV_SQL
         + ",\n"
-        + _ivfpq_ctes()
+        + _ivfpq_trained_ctes()
         + _IVFPQ_SELECT
     ).fetchdf()
+
+
+def _ivfpq_spark(spark, sf_dir, residual: bool):
+    """Shared Spark pipeline for the two IVF-PQ composites: coarse
+    converged routing (nprobe=3) + PQ-ADC candidate ranking from 8-byte
+    codes + exact rerank of the top-R. ``residual=True`` encodes
+    v − coarse_centroid(cell) with codebooks TRAINED ON RESIDUALS and
+    ranks by residual-space ADC (query residual per probed cell)."""
+    from pyspark.sql import Window
+
+    from ..operators.pq import (
+        adc_distance,
+        encode_codes,
+        exact_l2_distance,
+        pq_train_codebooks,
+        residual_struct,
+    )
+
+    cents, _, _, _ = lloyd_converged(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    corpus_raw = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    n_corpus = corpus_raw.count()
+    rerank_r = max(100, -(-n_corpus // 20))  # ceil(n/20)
+
+    if residual:
+        resid_all = e.select(
+            "vec_id", residual_struct(cents).alias("r")
+        ).select("vec_id", F.col("r.cell").alias("cell"), F.col("r.rv").alias("rv"))
+        cbs, _, _ = pq_train_codebooks(
+            spark,
+            sf_dir,
+            vec_col="rv",
+            train_df=resid_all,
+            cache_token="residual",
+        )
+        corpus = encode_codes(
+            resid_all.filter(F.col("vec_id") >= 10), cbs, vec_col="rv"
+        ).select(F.col("vec_id").alias("corpus_id"), "cell", "codes")
+    else:
+        cbs, _, _ = pq_train_codebooks(spark, sf_dir)
+        corpus = assign_cells(
+            encode_codes(
+                e.filter(F.col("vec_id") >= 10).select("vec_id", "embedding"),
+                cbs,
+            ),
+            cents,
+        ).select(F.col("vec_id").alias("corpus_id"), "cell", "codes")
+
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.explode(
+            probe_cells_expr(F.col("embedding"), cents, _NPROBE)
+        ).alias("cell"),
+    )
+    if residual:
+        # the query's residual DIFFERS per probed cell: q − centroid(cell)
+        from pyspark.sql.functions import pandas_udf
+        import pandas as pd  # noqa: F401 (module-level import exists)
+
+        cents_local = [[float(x) for x in c] for c in cents]
+
+        @pandas_udf("array<double>")
+        def _q_res(emb, cell):
+            import numpy as np
+
+            if len(emb) == 0:
+                return emb
+            M = np.vstack(emb.to_numpy()).astype(np.float64)
+            C = np.asarray(cents_local, dtype=np.float64)[
+                cell.to_numpy().astype(np.int64)
+            ]
+            return pd.Series(list(M - C))
+
+        queries = queries.withColumn(
+            "q_res", _q_res(F.col("q_embedding"), F.col("cell"))
+        )
+        adc_col = adc_distance(cbs, query_col="q_res")
+    else:
+        adc_col = adc_distance(cbs)
+
+    scored = corpus.join(F.broadcast(queries), "cell").withColumn(
+        "adc", adc_col
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("corpus_id").asc()
+    )
+    shortr = (
+        scored.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= rerank_r)
+        .select("query_id", "corpus_id", "adc", "q_embedding")
+    )
+    rr = shortr.join(corpus_raw, "corpus_id").withColumn(
+        "l2", exact_l2_distance("q_embedding", "embedding")
+    )
+    w_l2 = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(w_l2))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("l2", 6).alias("l2_dist"),
+            F.round("adc", 6).alias("adc_dist"),
+        )
+    )
 
 
 @register(
@@ -540,62 +684,438 @@ def _ivfpq_sf_oracle(con, sf_dir):
     sf_oracle=_ivfpq_sf_oracle,
 )
 def knn_ivf_pq_adc(spark, sf_dir):
-    """IVF-PQ composite ANN — the production vector-index shape (FAISS
-    IVFPQ, per Jégou et al.): a CONVERGED coarse quantizer routes each
-    query to its nprobe=3 nearest cells, and within those cells
-    candidates are ranked by PQ asymmetric distance from 8-byte codes —
-    raw corpus vectors are touched by NEITHER the routing NOR the
-    ranking at query time.
+    """IVF-PQ composite ANN, production shape (FAISS IVFPQ, per Jégou
+    et al.; r6 verdict item #1 applied to the composite): a CONVERGED
+    coarse quantizer routes each query to its nprobe=3 nearest cells;
+    within those cells candidates are ranked by asymmetric distance
+    from 8-byte codes of the TRAINED 64-codeword codebooks
+    (pq_trained_codebooks); the top-R ADC survivors (R = max(100, 5% of
+    corpus)) are then EXACT-reranked by true squared-L2. Raw corpus
+    vectors are touched only by the R-row rerank join — the routing and
+    the scan see cells + codes only.
 
-    100 TB design: the two index artifacts (cell assignment, PQ codes)
-    are both shuffle-free Arrow maps computed once at ingest; a query
-    reads ~nprobe/k of the code table (partition-pruned when stored
-    partitioned by cell) and ranks with codebook lookups. Scan cost =
-    (3/8 corpus) × 8-byte codes ≈ 1/85th of brute force over float32
-    vectors. Both engines share the exact-fold/argmin/ordered-subspace
-    determinism contract of the component queries
-    (knn_ivf_converged_nprobe, knn_pq_adc)."""
-    from ..operators.pq import adc_distance, encode_codes, pq_codebooks
+    Upgraded from r6's untrained sampled codebook (recall@5 0.22, no
+    rerank): measured end-to-end recall@5 is now bounded by the cell-
+    routing ceiling (0.86 at sf0.01 for nprobe=3 — see
+    knn_ivf_nprobe_recall_audit), which the rerank approaches.
+
+    100 TB design: cell assignment and PQ codes are both shuffle-free
+    Arrow maps computed once at ingest (stored partitioned by cell →
+    probing prunes partitions); a query reads ~nprobe/k of the code
+    table and ranks with codebook lookups; scan cost ≈ (3/8 corpus) ×
+    8-byte codes ≈ 1/85th of brute force over float32 vectors, and the
+    rerank adds R × |queries| vector fetches."""
+    return _ivfpq_spark(spark, sf_dir, residual=False)
+
+
+# ---------------------------------------------------------------------------
+# Query 5: residual IVF-PQ (r6 verdict item #2) — encode
+# v − coarse_centroid, the real-FAISS refinement that makes small
+# codebooks usable
+# ---------------------------------------------------------------------------
+
+
+def _resid_ctes() -> str:
+    """acass (ALL vectors → coarse cell) + resid (v − centroid) — the
+    residual training set the rpq chain trains on."""
+    return f"""
+acass AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM (SELECT e2.vec_id, cwv.cid,
+                 {_sqdist("e2.embedding", "cwv.cv")} AS dist
+          FROM embeddings e2 CROSS JOIN cw cwv)
+  ) WHERE rn = 1
+),
+resid AS MATERIALIZED (
+  SELECT e.vec_id,
+         list_transform(range(1, len(e.embedding) + 1),
+                        d -> CAST(e.embedding[d] AS DOUBLE) - cwv.cv[d]) AS rv
+  FROM embeddings e
+  JOIN acass a USING (vec_id)
+  JOIN cw cwv ON cwv.cid = a.cid
+)"""
+
+
+def _rivfpq_tail() -> str:
+    """From rpqcb (+ coarse namespace) to the residual-ADC reranked
+    top-5: encode corpus residuals, per-(query, probed-cell) query
+    residual, residual ADC, shortlist, exact rerank on RAW vectors."""
+    from .pq_train_sql import sq_fold
+
+    qrsub = (
+        "list_transform(range(ss.s*8 + 1, ss.s*8 + 9), "
+        "d -> qr.qrv[d])"
+    )
+    return f"""
+rcbw AS MATERIALIZED (SELECT s, j, list(component ORDER BY dim) AS cw
+                      FROM rpqcb GROUP BY s, j),
+rss AS (SELECT unnest(range(0, 8)) AS s),
+renc AS MATERIALIZED (
+  SELECT vec_id AS nid, s, j AS code FROM (
+    SELECT v.vec_id, v.s, b.j,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                              ORDER BY {sq_fold('v.sv', 'b.cw')}, b.j) AS rn
+    FROM rpqsubv v JOIN rcbw b ON b.s = v.s
+    WHERE v.vec_id >= 10
+  ) WHERE rn = 1
+),
+qres AS (
+  SELECT p.qid, p.cid,
+         list_transform(range(1, len(q.qv) + 1),
+                        d -> CAST(q.qv[d] AS DOUBLE) - cwv.cv[d]) AS qrv
+  FROM qprobe p
+  JOIN q ON q.qid = p.qid
+  JOIN cw cwv ON cwv.cid = p.cid
+  WHERE p.pr <= {_NPROBE}
+),
+rcand AS (
+  SELECT p.qid, p.cid, ca.nid
+  FROM qprobe p JOIN cass ca ON ca.cid = p.cid AND p.pr <= {_NPROBE}
+),
+radc AS MATERIALIZED (
+  SELECT qid, nid,
+         list_reduce(list_prepend(0.0::DOUBLE, list(ds ORDER BY s)),
+                     (acc, x) -> acc + x) AS adc
+  FROM (
+    SELECT c.qid, c.nid, e.s, {sq_fold(qrsub, 'b.cw')} AS ds
+    FROM rcand c
+    JOIN qres qr ON qr.qid = c.qid AND qr.cid = c.cid
+    JOIN renc e ON e.nid = c.nid
+    JOIN rcbw b ON b.s = e.s AND b.j = e.code
+    JOIN rss ss ON ss.s = e.s
+  ) GROUP BY qid, nid
+),
+rshort AS (
+  SELECT qid, nid, adc FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS r
+    FROM radc
+  ) WHERE r <= {_IVFPQ_RERANK}
+),
+prr AS (
+  SELECT s.qid, s.nid, s.adc, {_sqflat64('q.qv', 'corp.nv')} AS l2
+  FROM rshort s
+  JOIN corp ON corp.nid = s.nid
+  JOIN q ON q.qid = s.qid
+)"""
+
+
+def _rivfpq_oracle() -> str:
+    from .pq_train_sql import train_chain
+
+    return (
+        "WITH\n"
+        + _lloyd_chain()
+        + ",\n"
+        + _TAIL_CTES
+        + ",\n"
+        + _resid_ctes()
+        + ",\n"
+        + train_chain(prefix="rpq", source="resid", vec="rv")
+        + ",\n"
+        + _rivfpq_tail()
+        + _IVFPQ_SELECT
+    )
+
+
+def _rivfpq_sf_oracle(con, sf_dir):
+    from .pq_train_sql import duckdb_pq_train
+
+    _duckdb_lloyd_converged(con)
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE _rcw AS "
+        "SELECT cid, list(component ORDER BY dim) AS cv "
+        "FROM _km_cents GROUP BY cid"
+    )
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE _racass AS "
+        "SELECT vec_id, cid FROM ("
+        "  SELECT vec_id, cid, row_number() OVER "
+        "    (PARTITION BY vec_id ORDER BY dist, cid) AS rn"
+        "  FROM (SELECT e2.vec_id, cwv.cid, "
+        + _sqdist("e2.embedding", "cwv.cv")
+        + " AS dist FROM embeddings e2 CROSS JOIN _rcw cwv)"
+        ") WHERE rn = 1"
+    )
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE _rresid AS "
+        "SELECT e.vec_id, list_transform(range(1, len(e.embedding) + 1), "
+        "d -> CAST(e.embedding[d] AS DOUBLE) - cwv.cv[d]) AS rv "
+        "FROM embeddings e JOIN _racass a USING (vec_id) "
+        "JOIN _rcw cwv ON cwv.cid = a.cid"
+    )
+    duckdb_pq_train(
+        con,
+        source_sql="SELECT vec_id, rv FROM _rresid",
+        vec="rv",
+        out_table="_rpq_cb",
+    )
+    return con.execute(
+        "WITH cents AS (SELECT cid, dim, component FROM _km_cents),\n"
+        + _TAIL_CTES
+        + ",\nrpqcb AS (SELECT * FROM _rpq_cb),\n"
+        "rpqsubv AS (SELECT vec_id, CAST(ss.s AS INT) AS s, "
+        "list_transform(range(ss.s*8 + 1, ss.s*8 + 9), "
+        "d -> rv[d]) AS sv "
+        "FROM _rresid, (SELECT unnest(range(0, 8)) AS s) ss),\n"
+        + _rivfpq_tail()
+        + _IVFPQ_SELECT
+    ).fetchdf()
+
+
+@register(
+    "knn_ivf_pq_residual",
+    oracle=_rivfpq_oracle(),
+    sf_oracle=_rivfpq_sf_oracle,
+)
+def knn_ivf_pq_residual(spark, sf_dir):
+    """RESIDUAL IVF-PQ (r6 verdict item #2): identical routing and
+    rerank to knn_ivf_pq_adc, but the PQ stage encodes the RESIDUAL
+    v − coarse_centroid(cell) with codebooks trained on residuals —
+    what real FAISS IVFPQ does, because residuals are cell-centered
+    and a small codebook spends its 64 codewords on the informative
+    displacement instead of re-describing the cell mean. The query side
+    forms its own residual PER PROBED CELL (q − centroid(cell)), so
+    ADC compares like with like.
+
+    Measured quantization gain on the fixtures: residual encoding cuts
+    mean squared reconstruction error a further 5–7% below the trained
+    raw-vector codebooks at every SF (0.323 → 0.302 at sf0.001 — the
+    oracle-checked numbers are ivfpq_residual_quantization_audit's
+    output; isotropic-random fixtures are the minimum-benefit case —
+    clustered real embeddings gain far more). End-to-end recall@5
+    after the rerank matches the raw composite (both approach the
+    nprobe cell ceiling).
+
+    Scale shape identical to knn_ivf_pq_adc: two shuffle-free Arrow
+    index maps at ingest (cell+residual, codes), code-only probed
+    scan, R-row rerank; the only addition is one centroid subtraction
+    per row, fused into the same Arrow pass."""
+    return _ivfpq_spark(spark, sf_dir, residual=True)
+
+
+# ---------------------------------------------------------------------------
+# Query 6: the quantization-error audit — the stable metric on which
+# residual encoding provably beats raw-vector encoding (recall@5 over
+# 10 sampled queries is too noisy to separate them on isotropic
+# fixtures; reconstruction MSE over the whole corpus is exact)
+# ---------------------------------------------------------------------------
+
+# integer-rational 6-dp mean (the pq_train_sql component recipe): no
+# ROUND(double) anywhere, so both engines produce the identical double
+_MSE_MEAN = """
+CAST(CASE WHEN am >= 0 THEN (2 * am + n) // (2 * n)
+          ELSE -((-2 * am + n) // (2 * n)) END AS DOUBLE) / 1000000.0
+"""
+
+
+def _quant_audit_ctes() -> str:
+    from .pq_train_sql import sq_fold
+
+    err_raw = _sqflat64("corp.nv", "rc.recon")
+    err_res = _sqflat64("corp.nv", "rr.recon")
+    return f"""
+pcbw AS (SELECT s, j, list(component ORDER BY dim) AS cw
+         FROM pqcb GROUP BY s, j),
+rcbw AS (SELECT s, j, list(component ORDER BY dim) AS cw
+         FROM rpqcb GROUP BY s, j),
+penc AS MATERIALIZED (
+  SELECT vec_id AS nid, s, j AS code FROM (
+    SELECT v.vec_id, v.s, b.j,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                              ORDER BY {sq_fold('v.sv', 'b.cw')}, b.j) AS rn
+    FROM pqsubv v JOIN pcbw b ON b.s = v.s
+    WHERE v.vec_id >= 10
+  ) WHERE rn = 1
+),
+renc AS MATERIALIZED (
+  SELECT vec_id AS nid, s, j AS code FROM (
+    SELECT v.vec_id, v.s, b.j,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                              ORDER BY {sq_fold('v.sv', 'b.cw')}, b.j) AS rn
+    FROM rpqsubv v JOIN rcbw b ON b.s = v.s
+    WHERE v.vec_id >= 10
+  ) WHERE rn = 1
+),
+recon_raw AS (
+  SELECT e.nid, flatten(list(b.cw ORDER BY e.s)) AS recon
+  FROM penc e JOIN pcbw b ON b.s = e.s AND b.j = e.code
+  GROUP BY e.nid
+),
+recon_res AS (
+  SELECT e.nid,
+         list_transform(range(1, 65),
+                        d -> cwv.cv[d] + fl.dec[d]) AS recon
+  FROM (SELECT e.nid, flatten(list(b.cw ORDER BY e.s)) AS dec
+        FROM renc e JOIN rcbw b ON b.s = e.s AND b.j = e.code
+        GROUP BY e.nid) fl(nid, dec)
+  JOIN renc e ON e.nid = fl.nid AND e.s = 0
+  JOIN acass a ON a.vec_id = fl.nid
+  JOIN cw cwv ON cwv.cid = a.cid
+),
+err_raw AS (
+  SELECT 'raw' AS variant, COUNT(*) AS n,
+         CAST(SUM(CAST(err AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS am
+  FROM (SELECT {err_raw} AS err
+        FROM corp JOIN recon_raw rc ON rc.nid = corp.nid)
+),
+err_res AS (
+  SELECT 'residual' AS variant, COUNT(*) AS n,
+         CAST(SUM(CAST(err AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS am
+  FROM (SELECT {err_res} AS err
+        FROM corp JOIN recon_res rr ON rr.nid = corp.nid)
+)"""
+
+
+_QUANT_SELECT = f"""
+SELECT variant, CAST(n AS BIGINT) AS n_vectors, {_MSE_MEAN} AS mse
+FROM (SELECT * FROM err_raw UNION ALL SELECT * FROM err_res)
+"""
+
+
+def _quant_oracle() -> str:
+    from .pq_train_sql import train_chain
+
+    return (
+        "WITH\n"
+        + _lloyd_chain()
+        + ",\n"
+        + _TAIL_CTES
+        + ",\n"
+        + _resid_ctes()
+        + ",\n"
+        + train_chain(prefix="pq")
+        + ",\n"
+        + train_chain(prefix="rpq", source="resid", vec="rv")
+        + ",\n"
+        + _quant_audit_ctes()
+        + _QUANT_SELECT
+    )
+
+
+def _quant_sf_oracle(con, sf_dir):
+    from .pq_train_sql import duckdb_pq_train
+
+    _duckdb_lloyd_converged(con)
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE _rcw AS "
+        "SELECT cid, list(component ORDER BY dim) AS cv "
+        "FROM _km_cents GROUP BY cid"
+    )
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE _racass AS "
+        "SELECT vec_id, cid FROM ("
+        "  SELECT vec_id, cid, row_number() OVER "
+        "    (PARTITION BY vec_id ORDER BY dist, cid) AS rn"
+        "  FROM (SELECT e2.vec_id, cwv.cid, "
+        + _sqdist("e2.embedding", "cwv.cv")
+        + " AS dist FROM embeddings e2 CROSS JOIN _rcw cwv)"
+        ") WHERE rn = 1"
+    )
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE _rresid AS "
+        "SELECT e.vec_id, list_transform(range(1, len(e.embedding) + 1), "
+        "d -> CAST(e.embedding[d] AS DOUBLE) - cwv.cv[d]) AS rv "
+        "FROM embeddings e JOIN _racass a USING (vec_id) "
+        "JOIN _rcw cwv ON cwv.cid = a.cid"
+    )
+    duckdb_pq_train(con)
+    duckdb_pq_train(
+        con,
+        source_sql="SELECT vec_id, rv FROM _rresid",
+        vec="rv",
+        out_table="_rpq_cb",
+    )
+    return con.execute(
+        "WITH cents AS (SELECT cid, dim, component FROM _km_cents),\n"
+        + _TAIL_CTES
+        + ",\nacass AS (SELECT * FROM _racass),\n"
+        "pqcb AS (SELECT * FROM _pq_cb),\n"
+        "rpqcb AS (SELECT * FROM _rpq_cb),\n"
+        + _PQSUBV_SQL
+        + ",\nrpqsubv AS (SELECT vec_id, CAST(ss.s AS INT) AS s, "
+        "list_transform(range(ss.s*8 + 1, ss.s*8 + 9), "
+        "d -> rv[d]) AS sv "
+        "FROM _rresid, (SELECT unnest(range(0, 8)) AS s) ss),\n"
+        + _quant_audit_ctes()
+        + _QUANT_SELECT
+    ).fetchdf()
+
+
+@register(
+    "ivfpq_residual_quantization_audit",
+    oracle=_quant_oracle(),
+    sf_oracle=_quant_sf_oracle,
+)
+def ivfpq_residual_quantization_audit(spark, sf_dir):
+    """Quantization-quality audit of the two trained PQ encodings
+    (r6 verdict item #2's acceptance metric): mean squared
+    reconstruction error over the WHOLE corpus for (a) raw-vector
+    codes, recon = concat(codewords), and (b) residual codes,
+    recon = coarse_centroid + concat(codewords). Residual must come
+    out LOWER — measured 0.323 → 0.302 at sf0.001 (-6.5%), 0.325 →
+    0.303 at sf0.01 (-6.8%), 0.390 → 0.372 at sf0.1 (-4.6%); vs the r6
+    untrained codebook's 0.77 both trained variants are ~2.4× better.
+    (Pinned by tests/test_r7_advisories.py.)
+
+    The mean is the integer-rational 6-dp recipe (no double ROUND), so
+    the audit is oracle-exact, not a tolerance compare. Scale shape:
+    two Arrow decode-error maps over the corpus + one 2-row
+    aggregation; nothing driver-side but the two scalars."""
+    from ..operators.pq import (
+        decode_error,
+        encode_codes,
+        pq_train_codebooks,
+        residual_struct,
+    )
 
     cents, _, _, _ = lloyd_converged(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings")
-    cbs = pq_codebooks(spark, e)
+    corpus_raw = e.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
 
-    corpus = assign_cells(
-        encode_codes(
-            e.filter(F.col("vec_id") >= 10).select("vec_id", "embedding"),
-            cbs,
-        ),
-        cents,
-    ).select(F.col("vec_id").alias("corpus_id"), "cell", "codes")
-
-    probes = (
-        e.filter(F.col("vec_id") < 10)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_embedding"),
-            probe_cells_expr(F.col("embedding"), cents, _NPROBE).alias(
-                "cells"
-            ),
-        )
-        .select("query_id", "q_embedding", F.explode("cells").alias("cell"))
+    cbs_raw, _, _ = pq_train_codebooks(spark, sf_dir)
+    raw_err = encode_codes(corpus_raw, cbs_raw).withColumn(
+        "err", decode_error(cbs_raw)
     )
 
-    from pyspark.sql import Window
-
-    scored = corpus.join(F.broadcast(probes), "cell").withColumn(
-        "adc", adc_distance(cbs)
+    resid_all = e.select("vec_id", residual_struct(cents).alias("r")).select(
+        "vec_id",
+        F.col("r.cell").alias("cell"),
+        F.col("r.rv").alias("rv"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("corpus_id").asc()
+    cbs_res, _, _ = pq_train_codebooks(
+        spark, sf_dir, vec_col="rv", train_df=resid_all, cache_token="residual"
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            "query_id",
-            "corpus_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.round("adc", 6).alias("adc_dist"),
+    res_err = (
+        encode_codes(resid_all.filter(F.col("vec_id") >= 10), cbs_res, vec_col="rv")
+        .join(corpus_raw, "vec_id")
+        .withColumn(
+            "err",
+            decode_error(cbs_res, cents=cents, cell_col="cell"),
         )
     )
+
+    def _mse(df, variant):
+        return (
+            df.agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum(F.col("err").cast("decimal(30,6)")) * 1000000
+                ).cast("long").alias("am"),
+            )
+            .select(
+                F.lit(variant).alias("variant"),
+                F.col("n").cast("long").alias("n_vectors"),
+                (
+                    F.expr(
+                        "CASE WHEN am >= 0 THEN (2 * am + n) DIV (2 * n) "
+                        "ELSE -((-2 * am + n) DIV (2 * n)) END"
+                    ).cast("double")
+                    / 1000000.0
+                ).alias("mse"),
+            )
+        )
+
+    return _mse(raw_err, "raw").unionByName(_mse(res_err, "residual"))

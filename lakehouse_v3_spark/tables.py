@@ -30,6 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A transactional write lost an un-retryable conflict: its read
+    snapshot went stale under it (Delta's ConcurrentModificationException
+    analogue — see the commit-log section of TableManager)."""
+
+
 def _delta_available() -> bool:
     try:  # pragma: no cover - depends on environment
         import delta  # noqa: F401
@@ -360,6 +366,200 @@ class TableManager:
                     shutil.rmtree(f"{self._snap_dir(table)}/v{v}")
                     removed.append(v)
         return removed
+
+    # -- optimistic-concurrency commit log (r6 verdict item #3) ----------
+    # The one Delta ACID behavior the parquet emulation lacked:
+    # OPTIMISTIC conflict detection between concurrent writers, with no
+    # writer lock. Protocol (Delta's, from the public spec/paper):
+    #
+    #   1. writer snapshots the latest committed version V (one log
+    #      listing);
+    #   2. writes its data files under a unique uuid dir — INVISIBLE to
+    #      readers (only the log defines table state);
+    #   3. claims version V+1 by ATOMICALLY creating
+    #      _txn_log/<V+1>.json. The claim is os.link(tmp, commit) — a
+    #      hard link is create-if-absent WITH full content, so a commit
+    #      file can never be observed half-written (the object-store
+    #      equivalent is a conditional PUT of the version key);
+    #   4. if the claim loses (EEXIST), the writer re-reads the log:
+    #      an APPEND whose intervening commits are all appends retries
+    #      the claim at the new tip (its data files are already
+    #      written — only the tiny commit record is retried); an
+    #      OVERWRITE, or an append that raced an overwrite, raises
+    #      ConcurrentWriteError loudly (its remove-set / base snapshot
+    #      is stale — Delta's same conflict matrix).
+    #
+    # Readers replay the log's contiguous prefix and read only the
+    # referenced immutable uuid dirs — a concurrent reader can never
+    # see a torn table, only version N or N+1. Reference contract:
+    # Delta MERGE/append ACID (alphavantage/bronze2_to_silver.py:
+    # 141-152); DELTA_ATTEMPT.md documents why the real jars are
+    # unobtainable here.
+
+    def _txn_log_dir(self, table: str) -> str:
+        return f"{self.path(table)}/_txn_log"
+
+    def _txn_commit_path(self, table: str, version: int) -> str:
+        return f"{self._txn_log_dir(table)}/{version:020d}.json"
+
+    def txn_version(self, table: str) -> int | None:
+        """Latest committed version (None before the first commit)."""
+        log = self._txn_log_dir(table)
+        if not os.path.isdir(log):
+            return None
+        versions = [
+            int(e.name[:-5])
+            for e in os.scandir(log)
+            if e.name.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def _txn_read_log(self, table: str) -> list[dict]:
+        """All commit records, version order. Commit files are created
+        atomically with full content (hard link), so every listed file
+        parses."""
+        log = self._txn_log_dir(table)
+        if not os.path.isdir(log):
+            return []
+        out = []
+        for e in sorted(os.scandir(log), key=lambda e: e.name):
+            if e.name.endswith(".json"):
+                with open(e.path, encoding="utf-8") as f:
+                    out.append(json.load(f))
+        return out
+
+    def _txn_state(self, table: str) -> tuple[int | None, list[str]]:
+        """(latest version, live data dirs) by replaying the log."""
+        live: list[str] = []
+        version = None
+        for rec in self._txn_read_log(table):
+            version = rec["version"]
+            if rec["op"] == "overwrite":
+                live = list(rec["add"])
+            else:
+                live.extend(rec["add"])
+        return version, live
+
+    def _txn_try_commit(self, table: str, record: dict) -> bool:
+        """Atomically claim ``record['version']``: hard-link a fully
+        written temp record to the commit path. True on success, False
+        if another writer claimed the version first."""
+        log = self._txn_log_dir(table)
+        os.makedirs(log, exist_ok=True)
+        tmp = f"{log}/.tmp-{os.getpid()}-{record['version']}-{id(record)}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._txn_commit_path(table, record["version"]))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _txn_write_data(self, df: DataFrame, table: str) -> str:
+        """Write df under a fresh uuid dir; returns the dir name
+        (relative to the table root). Invisible until committed."""
+        import uuid
+
+        rel = f"_txn_data/{uuid.uuid4().hex}"
+        df.write.format("parquet").mode("errorifexists").save(
+            f"{self.path(table)}/{rel}"
+        )
+        return rel
+
+    def txn_append(
+        self, df: DataFrame, table: str, max_retries: int = 20
+    ) -> int:
+        """ACID append: returns the committed version. Lost claim races
+        against other APPENDS are retried (only the commit record is
+        re-attempted — the data files are already on disk); racing an
+        OVERWRITE raises ConcurrentWriteError (the overwrite invalidated
+        the base snapshot this append was planned against)."""
+        rel = self._txn_write_data(df, table)
+        read_version = self.txn_version(table)
+        next_v = (read_version if read_version is not None else -1) + 1
+        for _ in range(max_retries):
+            rec = {
+                "version": next_v,
+                "op": "append",
+                "add": [rel],
+                "readVersion": read_version,
+            }
+            if self._txn_try_commit(table, rec):
+                return next_v
+            # lost the race: inspect what landed since our snapshot
+            for other in self._txn_read_log(table):
+                if (
+                    read_version is None or other["version"] > read_version
+                ) and other["op"] == "overwrite":
+                    raise ConcurrentWriteError(
+                        f"append to {table!r} conflicts with overwrite "
+                        f"v{other['version']} committed after read "
+                        f"snapshot v{read_version}"
+                    )
+            next_v = self.txn_version(table) + 1
+        raise ConcurrentWriteError(
+            f"append to {table!r} lost the commit race {max_retries} times"
+        )
+
+    def txn_overwrite(self, df: DataFrame, table: str) -> int:
+        """ACID overwrite: replaces the table's live set in one commit.
+        NO retry on a lost race — an overwrite's remove-set is computed
+        from its read snapshot, so ANY intervening commit (append or
+        overwrite) makes it stale and it must fail loudly (Delta's
+        conflict rule for non-blind writes)."""
+        read_version = self.txn_version(table)
+        rel = self._txn_write_data(df, table)
+        _, live = self._txn_state(table)
+        rec = {
+            "version": (read_version if read_version is not None else -1) + 1,
+            "op": "overwrite",
+            "add": [rel],
+            "remove": live,
+            "readVersion": read_version,
+        }
+        if not self._txn_try_commit(table, rec):
+            raise ConcurrentWriteError(
+                f"overwrite of {table!r} conflicts: version "
+                f"{rec['version']} was committed by another writer after "
+                f"read snapshot v{read_version}"
+            )
+        return rec["version"]
+
+    def txn_read(self, table: str, version: int | None = None) -> DataFrame:
+        """Consistent read of the committed state: replays the log once,
+        then touches only immutable uuid dirs — a concurrent writer can
+        never tear this view. ``version`` time-travels to an older
+        commit."""
+        records = self._txn_read_log(table)
+        if version is not None:
+            records = [r for r in records if r["version"] <= version]
+        if not records:
+            raise FileNotFoundError(f"no commits for table {table}")
+        live: list[str] = []
+        for rec in records:
+            live = list(rec["add"]) if rec["op"] == "overwrite" else live + list(rec["add"])
+        root = self.path(table)
+        return self.spark.read.parquet(*[f"{root}/{rel}" for rel in live])
+
+    def txn_vacuum(self, table: str) -> list[str]:
+        """Drop uuid data dirs no longer referenced by the LATEST
+        version (time travel to vacuumed versions stops working, like
+        Delta VACUUM). Returns the removed dirs."""
+        _, live = self._txn_state(table)
+        data_root = f"{self.path(table)}/_txn_data"
+        if not os.path.isdir(data_root):
+            return []
+        live_names = {rel.split("/", 1)[1] for rel in live}
+        removed = []
+        for e in os.scandir(data_root):
+            if e.is_dir() and e.name not in live_names:
+                shutil.rmtree(e.path)
+                removed.append(e.name)
+        return sorted(removed)
 
     # -- catalog ---------------------------------------------------------
     def register(

@@ -1,0 +1,258 @@
+"""Optimistic-concurrency commit log (r6 verdict item #3): the one
+Delta ACID behavior reproducible without the unobtainable jars —
+versioned commits with atomic claims, append-retry, loud
+overwrite-conflict, and torn-read-free concurrent reads.
+
+Acceptance (per the verdict): a two-OS-process test where concurrent
+appends BOTH land (retry), a concurrent overwrite+append conflicts
+LOUDLY, and a concurrent reader never sees a torn table.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+import time
+
+import pytest
+
+from lakehouse_v3_spark.tables import ConcurrentWriteError, TableManager
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# -- single-process protocol basics --------------------------------------
+
+
+def test_txn_append_overwrite_timetravel_vacuum(spark, tmp_path):
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    v0 = mgr.txn_append(spark.range(5).withColumnRenamed("id", "x"), "t")
+    v1 = mgr.txn_append(spark.range(5, 8).withColumnRenamed("id", "x"), "t")
+    assert (v0, v1) == (0, 1)
+    assert mgr.txn_read("t").count() == 8
+    v2 = mgr.txn_overwrite(spark.range(2).withColumnRenamed("id", "x"), "t")
+    assert v2 == 2
+    assert mgr.txn_read("t").count() == 2
+    # time travel to the pre-overwrite state
+    assert mgr.txn_read("t", version=1).count() == 8
+    # vacuum drops the two dirs the overwrite removed
+    removed = mgr.txn_vacuum("t")
+    assert len(removed) == 2
+    assert mgr.txn_read("t").count() == 2
+    with pytest.raises(Exception):
+        mgr.txn_read("t", version=1).count()  # vacuumed away
+
+
+def test_txn_claim_is_exclusive(spark, tmp_path):
+    """The hard-link claim admits exactly one writer per version."""
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    mgr.txn_append(spark.range(1), "t")
+    rec = {"version": 1, "op": "append", "add": ["_txn_data/x"],
+           "readVersion": 0}
+    assert mgr._txn_try_commit("t", rec) is True
+    assert mgr._txn_try_commit("t", dict(rec, add=["_txn_data/y"])) is False
+    # and the surviving record is the winner's, fully formed
+    _, live = mgr._txn_state("t")
+    assert "_txn_data/x" in live and "_txn_data/y" not in live
+
+
+def test_append_racing_append_retries(spark, tmp_path):
+    """A lost append claim retries at the new tip — both land."""
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    mgr.txn_append(spark.range(3), "t")
+    # simulate a racer stealing version 1 between snapshot and claim
+    real_try = mgr._txn_try_commit
+    stolen = {"done": False}
+
+    def steal_once(table, record):
+        if not stolen["done"]:
+            stolen["done"] = True
+            racer = {"version": record["version"], "op": "append",
+                     "add": [mgr._txn_write_data(spark.range(100, 102), "t")],
+                     "readVersion": 0}
+            assert real_try(table, racer)
+        return real_try(table, record)
+
+    mgr._txn_try_commit = steal_once
+    try:
+        v = mgr.txn_append(spark.range(10, 14), "t")
+    finally:
+        mgr._txn_try_commit = real_try
+    assert v == 2  # retried past the stolen version
+    assert mgr.txn_read("t").count() == 3 + 2 + 4
+
+
+def test_append_racing_overwrite_conflicts_loudly(spark, tmp_path):
+    """An append whose snapshot predates a committed OVERWRITE must
+    raise ConcurrentWriteError, not silently resurrect removed data."""
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    mgr.txn_append(spark.range(3), "t")
+    real_try = mgr._txn_try_commit
+    stolen = {"done": False}
+
+    def steal_with_overwrite(table, record):
+        if not stolen["done"]:
+            stolen["done"] = True
+            racer = {"version": record["version"], "op": "overwrite",
+                     "add": [mgr._txn_write_data(spark.range(1), "t")],
+                     "remove": [], "readVersion": 0}
+            assert real_try(table, racer)
+        return real_try(table, record)
+
+    mgr._txn_try_commit = steal_with_overwrite
+    try:
+        with pytest.raises(ConcurrentWriteError, match="overwrite"):
+            mgr.txn_append(spark.range(10, 14), "t")
+    finally:
+        mgr._txn_try_commit = real_try
+
+
+def test_overwrite_racing_anything_conflicts_loudly(spark, tmp_path):
+    """An overwrite NEVER retries: any commit after its snapshot makes
+    its remove-set stale."""
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    mgr.txn_append(spark.range(3), "t")
+    real_try = mgr._txn_try_commit
+    stolen = {"done": False}
+
+    def steal_once(table, record):
+        if not stolen["done"]:
+            stolen["done"] = True
+            racer = {"version": record["version"], "op": "append",
+                     "add": [mgr._txn_write_data(spark.range(5), "t")],
+                     "readVersion": 0}
+            assert real_try(table, racer)
+        return real_try(table, record)
+
+    mgr._txn_try_commit = steal_once
+    try:
+        with pytest.raises(ConcurrentWriteError, match="conflicts"):
+            mgr.txn_overwrite(spark.range(9), "t")
+    finally:
+        mgr._txn_try_commit = real_try
+
+
+# -- the two-OS-process acceptance test ----------------------------------
+
+_WRITER_SCRIPT = textwrap.dedent(
+    """
+    import sys, time
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession, functions as F
+    from lakehouse_v3_spark.tables import TableManager, ConcurrentWriteError
+
+    wh, marker, mode = sys.argv[1], sys.argv[2], sys.argv[3]
+    spark = (SparkSession.builder.master("local[2]")
+             .config("spark.sql.shuffle.partitions", "2")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    mgr = TableManager(spark, wh, backend="parquet")
+
+    if mode == "append":
+        # 4 batches of 50 rows each, marker-tagged
+        for b in range(4):
+            df = (spark.range(50)
+                  .select(F.lit(marker + "-" + str(b)).alias("batch"),
+                          F.col("id")))
+            v = mgr.txn_append(df, "t")
+            print("committed", marker, b, "as v", v, flush=True)
+        print("APPENDER_OK", flush=True)
+    else:  # conflicted overwrite: snapshot, wait for an append, commit
+        real = mgr._txn_write_data
+        def slow_write(df, table):
+            rel = real(df, table)
+            # wait until the other process has committed something
+            # beyond our read snapshot
+            base = mgr.txn_version("t")
+            for _ in range(600):
+                if mgr.txn_version("t") != base:
+                    break
+                time.sleep(0.1)
+            return rel
+        mgr._txn_write_data = slow_write
+        try:
+            mgr.txn_overwrite(spark.range(1).select(
+                F.lit("ow").alias("batch"), F.col("id")), "t")
+            print("OVERWRITE_LANDED", flush=True)
+        except ConcurrentWriteError as e:
+            print("CONFLICT_RAISED:", type(e).__name__, flush=True)
+    spark.stop()
+    """
+)
+
+
+def test_two_process_appends_conflict_and_reads(spark, tmp_path):
+    """THE acceptance test: two separate OS processes append
+    concurrently (all 8 batches land exactly-once via claim retries), a
+    third process's overwrite whose snapshot went stale raises
+    ConcurrentWriteError, and this process reads concurrently
+    throughout without ever observing a torn batch (every visible
+    batch has all 50 rows)."""
+    wh = str(tmp_path / "wh")
+    mgr = TableManager(spark, wh, backend="parquet")
+    mgr.txn_append(
+        spark.range(50).selectExpr("'seed-0' AS batch", "id"), "t"
+    )
+
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             _WRITER_SCRIPT.format(repo=REPO_DIR), wh, m, "append"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for m in ("alpha", "beta")
+    ]
+    conflicted = subprocess.Popen(
+        [sys.executable, "-c",
+         _WRITER_SCRIPT.format(repo=REPO_DIR), wh, "gamma", "overwrite"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+    )
+
+    # concurrent reader: no torn batches, version never goes backwards
+    deadline = time.time() + 240
+    last_version = -1
+    try:
+        while any(p.poll() is None for p in procs) and time.time() < deadline:
+            v = mgr.txn_version("t")
+            assert v >= last_version, "committed version went backwards"
+            last_version = v
+            counts = {
+                r["batch"]: r["n"]
+                for r in mgr.txn_read("t")
+                .groupBy("batch").agg(F_count())
+                .collect()
+            }
+            assert all(n == 50 for n in counts.values()), (
+                f"torn read: {counts}"
+            )
+            time.sleep(0.3)
+    finally:
+        outs = [p.communicate(timeout=240) for p in procs]
+        c_out, c_err = conflicted.communicate(timeout=240)
+
+    for (out, err), p in zip(outs, procs):
+        assert p.returncode == 0, err[-2000:]
+        assert "APPENDER_OK" in out
+    assert "CONFLICT_RAISED: ConcurrentWriteError" in c_out, (
+        c_out + c_err[-2000:]
+    )
+
+    # all 9 batches (1 seed + 2×4) landed exactly once, 50 rows each
+    final = {
+        r["batch"]: r["n"]
+        for r in mgr.txn_read("t").groupBy("batch").agg(F_count()).collect()
+    }
+    assert len(final) == 9, sorted(final)
+    assert all(n == 50 for n in final.values())
+    # versions are contiguous 0..8 (every claim resolved)
+    assert mgr.txn_version("t") == 8
+
+
+def F_count():
+    from pyspark.sql import functions as F
+
+    return F.count(F.lit(1)).alias("n")
