@@ -105,6 +105,81 @@ def uber_dag(
     return dag
 
 
+def scheduled_uber_dag(
+    spark,
+    raw_dir: str,
+    tm: TableManager,
+    retries: int = 0,
+    retry_delay: float = 0.0,
+) -> Dag:
+    """Interval-scoped uber medallion DAG for :class:`~..orchestrate.
+    ScheduledDag`: the ingest task selects ONLY the rows whose ``Date``
+    falls inside ``[ctx['data_interval_start'],
+    ctx['data_interval_end'])`` — the Airflow pattern where each dag
+    run processes its own data interval via the ``data_interval_*``
+    template variables (reference airflow/dags/uber_dag.py:23-54:
+    ``schedule_interval`` + ``catchup`` drive one logical date per
+    run). The slice is MERGE-upserted into bronze1 keyed on
+    ``Booking_ID`` (S10), so a crashed-and-replayed interval is
+    idempotent — re-running a tick after a crash before the
+    ``.last_run`` pointer advanced cannot double-count rows. Downstream
+    layers recompute from full bronze1 exactly like :func:`uber_dag`,
+    so a catchup backfill over N closed intervals converges to the
+    same silver/gold tables as one batch run over all the data.
+
+    An interval with no matching rows raises Skip (the reference's
+    isEmpty() short-circuit, P18) and leaves every table untouched.
+    """
+
+    def ingest(ctx):
+        start = ctx["data_interval_start"]
+        end = ctx["data_interval_end"]
+        raw = (
+            spark.read.option("header", "true")
+            .csv(raw_dir + "/*.csv")
+            .withColumn("_ingest_file", F.input_file_name())
+        )
+        sliced = raw.filter(
+            (F.col("Date") >= F.lit(start.strftime("%Y-%m-%d")))
+            & (F.col("Date") < F.lit(end.strftime("%Y-%m-%d")))
+        )
+        n = sliced.count()
+        if n == 0:
+            raise Skip(
+                f"no rows in interval [{start:%Y-%m-%d}, {end:%Y-%m-%d})"
+            )
+        tm.merge(sliced, "uber.bronze1", key=["Booking_ID"])
+        return {"interval_rows": n}
+
+    def csv_to_delta(ctx):
+        raw = tm.read("uber.bronze1").drop("_ingest_file")
+        tm.overwrite(uber.bronze2(raw), "uber.bronze2")
+
+    def bronze2_to_silver(ctx):
+        tm.overwrite(uber.silver(tm.read("uber.bronze2")), "uber.silver")
+
+    def silver_to_gold(ctx):
+        sv = tm.read("uber.silver")
+        tm.overwrite(uber.gold_booking_stats(sv), "uber.gold_booking_stats")
+        tm.overwrite(uber.gold_rushhour_stats(sv), "uber.gold_rushhour_stats")
+        tm.overwrite(
+            uber.gold_cancellation_stats(sv), "uber.gold_cancellation_stats"
+        )
+        tm.overwrite(uber.gold_payment_stats(sv), "uber.gold_payment_stats")
+
+    dag = Dag("uber_scheduled", lock_dir=tm.warehouse_dir)
+    dag.task("ingest", ingest, retries=retries, retry_delay=retry_delay)
+    dag.task("csv_to_delta", csv_to_delta, upstream=("ingest",),
+             retries=retries, retry_delay=retry_delay)
+    dag.task("bronze2_to_silver", bronze2_to_silver,
+             upstream=("csv_to_delta",), retries=retries,
+             retry_delay=retry_delay)
+    dag.task("silver_to_gold", silver_to_gold,
+             upstream=("bronze2_to_silver",), retries=retries,
+             retry_delay=retry_delay)
+    return dag
+
+
 # ---------------------------------------------------------------------------
 # AUDIT: 001 >> (002c >> 004c) ∥ (002v >> 004v) >> 005
 # ---------------------------------------------------------------------------

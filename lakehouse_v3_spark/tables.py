@@ -41,6 +41,93 @@ class ConcurrentWriteError(RuntimeError):
     analogue — see the commit-log section of TableManager)."""
 
 
+class ClaimUnsupportedError(RuntimeError):
+    """The warehouse filesystem cannot provide an atomic
+    create-if-absent claim — the commit log would be unsafe there."""
+
+
+class ClaimBackend:
+    """Atomic create-if-absent of a fully-written commit record — the
+    ONE primitive the optimistic commit log needs from its storage
+    (r7 verdict item #5: abstract the claim so the ACID story ports
+    off local FS).
+
+    Contract: ``put_if_absent(payload, final_path)`` must atomically
+    either (a) create ``final_path`` containing exactly ``payload`` and
+    return True, or (b) leave an existing ``final_path`` untouched and
+    return False — and a concurrent reader must NEVER observe a
+    half-written file. Implementations:
+
+    - :class:`PosixLinkClaim` (here): write a temp file, ``os.link``
+      it to the final name — hard-link creation is create-if-absent
+      with full content on POSIX filesystems.
+    - object stores (documented port, not implementable in this
+      container): S3 conditional PUT with ``If-None-Match: *`` (or a
+      DynamoDB-style coordinator for stores without it — the same
+      choice Delta's S3 LogStore makes); GCS ``ifGenerationMatch=0``;
+      Azure Blob ``If-None-Match: *``. All give the identical
+      atomically-claim-a-version semantics this class specifies.
+
+    ``probe(directory)`` verifies the primitive actually works on the
+    warehouse filesystem and raises :class:`ClaimUnsupportedError`
+    loudly otherwise — never degrade to a racy create.
+    """
+
+    def put_if_absent(self, payload: bytes, final_path: str) -> bool:
+        raise NotImplementedError
+
+    def probe(self, directory: str) -> None:
+        raise NotImplementedError
+
+
+class PosixLinkClaim(ClaimBackend):
+    """Hard-link claim: POSIX local / NFSv4 filesystems."""
+
+    def put_if_absent(self, payload: bytes, final_path: str) -> bool:
+        d = os.path.dirname(final_path)
+        tmp = f"{d}/.tmp-claim-{os.getpid()}-{id(payload)}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final_path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def probe(self, directory: str) -> None:
+        """Fail loudly if hard links don't work here (e.g. an
+        object-store FUSE mount): the claim would silently lose its
+        atomicity and the commit log its safety."""
+        os.makedirs(directory, exist_ok=True)
+        final = f"{directory}/.probe-claim-{os.getpid()}"
+        try:
+            try:
+                if not self.put_if_absent(b"probe", final):
+                    # stale probe file from a dead process: retry once
+                    os.unlink(final)
+                    if not self.put_if_absent(b"probe", final):
+                        raise OSError("claim lost twice on empty dir")
+                with open(final, "rb") as f:
+                    if f.read() != b"probe":
+                        raise OSError("claim content mismatch")
+            finally:
+                try:
+                    os.unlink(final)
+                except FileNotFoundError:
+                    pass
+        except OSError as exc:
+            raise ClaimUnsupportedError(
+                f"atomic hard-link claim unavailable under {directory!r} "
+                f"({exc}); the optimistic commit log needs a "
+                "create-if-absent primitive — on an object store use a "
+                "conditional-put ClaimBackend (see ClaimBackend docs)"
+            ) from exc
+
+
 def _delta_available() -> bool:
     try:  # pragma: no cover - depends on environment
         import delta  # noqa: F401
@@ -51,10 +138,18 @@ def _delta_available() -> bool:
 
 
 class TableManager:
-    def __init__(self, spark: SparkSession, warehouse_dir: str, backend: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        backend: str | None = None,
+        claim_backend: ClaimBackend | None = None,
+    ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir.rstrip("/")
         self.backend = backend or ("delta" if _delta_available() else "parquet")
+        self.claim_backend = claim_backend or PosixLinkClaim()
+        self._claim_probed = False
         os.makedirs(self.warehouse_dir, exist_ok=True)
 
     # -- paths -----------------------------------------------------------
@@ -106,6 +201,7 @@ class TableManager:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.save(self.path(table))
+        self._invalidate(table)
 
     def overwrite(
         self,
@@ -134,6 +230,20 @@ class TableManager:
         if os.path.exists(target):
             shutil.rmtree(target)
         os.replace(tmp, target)
+        self._invalidate(table)
+
+    def _invalidate(self, table: str) -> None:
+        """Invalidate Spark's plan/file caches for the table path after
+        a write. Spark's CacheManager matches cached plans by source
+        PATH, so a `.persist()` anywhere upstream (e.g. ids.py's
+        range-partition cache) plus an overwrite-by-swap would
+        otherwise serve STALE data to every later read of the table —
+        exactly the cache-invalidate Delta performs on commit
+        (delta-io OSS `DeltaLog.update`)."""
+        try:
+            self.spark.catalog.refreshByPath(self.path(table))
+        except Exception:  # pragma: no cover - defensive: cache-only op
+            pass
 
     def merge(self, source: DataFrame, table: str, key: list[str]) -> None:
         """S10 MERGE upsert: whenMatchedUpdateAll/whenNotMatchedInsertAll
@@ -446,23 +556,21 @@ class TableManager:
         return version, live
 
     def _txn_try_commit(self, table: str, record: dict) -> bool:
-        """Atomically claim ``record['version']``: hard-link a fully
-        written temp record to the commit path. True on success, False
-        if another writer claimed the version first."""
+        """Atomically claim ``record['version']`` via the pluggable
+        :class:`ClaimBackend` (POSIX hard link here; conditional PUT on
+        an object store). True on success, False if another writer
+        claimed the version first. The backend is capability-probed
+        once per manager — an FS that can't claim atomically fails
+        LOUDLY (ClaimUnsupportedError), never racily."""
         log = self._txn_log_dir(table)
         os.makedirs(log, exist_ok=True)
-        tmp = f"{log}/.tmp-{os.getpid()}-{record['version']}-{id(record)}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(record, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, self._txn_commit_path(table, record["version"]))
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        if not self._claim_probed:
+            self.claim_backend.probe(log)
+            self._claim_probed = True
+        payload = json.dumps(record).encode("utf-8")
+        return self.claim_backend.put_if_absent(
+            payload, self._txn_commit_path(table, record["version"])
+        )
 
     def _txn_write_data(self, df: DataFrame, table: str) -> str:
         """Write df under a fresh uuid dir; returns the dir name
@@ -485,17 +593,20 @@ class TableManager:
         the base snapshot this append was planned against)."""
         rel = self._txn_write_data(df, table)
         read_version = self.txn_version(table)
-        next_v = (read_version if read_version is not None else -1) + 1
         for _ in range(max_retries):
-            rec = {
-                "version": next_v,
-                "op": "append",
-                "add": [rel],
-                "readVersion": read_version,
-            }
-            if self._txn_try_commit(table, rec):
-                return next_v
-            # lost the race: inspect what landed since our snapshot
+            # Order matters (r7 advisory): compute the claim target
+            # FIRST, then scan the full log for an intervening
+            # overwrite, then claim. Versions are dense (every claim
+            # targets current-max+1), so when our claim at next_v
+            # SUCCEEDS every commit < next_v already existed at this
+            # iteration's scan — an overwrite can no longer slip into
+            # the scan→claim window: it would have to take next_v
+            # itself, which makes our claim FAIL and the next
+            # iteration's scan catch it. The old order (scan only
+            # after a failed claim, then recompute next_v) left a
+            # window where append silently landed ABOVE an overwrite.
+            latest = self.txn_version(table)
+            next_v = (latest if latest is not None else -1) + 1
             for other in self._txn_read_log(table):
                 if (
                     read_version is None or other["version"] > read_version
@@ -505,7 +616,14 @@ class TableManager:
                         f"v{other['version']} committed after read "
                         f"snapshot v{read_version}"
                     )
-            next_v = self.txn_version(table) + 1
+            rec = {
+                "version": next_v,
+                "op": "append",
+                "add": [rel],
+                "readVersion": read_version,
+            }
+            if self._txn_try_commit(table, rec):
+                return next_v
         raise ConcurrentWriteError(
             f"append to {table!r} lost the commit race {max_retries} times"
         )
@@ -550,18 +668,44 @@ class TableManager:
         root = self.path(table)
         return self.spark.read.parquet(*[f"{root}/{rel}" for rel in live])
 
-    def txn_vacuum(self, table: str) -> list[str]:
-        """Drop uuid data dirs no longer referenced by the LATEST
-        version (time travel to vacuumed versions stops working, like
-        Delta VACUUM). Returns the removed dirs."""
+    def txn_vacuum(
+        self, table: str, retention_seconds: float = 600.0
+    ) -> list[str]:
+        """Drop uuid data dirs no longer needed by the LATEST version
+        (time travel to vacuumed versions stops working, like Delta
+        VACUUM). Returns the removed dirs.
+
+        Two classes of dead dir, removed under different rules (r7
+        advisory — the old no-retention version could rmtree an
+        IN-FLIGHT writer's data between its ``_txn_write_data`` and its
+        claim, yielding a committed version whose files are gone):
+
+        - **superseded**: referenced by some commit record but not by
+          the latest state (an overwritten add-set). Committed history
+          — safe to drop at any age; only time travel loses them.
+        - **never-committed**: present on disk, referenced by NO commit
+          record. Either in-flight (a writer between data-write and
+          claim) or orphaned by a crashed/conflicted writer. Dropped
+          only when older than ``retention_seconds`` — the same
+          retention window Delta VACUUM keeps for exactly this reason.
+        """
+        import time
+
+        records = self._txn_read_log(table)
         _, live = self._txn_state(table)
         data_root = f"{self.path(table)}/_txn_data"
         if not os.path.isdir(data_root):
             return []
         live_names = {rel.split("/", 1)[1] for rel in live}
+        committed_names = {
+            rel.split("/", 1)[1] for r in records for rel in r["add"]
+        }
+        cutoff = time.time() - retention_seconds
         removed = []
         for e in os.scandir(data_root):
-            if e.is_dir() and e.name not in live_names:
+            if not e.is_dir() or e.name in live_names:
+                continue
+            if e.name in committed_names or e.stat().st_mtime < cutoff:
                 shutil.rmtree(e.path)
                 removed.append(e.name)
         return sorted(removed)

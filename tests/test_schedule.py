@@ -1,0 +1,365 @@
+"""Calendar scheduling (orchestrate.Schedule / ScheduledDag) — the r7
+verdict's top item: the Airflow schedule_interval + catchup semantics
+landed untested. Covers the data-interval model (a run is due only
+once its interval CLOSES), catchup=True backfill vs catchup=False
+backlog skip, the cron-subset parser (daily M H, weekly M H + cron
+weekday where 0=Sunday), loud ScheduleError on anything unsupported,
+durable .last_run crash-resume, and two end-to-end ScheduledDag runs:
+the interval-scoped uber medallion backfill converging to the batch
+result, and the audit DAG alerting exactly once per closed interval.
+
+Reference parity: airflow/dags/uber_dag.py:23-54 (schedule +
+catchup + max_active_runs), 001_004_dataaudit.py:149-153 (hourly
+audit chain).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from datetime import datetime, timedelta
+
+import pytest
+
+from lakehouse_v3_spark.orchestrate import (
+    Dag,
+    Schedule,
+    ScheduledDag,
+    ScheduleError,
+    Skip,
+)
+
+
+D = datetime  # brevity
+
+
+# ---------------------------------------------------------------------------
+# Schedule.due_runs — timedelta / alias interval forms
+# ---------------------------------------------------------------------------
+
+def test_daily_catchup_backfills_every_closed_interval():
+    s = Schedule(start=D(2024, 5, 1), interval=timedelta(days=1))
+    due = s.due_runs(None, D(2024, 5, 4, 6, 0))
+    # intervals [1st,2nd) [2nd,3rd) [3rd,4th) are closed; [4th,5th) is open
+    assert due == [D(2024, 5, 1), D(2024, 5, 2), D(2024, 5, 3)]
+
+
+def test_catchup_false_keeps_only_newest_closed_interval():
+    s = Schedule(start=D(2024, 5, 1), interval=timedelta(days=1), catchup=False)
+    assert s.due_runs(None, D(2024, 5, 4, 6, 0)) == [D(2024, 5, 3)]
+
+
+def test_interval_not_yet_closed_is_not_due():
+    s = Schedule(start=D(2024, 5, 1), interval=timedelta(days=1))
+    # at 12:00 on the 1st the [1st,2nd) interval is still open
+    assert s.due_runs(None, D(2024, 5, 1, 12, 0)) == []
+    # at exactly the close boundary it becomes due (tick+interval <= now)
+    assert s.due_runs(None, D(2024, 5, 2)) == [D(2024, 5, 1)]
+
+
+def test_last_completed_advances_the_window():
+    s = Schedule(start=D(2024, 5, 1), interval=timedelta(days=1))
+    due = s.due_runs(D(2024, 5, 1), D(2024, 5, 4, 6, 0))
+    assert due == [D(2024, 5, 2), D(2024, 5, 3)]
+    # fully caught up → nothing due
+    assert s.due_runs(D(2024, 5, 3), D(2024, 5, 4, 6, 0)) == []
+
+
+def test_ticks_align_to_the_start_grid():
+    # start 09:30, 6h period: grid is 09:30/15:30/21:30/03:30 regardless
+    # of what 'now' is
+    s = Schedule(start=D(2024, 5, 1, 9, 30), interval=timedelta(hours=6))
+    due = s.due_runs(None, D(2024, 5, 2, 4, 0))
+    assert due == [
+        D(2024, 5, 1, 9, 30),
+        D(2024, 5, 1, 15, 30),
+        D(2024, 5, 1, 21, 30),
+    ]
+
+
+def test_aliases_hourly_daily_weekly():
+    h = Schedule(start=D(2024, 5, 1), interval="@hourly")
+    assert h.due_runs(None, D(2024, 5, 1, 3, 30)) == [
+        D(2024, 5, 1, 0), D(2024, 5, 1, 1), D(2024, 5, 1, 2)
+    ]
+    d = Schedule(start=D(2024, 5, 1), interval="@daily")
+    assert d.due_runs(None, D(2024, 5, 3)) == [D(2024, 5, 1), D(2024, 5, 2)]
+    w = Schedule(start=D(2024, 5, 6), interval="@weekly")  # a Monday
+    assert w.due_runs(None, D(2024, 5, 21)) == [D(2024, 5, 6), D(2024, 5, 13)]
+
+
+def test_end_bound_stops_the_schedule():
+    s = Schedule(
+        start=D(2024, 5, 1), interval=timedelta(days=1), end=D(2024, 5, 2)
+    )
+    assert s.due_runs(None, D(2024, 6, 1)) == [D(2024, 5, 1), D(2024, 5, 2)]
+
+
+# ---------------------------------------------------------------------------
+# cron subset
+# ---------------------------------------------------------------------------
+
+def test_cron_daily_at_hour_minute():
+    s = Schedule(start=D(2024, 5, 1), interval="30 6 * * *")
+    # ticks 05-01 06:30, 05-02 06:30, ...; a tick is due once the NEXT
+    # tick has arrived (its data interval closes at the next tick)
+    assert s.due_runs(None, D(2024, 5, 2, 6, 29)) == []
+    assert s.due_runs(None, D(2024, 5, 2, 6, 30)) == [D(2024, 5, 1, 6, 30)]
+    assert s.due_runs(None, D(2024, 5, 3, 7, 0)) == [
+        D(2024, 5, 1, 6, 30), D(2024, 5, 2, 6, 30)
+    ]
+
+
+def test_cron_weekly_weekday_mapping_is_cron_not_python():
+    # cron dow 1 = Monday (0 = Sunday). 2024-05-06 is a Monday.
+    s = Schedule(start=D(2024, 5, 1), interval="0 9 * * 1")
+    due = s.due_runs(None, D(2024, 5, 20, 9, 0))
+    assert due == [D(2024, 5, 6, 9, 0), D(2024, 5, 13, 9, 0)]
+    for t in due:
+        assert t.weekday() == 0  # python Monday
+    # cron 0 = Sunday (2024-05-05)
+    sun = Schedule(start=D(2024, 5, 1), interval="0 9 * * 0")
+    first = sun.due_runs(None, D(2024, 5, 12, 9, 0))
+    assert first == [D(2024, 5, 5, 9, 0)]
+    assert first[0].weekday() == 6  # python Sunday
+
+
+def test_cron_interval_of_is_next_tick_not_fixed_step():
+    s = Schedule(start=D(2024, 5, 1), interval="0 9 * * 1")
+    # weekly cron: the interval opening Monday 05-06 closes Monday 05-13
+    assert s._interval_of(D(2024, 5, 6, 9, 0)) == D(2024, 5, 13, 9, 0)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "*/5 * * * *",      # step syntax unsupported
+        "0 9 1 * *",        # day-of-month unsupported
+        "0 9 * 2 *",        # month unsupported
+        "99 9 * * *",       # minute out of range
+        "0 25 * * *",       # hour out of range
+        "whenever",
+        "@monthly",
+    ],
+)
+def test_unsupported_schedule_raises_loudly(bad):
+    with pytest.raises(ScheduleError):
+        Schedule(start=D(2024, 5, 1), interval=bad).due_runs(
+            None, D(2024, 6, 1)
+        )
+
+
+def test_non_positive_timedelta_rejected():
+    with pytest.raises(ScheduleError):
+        Schedule(start=D(2024, 5, 1), interval=timedelta(0)).due_runs(
+            None, D(2024, 6, 1)
+        )
+
+
+def test_runaway_guard_on_absurd_backlog():
+    s = Schedule(start=D(1900, 1, 1), interval=timedelta(minutes=1))
+    with pytest.raises(ScheduleError, match="100k"):
+        s.due_runs(None, D(2024, 1, 1))
+
+
+# ---------------------------------------------------------------------------
+# ScheduledDag: tick, ctx threading, durable state, crash-resume
+# ---------------------------------------------------------------------------
+
+def _counting_dag(seen: list, fail_on: "datetime | None" = None) -> Dag:
+    dag = Dag("sched_t", lock_dir=tempfile.mkdtemp(prefix="daglock_"))
+
+    def job(ctx):
+        if fail_on is not None and ctx["logical_date"] == fail_on:
+            raise RuntimeError("boom")
+        seen.append(
+            (
+                ctx["logical_date"],
+                ctx["data_interval_start"],
+                ctx["data_interval_end"],
+            )
+        )
+
+    dag.task("job", job)
+    return dag
+
+
+def test_tick_runs_oldest_first_and_threads_data_interval():
+    seen: list = []
+    sd = ScheduledDag(
+        _counting_dag(seen),
+        Schedule(start=D(2024, 5, 1), interval=timedelta(days=1)),
+        state_dir=tempfile.mkdtemp(prefix="schedstate_"),
+    )
+    out = sd.tick(D(2024, 5, 3, 1, 0))
+    assert [lg for lg, _ in out] == [D(2024, 5, 1), D(2024, 5, 2)]
+    assert all(rep.ok for _, rep in out)
+    assert seen == [
+        (D(2024, 5, 1), D(2024, 5, 1), D(2024, 5, 2)),
+        (D(2024, 5, 2), D(2024, 5, 2), D(2024, 5, 3)),
+    ]
+    # same tick again: nothing due, nothing re-run
+    assert sd.tick(D(2024, 5, 3, 1, 0)) == []
+    assert len(seen) == 2
+
+
+def test_crash_resume_from_last_run_state_in_a_new_instance():
+    state = tempfile.mkdtemp(prefix="schedstate_")
+    seen: list = []
+    sched = Schedule(start=D(2024, 5, 1), interval=timedelta(days=1))
+    ScheduledDag(_counting_dag(seen), sched, state).tick(D(2024, 5, 2, 2, 0))
+    assert [x[0] for x in seen] == [D(2024, 5, 1)]
+
+    # a NEW process (fresh objects, same state_dir) resumes where the
+    # old one stopped: only the newly closed interval runs
+    seen2: list = []
+    sd2 = ScheduledDag(_counting_dag(seen2), sched, state)
+    assert sd2.last_completed() == D(2024, 5, 1)
+    out = sd2.tick(D(2024, 5, 4, 2, 0))
+    assert [lg for lg, _ in out] == [D(2024, 5, 2), D(2024, 5, 3)]
+    assert [x[0] for x in seen2] == [D(2024, 5, 2), D(2024, 5, 3)]
+
+
+def test_failed_run_advances_pointer_but_reports_failure():
+    # depends_on_past=False semantics: a failed logical date does not
+    # wedge the schedule; the report carries the failure
+    seen: list = []
+    sd = ScheduledDag(
+        _counting_dag(seen, fail_on=D(2024, 5, 1)),
+        Schedule(start=D(2024, 5, 1), interval=timedelta(days=1)),
+        state_dir=tempfile.mkdtemp(prefix="schedstate_"),
+    )
+    out = sd.tick(D(2024, 5, 3, 1, 0))
+    assert [lg for lg, _ in out] == [D(2024, 5, 1), D(2024, 5, 2)]
+    assert not out[0][1].ok and out[1][1].ok
+    assert sd.last_completed() == D(2024, 5, 2)
+    assert [x[0] for x in seen] == [D(2024, 5, 2)]
+
+
+def test_catchup_false_tick_skips_backlog():
+    seen: list = []
+    sd = ScheduledDag(
+        _counting_dag(seen),
+        Schedule(
+            start=D(2024, 5, 1), interval=timedelta(days=1), catchup=False
+        ),
+        state_dir=tempfile.mkdtemp(prefix="schedstate_"),
+    )
+    out = sd.tick(D(2024, 5, 4, 6, 0))
+    assert [lg for lg, _ in out] == [D(2024, 5, 3)]
+    assert [x[0] for x in seen] == [D(2024, 5, 3)]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: ScheduledDag drives the interval-scoped uber medallion
+# backfill; catchup over 3 daily intervals converges to the batch result
+# ---------------------------------------------------------------------------
+
+_CSV_HEADER = (
+    "Date,Time,Booking_ID,Booking_Status,Vehicle_Type,Avg_VTAT,"
+    "Booking_Value,Ride_Distance,Payment_Method,"
+    "Reason_for_cancelling_by_Customer,Driver_Cancellation_Reason,"
+    "Incomplete_Rides_Reason"
+)
+
+_ROWS = [
+    "2024-05-01,08:30:00,SCH-001,Completed,Sedan,4.5,250.0,10.0,UPI,,,",
+    "2024-05-01,13:15:00,SCH-002,Completed,Bike,null,80.0,4.0,Cash,,,",
+    "2024-05-02,16:00:00,SCH-003,Cancelled by Driver,Bike,5.5,,2.0,Cash,,Too far,",
+    "2024-05-02,17:00:00,SCH-004,Completed,Sedan,2.0,300.0,12.0,UPI,,,",
+    "2024-05-03,09:00:00,SCH-005,Completed,Auto,3.0,120.0,5.0,UPI,,,",
+]
+
+
+def _gold_rows(tm, table):
+    df = tm.read(table)
+    return sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+
+
+def test_scheduled_uber_backfill_matches_batch_run(spark):
+    from lakehouse_v3_spark.pipelines.dags import scheduled_uber_dag, uber_dag
+    from lakehouse_v3_spark.tables import TableManager
+
+    raw = tempfile.mkdtemp(prefix="uber_raw_")
+    with open(os.path.join(raw, "all.csv"), "w") as f:
+        f.write(_CSV_HEADER + "\n" + "\n".join(_ROWS) + "\n")
+
+    # batch reference run: one uber_dag pass over everything
+    tm_batch = TableManager(
+        spark, tempfile.mkdtemp(prefix="uber_wh_b_"), backend="parquet"
+    )
+    assert uber_dag(spark, raw, tm_batch, retries=0).run().ok
+
+    # scheduled backfill: daily schedule, catchup over the 3 closed days
+    tm_sched = TableManager(
+        spark, tempfile.mkdtemp(prefix="uber_wh_s_"), backend="parquet"
+    )
+    sd = ScheduledDag(
+        scheduled_uber_dag(spark, raw, tm_sched),
+        Schedule(start=D(2024, 5, 1), interval=timedelta(days=1)),
+        state_dir=tempfile.mkdtemp(prefix="schedstate_"),
+    )
+    out = sd.tick(D(2024, 5, 4, 6, 0))
+    assert [lg for lg, _ in out] == [D(2024, 5, 1), D(2024, 5, 2), D(2024, 5, 3)]
+    assert all(rep.ok for _, rep in out)
+    # each run ingested exactly its own day's rows
+    assert [rep.tasks["ingest"].result for _, rep in out] == [
+        {"interval_rows": 2}, {"interval_rows": 2}, {"interval_rows": 1}
+    ]
+
+    for gold in (
+        "uber.gold_booking_stats",
+        "uber.gold_rushhour_stats",
+        "uber.gold_cancellation_stats",
+        "uber.gold_payment_stats",
+    ):
+        assert _gold_rows(tm_sched, gold) == _gold_rows(tm_batch, gold), gold
+
+    # an extra tick with no newly closed interval: nothing due
+    assert sd.tick(D(2024, 5, 4, 12, 0)) == []
+
+    # next day closes one more (empty) interval: ingest Skips, gold
+    # untouched — the P18 isEmpty short-circuit under the scheduler
+    before = _gold_rows(tm_sched, "uber.gold_booking_stats")
+    out2 = sd.tick(D(2024, 5, 5, 6, 0))
+    assert [lg for lg, _ in out2] == [D(2024, 5, 4)]
+    assert out2[0][1].states()["ingest"] == "skipped"
+    assert _gold_rows(tm_sched, "uber.gold_booking_stats") == before
+
+
+def test_scheduled_audit_dag_alerts_once_per_closed_interval(spark):
+    """r7 verdict item #7: audit engine + fact builder + alerting under
+    the scheduler — planted violations produce a FAIL alert exactly
+    once per closed interval (reference 001_004_dataaudit.py:149-153
+    runs hourly)."""
+    from lakehouse_v3_spark.audit.config import CompletenessRule, ValidityRule
+    from lakehouse_v3_spark.pipelines.dags import audit_dag
+    from lakehouse_v3_spark.tables import TableManager
+
+    tables = {
+        "t": spark.createDataFrame(
+            [(1, -1.0, None), (2, 5.0, "x")], "id long, v double, s string"
+        )
+    }
+    comp = [CompletenessRule(1, "t", ("s",), ("id",))]
+    val = [ValidityRule(7, "t", "v < 0", ("id",))]
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="audit_wh_"), backend="parquet"
+    )
+    sent = []
+    dag = audit_dag(
+        spark, tables, comp, val, tm, transport=sent.append, retries=0
+    )
+    sd = ScheduledDag(
+        dag,
+        Schedule(start=D(2024, 5, 1), interval="@hourly"),
+        state_dir=tempfile.mkdtemp(prefix="schedstate_"),
+    )
+    out = sd.tick(D(2024, 5, 1, 2, 0))  # two closed hourly intervals
+    assert [lg for lg, _ in out] == [D(2024, 5, 1, 0), D(2024, 5, 1, 1)]
+    assert all(rep.ok for _, rep in out)
+    assert len(sent) == 2  # exactly one alert per closed interval
+    assert all("Violation" in m.subject for m in sent)
+    # caught up: no further interval, no further alert
+    assert sd.tick(D(2024, 5, 1, 2, 30)) == []
+    assert len(sent) == 2
