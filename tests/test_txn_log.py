@@ -134,6 +134,121 @@ def test_overwrite_racing_anything_conflicts_loudly(spark, tmp_path):
         mgr._txn_try_commit = real_try
 
 
+def test_append_never_lands_above_overwrite_committed_mid_retry(
+    spark, tmp_path
+):
+    """r7 advisory (medium): the exact lost-append window — append
+    loses v_N to another APPEND, an OVERWRITE then takes v_{N+1}
+    before the retry's claim. The old code's post-failure scan ran
+    before the overwrite landed and its retry claimed v_{N+2}
+    silently, resurrecting removed data; the reordered
+    scan-after-version-compute must raise instead."""
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    mgr.txn_append(spark.range(3), "t")  # v0
+    real_try = mgr._txn_try_commit
+    state = {"injected": False}
+
+    def inject(table, record):
+        if record["op"] == "append" and not state["injected"]:
+            state["injected"] = True
+            racer = {"version": record["version"], "op": "append",
+                     "add": [mgr._txn_write_data(spark.range(5), "t")],
+                     "readVersion": 0}
+            assert real_try(table, racer)
+            res = real_try(table, record)  # our claim loses
+            assert res is False
+            ow = {"version": record["version"] + 1, "op": "overwrite",
+                  "add": [mgr._txn_write_data(spark.range(1), "t")],
+                  "remove": [], "readVersion": record["version"]}
+            assert real_try(table, ow)  # overwrite lands pre-retry
+            return res
+        return real_try(table, record)
+
+    mgr._txn_try_commit = inject
+    try:
+        with pytest.raises(ConcurrentWriteError, match="overwrite"):
+            mgr.txn_append(spark.range(10, 14), "t")
+    finally:
+        mgr._txn_try_commit = real_try
+    # the overwrite's state is intact: only its single row is live
+    assert mgr.txn_read("t").count() == 1
+
+
+def test_vacuum_retention_spares_inflight_writer(spark, tmp_path):
+    """r7 advisory (medium): a writer that has written its data dir
+    but not yet claimed a version must survive txn_vacuum — only
+    never-committed dirs OLDER than the retention window are treated
+    as orphans. Superseded committed dirs drop at any age."""
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    mgr.txn_append(spark.range(3).withColumnRenamed("id", "x"), "t")  # v0
+    mgr.txn_overwrite(spark.range(2).withColumnRenamed("id", "x"), "t")  # v1
+
+    # an in-flight writer: data written, claim not yet made
+    inflight_rel = mgr._txn_write_data(
+        spark.range(7, 9).withColumnRenamed("id", "x"), "t"
+    )
+    removed = mgr.txn_vacuum("t")  # default retention: 10 min
+    # the superseded v0 dir is gone; the fresh in-flight dir is spared
+    assert len(removed) == 1
+    inflight_name = inflight_rel.split("/", 1)[1]
+    assert inflight_name not in removed
+    # ... so the in-flight writer can still commit, and its rows exist
+    rec = {"version": 2, "op": "append", "add": [inflight_rel],
+           "readVersion": 1}
+    assert mgr._txn_try_commit("t", rec)
+    assert mgr.txn_read("t").count() == 2 + 2
+
+    # an ANCIENT never-committed dir (crashed writer) is reclaimed
+    orphan_rel = mgr._txn_write_data(spark.range(1), "t")
+    orphan_path = f"{mgr.path('t')}/{orphan_rel}"
+    old = time.time() - 3600
+    os.utime(orphan_path, (old, old))
+    removed2 = mgr.txn_vacuum("t")
+    assert removed2 == [orphan_rel.split("/", 1)[1]]
+    assert mgr.txn_read("t").count() == 4  # committed state untouched
+
+
+def test_claim_backend_probe_fails_loudly_without_hardlinks(
+    spark, tmp_path, monkeypatch
+):
+    """r7 verdict item #5: the claim primitive is a pluggable
+    ClaimBackend with a capability probe — a filesystem where
+    os.link doesn't work (object-store FUSE mounts) must raise
+    ClaimUnsupportedError, never degrade to a racy create."""
+    from lakehouse_v3_spark.tables import ClaimUnsupportedError
+
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+
+    def no_link(src, dst):
+        raise OSError(38, "Function not implemented (hard links)")
+
+    monkeypatch.setattr(os, "link", no_link)
+    with pytest.raises(ClaimUnsupportedError, match="conditional-put"):
+        mgr.txn_append(spark.range(1), "t")
+
+
+def test_claim_backend_is_injectable(spark, tmp_path):
+    """A custom backend (the conditional-put seam) is used for every
+    claim; the POSIX default stays untouched."""
+    from lakehouse_v3_spark.tables import PosixLinkClaim
+
+    calls = []
+
+    class Recording(PosixLinkClaim):
+        def put_if_absent(self, payload, final_path):
+            calls.append(final_path)
+            return super().put_if_absent(payload, final_path)
+
+    mgr = TableManager(
+        spark, str(tmp_path / "wh"), backend="parquet",
+        claim_backend=Recording(),
+    )
+    mgr.txn_append(spark.range(2), "t")
+    mgr.txn_overwrite(spark.range(1), "t")
+    # both commits (+1 probe file) went through the injected backend
+    assert sum(c.endswith(".json") for c in calls) == 2
+
+
 # -- the two-OS-process acceptance test ----------------------------------
 
 _WRITER_SCRIPT = textwrap.dedent(
