@@ -25,9 +25,19 @@ Endpoints (JSON over HTTP):
   (``CREATE TABLE ... AS`` / ``INSERT``, which run distributed and
   return no rows). ``truncated`` is set when the cap bit.
   ``timeout_ms`` (or the server-wide ``statement_timeout_ms``) is a
-  Trino-style statement budget: the request's Spark jobs run under a
-  per-request job group and are CANCELLED when the budget lapses —
-  structured 408, jobs interrupted cluster-side, no runaway query.
+  Trino-style statement budget: the request's Spark jobs — INCLUDING
+  eagerly-executed DDL/DML like CTAS/INSERT — run under a per-request
+  job group entered before ``spark.sql`` and are CANCELLED when the
+  budget lapses: structured 408, jobs interrupted cluster-side, no
+  runaway query.
+  **Paging** (Trino nextUri analogue, r7 verdict item #6): pass
+  ``"page_size": N`` instead of ``limit`` and the gateway drains the
+  result through ``toLocalIterator`` (driver memory stays bounded to
+  ~one partition); the response carries ``next_token`` while rows
+  remain. POST ``{"next_token": tok}`` to fetch the next page — a
+  client drains an arbitrarily large result without ever raising the
+  row cap. Cursors are TTL-expired and LRU-bounded; a drained or
+  expired token is a structured 404.
 - ``GET /tables`` → the catalog's current tables/views.
 - ``GET /health`` → liveness + Spark version.
 
@@ -48,9 +58,98 @@ from __future__ import annotations
 import hmac
 import json
 import threading
+import time
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from pyspark.errors import AnalysisException, ParseException
+
 DEFAULT_ROW_CAP = 10_000
+DEFAULT_CURSOR_TTL_S = 600.0
+DEFAULT_MAX_CURSORS = 64
+
+
+class _Budget:
+    """Per-request statement budget: a cancellable job group + watchdog
+    timer. Entered BEFORE ``spark.sql`` so even eagerly-executed
+    DDL/DML (CTAS, INSERT — which run their jobs inside ``spark.sql``,
+    not at collect) is cancelled when the budget lapses (r7 advisory:
+    the old order made distributed writes immune to the timeout). Job
+    groups are thread-local, so concurrent requests cancel only their
+    own jobs; job groups (not session tags) because classic-mode
+    interruptTag does not track plain DataFrame actions — verified on
+    Spark 4.1."""
+
+    def __init__(self, spark, timeout_ms: int | None):
+        self.spark = spark
+        self.timeout_ms = timeout_ms
+        self._timer: threading.Timer | None = None
+        self._timed_out = threading.Event()
+
+    @property
+    def timed_out(self) -> bool:
+        return self._timed_out.is_set()
+
+    def __enter__(self) -> "_Budget":
+        if self.timeout_ms is None:
+            return self
+        sc = self.spark.sparkContext
+        group = f"sqlgw-{threading.get_ident()}-{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(
+            group,
+            f"sql-gateway statement (budget {self.timeout_ms} ms)",
+            interruptOnCancel=True,
+        )
+
+        def _interrupt():
+            self._timed_out.set()
+            try:
+                sc.cancelJobGroup(group)
+            except Exception:
+                pass
+
+        self._timer = threading.Timer(self.timeout_ms / 1000, _interrupt)
+        self._timer.daemon = True
+        self._timer.start()
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        if self._timer is not None:
+            self._timer.cancel()
+        if self.timeout_ms is not None:
+            try:
+                self.spark.sparkContext.clearJobGroup()
+            except Exception:
+                pass
+        return False
+
+
+def _error_payload(
+    budget: "_Budget", exc: Exception, timeout_ms: int | None
+) -> tuple[int, dict]:
+    """(status, body) for a failed statement/page: 408 only when the
+    watchdog fired AND the exception carries cancellation text —
+    a genuine execution error racing the timer stays a 500."""
+    if budget.timed_out and _looks_cancelled(exc):
+        return 408, {
+            "error": "statement_timeout",
+            "message": (
+                f"statement exceeded {timeout_ms} ms and was cancelled"
+            ),
+        }
+    return 500, {
+        "error": type(exc).__name__,
+        "message": str(exc)[:2000],
+    }
+
+
+def _looks_cancelled(exc: Exception) -> bool:
+    """Disambiguate 408 from 500 when the watchdog fired while a
+    GENUINE execution error was propagating (r7 advisory): only an
+    exception that carries Spark's cancellation/interruption text is
+    attributed to the timeout."""
+    s = str(exc).lower()
+    return "cancel" in s or "interrupt" in s
 
 
 class SqlGateway:
@@ -62,6 +161,8 @@ class SqlGateway:
         row_cap: int = DEFAULT_ROW_CAP,
         token: str | None = None,
         statement_timeout_ms: int | None = None,
+        cursor_ttl_s: float = DEFAULT_CURSOR_TTL_S,
+        max_cursors: int = DEFAULT_MAX_CURSORS,
     ):
         self.spark = spark
         self.row_cap = int(row_cap)
@@ -71,6 +172,16 @@ class SqlGateway:
         self.statement_timeout_ms = (
             int(statement_timeout_ms) if statement_timeout_ms else None
         )
+        # paged-result cursors (Trino nextUri analogue): token →
+        # {"it": toLocalIterator, "pending": row|None, "columns",
+        #  "types", "lock", "touched"}. toLocalIterator keeps driver
+        # memory bounded to ~one partition per open cursor; TTL + LRU
+        # bound the cursor count so abandoned clients can't leak
+        # running iterators forever.
+        self.cursor_ttl_s = float(cursor_ttl_s)
+        self.max_cursors = int(max_cursors)
+        self._cursors: dict[str, dict] = {}
+        self._cursors_mu = threading.Lock()
         gateway = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -121,16 +232,23 @@ class SqlGateway:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
-                    sql = req["sql"]
-                    # limit is CLIENT input: parse + range-check inside
-                    # the bad-request block (a non-numeric or negative
-                    # limit is the client's fault, not a 500 — r6
-                    # advisory), then clamp to [0, row_cap] (the
-                    # per-request limit may only lower the server cap).
+                    # limit/page_size are CLIENT input: parse +
+                    # range-check inside the bad-request block (a
+                    # non-numeric or negative value is the client's
+                    # fault, not a 500 — r6 advisory); both clamp to
+                    # row_cap (may only LOWER the server cap).
                     cap = int(req.get("limit", gateway.row_cap))
                     if cap < 0:
                         raise ValueError(f"limit must be >= 0, got {cap}")
                     cap = min(cap, gateway.row_cap)
+                    page_size = req.get("page_size")
+                    if page_size is not None:
+                        page_size = int(page_size)
+                        if page_size <= 0:
+                            raise ValueError(
+                                f"page_size must be > 0, got {page_size}"
+                            )
+                        page_size = min(page_size, gateway.row_cap)
                     timeout_ms = req.get(
                         "timeout_ms", gateway.statement_timeout_ms
                     )
@@ -140,104 +258,110 @@ class SqlGateway:
                             raise ValueError(
                                 f"timeout_ms must be > 0, got {timeout_ms}"
                             )
+                    next_token = req.get("next_token")
+                    sql = None if next_token is not None else req["sql"]
                 except (KeyError, ValueError, TypeError) as exc:
                     return self._reply(
                         400, {"error": "bad_request", "message": str(exc)}
                     )
-                try:
-                    df = gateway.spark.sql(sql)
-                except Exception as exc:  # analysis/parse: client error
-                    return self._reply(
-                        400,
-                        {
-                            "error": type(exc).__name__,
-                            "message": str(exc)[:2000],
-                        },
-                    )
-                # Server-side statement timeout (Trino-parity query
-                # limits): the collect below runs under a per-request
-                # JOB GROUP (thread-local, so concurrent requests
-                # cancel only their own jobs); a watchdog timer cancels
-                # the group when the budget lapses and the aborted
-                # request comes back as a STRUCTURED 408 — never a
-                # hung client or a runaway cluster query. Job groups
-                # (not session tags) because classic-mode interruptTag
-                # does not track plain DataFrame actions — verified on
-                # Spark 4.1: interruptTag returned [] mid-job while
-                # cancelJobGroup interrupts within ~100 ms.
-                timer = None
-                timed_out = threading.Event()
-                group = f"sqlgw-{threading.get_ident()}-{id(df)}"
-                try:
-                    if not df.schema.fields:
-                        # DDL/DML (CREATE/INSERT/...) — executed above,
-                        # nothing to fetch
-                        return self._reply(
-                            200,
-                            {"columns": [], "types": [], "rows": [],
-                             "truncated": False},
-                        )
-                    if timeout_ms is not None:
-                        gateway.spark.sparkContext.setJobGroup(
-                            group,
-                            f"sql-gateway statement (budget {timeout_ms} ms)",
-                            interruptOnCancel=True,
-                        )
+                if next_token is not None:
+                    return self._fetch_page(next_token, page_size, timeout_ms)
+                return self._run_statement(sql, cap, page_size, timeout_ms)
 
-                        def _interrupt():
-                            timed_out.set()
-                            try:
-                                gateway.spark.sparkContext.cancelJobGroup(
-                                    group
-                                )
-                            except Exception:
-                                pass
-
-                        timer = threading.Timer(timeout_ms / 1000, _interrupt)
-                        timer.daemon = True
-                        timer.start()
-                    rows = df.limit(cap + 1).collect()
-                    truncated = len(rows) > cap
-                    return self._reply(
-                        200,
-                        {
+            def _run_statement(self, sql, cap, page_size, timeout_ms):
+                budget = _Budget(gateway.spark, timeout_ms)
+                try:
+                    with budget:
+                        # spark.sql INSIDE the budget: CTAS/INSERT run
+                        # their distributed jobs eagerly here, so a
+                        # runaway write is cancelled too (r7 advisory)
+                        try:
+                            df = gateway.spark.sql(sql)
+                        except (AnalysisException, ParseException) as exc:
+                            # analysis/parse: the client's fault
+                            return self._reply(
+                                400,
+                                {"error": type(exc).__name__,
+                                 "message": str(exc)[:2000]},
+                            )
+                        if not df.schema.fields:
+                            # DDL/DML — executed above, nothing to fetch
+                            return self._reply(
+                                200,
+                                {"columns": [], "types": [], "rows": [],
+                                 "truncated": False, "next_token": None},
+                            )
+                        meta = {
                             "columns": df.columns,
                             "types": [
                                 f.dataType.simpleString()
                                 for f in df.schema.fields
                             ],
-                            "rows": [list(r) for r in rows[:cap]],
-                            "truncated": truncated,
-                        },
-                    )
-                except Exception as exc:
-                    if timed_out.is_set():
+                        }
+                        if page_size is None:
+                            rows = df.limit(cap + 1).collect()
+                            truncated = len(rows) > cap
+                            return self._reply(
+                                200,
+                                {**meta,
+                                 "rows": [list(r) for r in rows[:cap]],
+                                 "truncated": truncated},
+                            )
+                        # paged mode (Trino nextUri analogue): drain the
+                        # first page from a lazy partition iterator; if
+                        # more remain, park the iterator in a cursor
+                        it = df.toLocalIterator(prefetchPartitions=False)
+                        rows, pending = gateway._take(it, page_size)
+                        tok = None
+                        if pending is not None:
+                            tok = gateway._register_cursor(
+                                it, pending, {**meta, "page_size": page_size}
+                            )
                         return self._reply(
-                            408,
-                            {
-                                "error": "statement_timeout",
-                                "message": (
-                                    f"statement exceeded {timeout_ms} ms "
-                                    "and was cancelled"
-                                ),
-                            },
+                            200,
+                            {**meta, "rows": rows, "next_token": tok},
                         )
-                    # execution: server error
+                except Exception as exc:
+                    return self._reply(*_error_payload(budget, exc, timeout_ms))
+
+            def _fetch_page(self, token, page_size, timeout_ms):
+                cur = gateway._cursor(token)
+                if cur is None:
                     return self._reply(
-                        500,
-                        {
-                            "error": type(exc).__name__,
-                            "message": str(exc)[:2000],
-                        },
+                        404,
+                        {"error": "unknown_cursor",
+                         "message": "cursor expired, drained, or never "
+                                    "existed — re-run the statement"},
                     )
-                finally:
-                    if timer is not None:
-                        timer.cancel()
-                    if timeout_ms is not None:
-                        try:
-                            gateway.spark.sparkContext.clearJobGroup()
-                        except Exception:
-                            pass
+                budget = _Budget(gateway.spark, timeout_ms)
+                with cur["lock"]:
+                    try:
+                        with budget:
+                            n = page_size or cur["page_size"]
+                            first = [cur["pending"]] if cur["pending"] is not None else []
+                            cur["pending"] = None
+                            rows, pending = gateway._take(
+                                cur["it"], n, first
+                            )
+                            if pending is not None:
+                                cur["pending"] = pending
+                                cur["touched"] = time.monotonic()
+                                tok = token
+                            else:
+                                gateway._drop_cursor(token)
+                                tok = None
+                            return self._reply(
+                                200,
+                                {"columns": cur["columns"],
+                                 "types": cur["types"],
+                                 "rows": rows, "next_token": tok},
+                            )
+                    except Exception as exc:
+                        # a cancelled/broken iterator can't be resumed
+                        gateway._drop_cursor(token)
+                        return self._reply(
+                            *_error_payload(budget, exc, timeout_ms)
+                        )
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._server.daemon_threads = True
@@ -251,6 +375,67 @@ class SqlGateway:
     def url(self) -> str:
         host, port = self._server.server_address[:2]
         return f"http://{host}:{port}"
+
+    # -- paged-result cursors -------------------------------------------
+
+    @staticmethod
+    def _take(it, n: int, first: list | None = None):
+        """Drain up to ``n`` rows (plus detect more): returns
+        ``(rows, pending)`` where ``pending`` is the one look-ahead row
+        proving the iterator isn't exhausted (or None at the end)."""
+        rows = list(first or [])
+        pending = None
+        while len(rows) < n + 1:
+            try:
+                rows.append(list(next(it)))
+            except StopIteration:
+                break
+        if len(rows) > n:
+            pending = rows.pop()
+        return rows, pending
+
+    def _register_cursor(self, it, pending, meta: dict) -> str:
+        """Park a partially-drained iterator; returns its token.
+        Evicts expired cursors first and LRU-bounds the live set."""
+        tok = uuid.uuid4().hex
+        now = time.monotonic()
+        with self._cursors_mu:
+            dead = [
+                t
+                for t, c in self._cursors.items()
+                if now - c["touched"] > self.cursor_ttl_s
+            ]
+            for t in dead:
+                del self._cursors[t]
+            while len(self._cursors) >= self.max_cursors:
+                oldest = min(
+                    self._cursors, key=lambda t: self._cursors[t]["touched"]
+                )
+                del self._cursors[oldest]
+            self._cursors[tok] = {
+                "it": it,
+                "pending": pending,
+                "columns": meta["columns"],
+                "types": meta["types"],
+                "page_size": meta.get("page_size", self.row_cap),
+                "lock": threading.Lock(),
+                "touched": now,
+            }
+        return tok
+
+    def _cursor(self, token: str) -> dict | None:
+        with self._cursors_mu:
+            cur = self._cursors.get(token)
+            if cur is None:
+                return None
+            if time.monotonic() - cur["touched"] > self.cursor_ttl_s:
+                del self._cursors[token]
+                return None
+            return cur
+
+    def _drop_cursor(self, token: str) -> None:
+        with self._cursors_mu:
+            self._cursors.pop(token, None)
 
     def start(self) -> "SqlGateway":
         self._thread = threading.Thread(

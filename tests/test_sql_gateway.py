@@ -192,3 +192,120 @@ def test_cross_process_client(gateway):
     assert out["columns"] == ["n", "f"]
     assert out["rows"][0][0] == 25
     assert out["rows"][0][1].startswith("NATION_")
+
+
+# -- r8: result pagination (Trino nextUri analogue) -----------------------
+
+
+def test_paged_drain_covers_full_result_no_dupes(gateway):
+    """r7 verdict item #6: a client drains a result LARGER than any
+    single page via next_token, without raising the row cap — the
+    concatenation equals the full ordered result exactly once."""
+    pages = []
+    out = _post(
+        gateway.url,
+        {"sql": "SELECT o_orderkey FROM gw_orders ORDER BY o_orderkey",
+         "page_size": 700},
+    )
+    pages.append(out)
+    while out["next_token"]:
+        out = _post(gateway.url, {"next_token": out["next_token"]})
+        pages.append(out)
+    rows = [r[0] for p in pages for r in p["rows"]]
+    assert len(pages) >= 3  # really paged
+    assert all(len(p["rows"]) <= 700 for p in pages)
+    assert all(p["columns"] == ["o_orderkey"] for p in pages)
+    full = _post(
+        gateway.url,
+        {"sql": "SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS d "
+                "FROM gw_orders"},
+    )["rows"][0]
+    assert len(rows) == full[0] == full[1]
+    assert rows == sorted(rows) and len(set(rows)) == len(rows)
+
+
+def test_exhausted_or_bogus_cursor_is_404(gateway):
+    out = _post(
+        gateway.url,
+        {"sql": "SELECT n_nationkey FROM gw_nation", "page_size": 1000},
+    )
+    # whole result fit in one page: no cursor was parked
+    assert out["next_token"] is None
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(gateway.url, {"next_token": "deadbeef"})
+    assert ei.value.code == 404
+    assert json.loads(ei.value.read())["error"] == "unknown_cursor"
+
+
+def test_drained_cursor_token_is_single_use(gateway):
+    out = _post(
+        gateway.url,
+        {"sql": "SELECT n_nationkey FROM gw_nation ORDER BY n_nationkey",
+         "page_size": 20},
+    )
+    tok = out["next_token"]
+    assert tok
+    out2 = _post(gateway.url, {"next_token": tok})
+    assert len(out["rows"]) + len(out2["rows"]) == 25
+    assert out2["next_token"] is None  # drained → cursor dropped
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(gateway.url, {"next_token": tok})
+    assert ei.value.code == 404
+
+
+def test_bad_page_size_is_http_400(gateway):
+    for bad in [0, -1, "big"]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(gateway.url, {"sql": "SELECT 1 AS x", "page_size": bad})
+        assert ei.value.code == 400
+
+
+def test_eager_ddl_runs_under_statement_budget(gateway):
+    """r7 advisory: CTAS/INSERT execute their jobs INSIDE spark.sql —
+    the budget must wrap them too. A runaway CTAS gets a structured
+    408 (or, if the cancel landed as an execution abort, a 5xx — never
+    a silent success), and the target view must not exist."""
+    # temp view creation is lazy, so use a cached eager shape instead:
+    # CACHE TABLE executes the plan eagerly inside spark.sql
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(
+            gateway.url,
+            {"sql": "CACHE TABLE gw_runaway_cache AS "
+                    "SELECT COUNT(*) AS n FROM gw_orders a "
+                    "CROSS JOIN gw_orders b CROSS JOIN gw_orders c",
+             "timeout_ms": 800},
+        )
+    assert ei.value.code in (408, 500)
+    body = json.loads(ei.value.read())
+    assert body["error"] in ("statement_timeout",) or "cancel" in body.get(
+        "message", ""
+    ).lower()
+    # gateway still serves afterwards
+    ok = _post(gateway.url, {"sql": "SELECT 41 + 1 AS x"})
+    assert ok["rows"] == [[42]]
+
+
+def test_cross_process_paged_client(gateway):
+    """Paging from a genuinely separate OS process: drain 3 pages."""
+    script = (
+        "import json,urllib.request,sys\n"
+        "url=sys.argv[1]\n"
+        "def post(p):\n"
+        "    req=urllib.request.Request(url+'/sql',data=json.dumps(p).encode(),"
+        "headers={'Content-Type':'application/json'},method='POST')\n"
+        "    return json.loads(urllib.request.urlopen(req,timeout=60).read())\n"
+        "out=post({'sql':'SELECT n_nationkey FROM gw_nation ORDER BY n_nationkey',"
+        "'page_size':10})\n"
+        "rows=list(out['rows'])\n"
+        "while out['next_token']:\n"
+        "    out=post({'next_token':out['next_token']})\n"
+        "    rows+=out['rows']\n"
+        "print(json.dumps(rows))\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script, gateway.url],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    rows = json.loads(proc.stdout)
+    assert [r[0] for r in rows] == list(range(25))
