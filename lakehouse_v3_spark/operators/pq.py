@@ -53,6 +53,23 @@ PQ_TRAIN_K = 64
 PQ_TRAIN_TOL_MICRO = 10000
 PQ_TRAIN_MAX_ITER = 60
 
+# Default deterministic training sample (r7 verdict item #4): above
+# this many vectors, training runs on vec_id % stride == 0 with
+# stride = ceil(n / cap) — per-iteration cost becomes ~CONSTANT in
+# corpus size while the model stays k × dim scalars. 4096 is chosen
+# so every driver fixture (≤2000 embeddings) trains on the FULL set
+# (stride 1 → bit-identical to the unsampled recipe) and the repo's
+# sf1+ fixtures (20k+) sample ~4k vectors. The rule is mirrored
+# exactly in SQL by plans/pq_train_sql.train_source_sql so the DuckDB
+# oracle trains on the same rows.
+PQ_TRAIN_SAMPLE_CAP = 4096
+
+
+def pq_train_stride(n_vectors: int, cap: int = PQ_TRAIN_SAMPLE_CAP) -> int:
+    """ceil(n / cap) in exact integer arithmetic (shared with the SQL
+    twin's ``(COUNT(*) + cap - 1) // cap``)."""
+    return max(1, (int(n_vectors) + cap - 1) // cap)
+
 
 def _seq_sqdist_np(M, cent):
     """Exact left-fold Σ (M[:,d]-cent[d])² — sequential over dims,
@@ -76,33 +93,37 @@ def pq_codebooks(
     n_sub: int = PQ_N_SUB,
     k_codes: int = PQ_K_CODES,
 ) -> list[list[list[float]]]:
-    """``codebooks[s][j]`` = the s-th subvector of seed vector j
-    (id < k_codes), components rounded to 6 dp — a deterministic
-    sampled codebook (production would refine it with
-    operators/ivf.kmeans-style Lloyd steps per subspace; the scan
-    below is agnostic to how the codebook was trained). Collects
-    k_codes rows — O(k·dim) driver bytes, independent of corpus size."""
+    """``codebooks[s][j]`` = the s-th subvector of the j-th LOWEST-id
+    vector of ``embeddings`` (for a full contiguous-id corpus this is
+    exactly id < k_codes — the original recipe; for a sampled train
+    set it is the k lowest surviving ids), components rounded to 6 dp
+    — a deterministic seed codebook (pq_train_codebooks refines it
+    with per-subspace Lloyd; the scan below is agnostic to how the
+    codebook was trained). Collects k_codes rows — O(k·dim) driver
+    bytes, independent of corpus size. SQL twin:
+    plans/pq_train_sql.c0_sql's ORDER BY vec_id LIMIT k seed CTE."""
     rows = (
-        embeddings.filter(F.col(id_col) < k_codes)
-        .select(
+        embeddings.select(
             id_col,
             F.transform(vec_col, lambda x: F.round(x.cast("double"), 6)).alias(
                 "c"
             ),
         )
+        .orderBy(id_col)
+        .limit(k_codes)
         .collect()
     )
-    by_id = {int(r[id_col]): [float(v) for v in r.c] for r in rows}
-    if sorted(by_id) != list(range(k_codes)):
+    if len(rows) != k_codes:
         raise RuntimeError(
-            f"expected seed ids 0..{k_codes - 1}, got {sorted(by_id)}"
+            f"expected {k_codes} seed vectors, got {len(rows)}"
         )
-    dim = len(by_id[0])
+    seeds = [[float(v) for v in r.c] for r in rows]  # already id-ordered
+    dim = len(seeds[0])
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
     w = dim // n_sub
     return [
-        [by_id[j][s * w : (s + 1) * w] for j in range(k_codes)]
+        [seeds[j][s * w : (s + 1) * w] for j in range(k_codes)]
         for s in range(n_sub)
     ]
 
@@ -224,6 +245,7 @@ def pq_train_codebooks(
     max_iter: int = PQ_TRAIN_MAX_ITER,
     train_df: DataFrame | None = None,
     cache_token: str | None = None,
+    sample_cap: int | None = PQ_TRAIN_SAMPLE_CAP,
 ) -> tuple[list[list[list[float]]], list[int], dict[int, list[list[float]]]]:
     """TRAINED per-subspace codebooks: Lloyd's k-means run independently
     in each of the ``n_sub`` subspaces until that subspace's max
@@ -238,19 +260,27 @@ def pq_train_codebooks(
       catalog queries can rebuild the final aggregation LAZILY and
       return a distributed plan (the lloyd_converged convention).
 
-    Training set = the full embeddings table by default (fixture
-    scale); at 100 TB pass ``train_df`` with a deterministic sample —
-    the k × dim × n_sub model parameters and the per-iteration job
-    shapes are independent of corpus size either way. Every iteration
-    is ONE distributed aggregation over all still-active subspaces
-    (converged subspaces drop out of the job — the Arrow closure
-    shrinks as training proceeds).
+    Training set: above ``sample_cap`` vectors the train set defaults
+    to the DETERMINISTIC sample ``vec_id % ceil(n / sample_cap) == 0``
+    (r7 verdict item #4) — per-iteration cost is then ~constant in
+    corpus size, which is the 100 TB story; below the cap it is the
+    full corpus (bit-identical to the unsampled recipe, so all driver
+    fixtures ≤2000 vectors are unaffected). The same rule is applied
+    to a caller-supplied ``train_df`` (disable with
+    ``sample_cap=None``), and mirrored exactly in the DuckDB oracle by
+    plans/pq_train_sql.train_source_sql. Every iteration is ONE
+    distributed aggregation over all still-active subspaces (converged
+    subspaces drop out of the job — the Arrow closure shrinks as
+    training proceeds).
 
     Raises loudly on empty codewords or non-convergence (both would
     silently diverge from the DuckDB oracle's unrolled chain).
-    Measured convergence (max over subspaces): 20 / 11 / 10 iterations
-    at sf0.001 / 0.01 / 0.1 — smoother means converge FASTER at scale,
-    so the unrolled oracle's depth is sized by the SMALL fixtures.
+    Measured convergence (max over subspaces) — re-measured r8 after
+    the int64-rational component recipe landed: 15 / 10 / 19
+    iterations at sf0.001 / 0.01 / 0.1. Convergence depth does NOT
+    shrink monotonically with corpus size (sf0.1's 19 is the deepest);
+    PQ_UNROLL = 24 covers the measured worst with headroom and
+    test_pq_unroll_covers_fixtures re-pins it every run.
     """
     from ..io_utils import load
 
@@ -266,6 +296,7 @@ def pq_train_codebooks(
         tol_micro,
         max_iter,
         cache_token,
+        sample_cap,
     )
     if use_cache and key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
@@ -275,6 +306,10 @@ def pq_train_codebooks(
         if train_df is not None
         else load(spark, sf_dir, "embeddings").select("vec_id", vec_col)
     )
+    if sample_cap is not None:
+        stride = pq_train_stride(e.count(), sample_cap)
+        if stride > 1:
+            e = e.filter((F.col("vec_id") % stride) == 0)
     seeds = pq_codebooks(
         spark, e, vec_col=vec_col, n_sub=n_sub, k_codes=k_codes
     )

@@ -43,11 +43,30 @@ from ..operators.pq import (
     PQ_N_SUB,
     PQ_TRAIN_K,
     PQ_TRAIN_MAX_ITER,
+    PQ_TRAIN_SAMPLE_CAP,
     PQ_TRAIN_TOL_MICRO,
 )
 
 PQ_UNROLL = 24
 _W = 8  # subspace width on the 64-dim fixtures
+
+
+def train_source_sql(
+    source: str = "embeddings",
+    vec: str = "embedding",
+    cap: int = PQ_TRAIN_SAMPLE_CAP,
+) -> str:
+    """The oracle twin of operators/pq's deterministic training sample
+    (r7 verdict item #4): ``vec_id % ceil(n / cap) == 0`` with the
+    SAME exact-integer ceil — ``(COUNT(*) + cap - 1) // cap``. Below
+    the cap the stride is 1 and the expression reduces to the full
+    corpus (bit-identical to the unsampled recipe on every driver
+    fixture). Returns a parenthesized subquery usable wherever the
+    chain builders take a ``source``."""
+    return (
+        f"(SELECT vec_id, {vec} FROM {source} WHERE vec_id % "
+        f"(SELECT (COUNT(*) + {cap - 1}) // {cap} FROM {source}) = 0)"
+    )
 
 
 def sq_fold(a: str, b: str, w: int = _W) -> str:
@@ -75,17 +94,22 @@ FROM {source} t, (SELECT unnest(range(0, {PQ_N_SUB})) AS s) ss
 
 def c0_sql(source: str = "embeddings", vec: str = "embedding",
            k: int = PQ_TRAIN_K) -> str:
-    """Seed codebooks: subvector s of the k lowest-vec_id vectors,
-    components 6-dp rounded (same seed recipe as the coarse
-    quantizer)."""
+    """Seed codebooks: subvector s of the k LOWEST-vec_id vectors of
+    ``source``, codeword index j = rank within those seeds (for a
+    full contiguous-id corpus this is exactly ``vec_id < k`` with
+    j = vec_id — the original recipe; for a sampled train set the
+    seeds are the k lowest surviving ids). Components 6-dp rounded
+    (same seed recipe as the coarse quantizer); Spark twin:
+    operators/pq.pq_codebooks' ORDER BY id LIMIT k."""
     return f"""
-SELECT CAST(ss.s AS INT) AS s, CAST(t.vec_id AS INT) AS j,
+SELECT CAST(ss.s AS INT) AS s, CAST(sd.j AS INT) AS j,
        CAST(dd.dim AS INT) AS dim,
-       ROUND(CAST(t.{vec}[ss.s*{_W} + dd.dim + 1] AS DOUBLE), 6) AS component
-FROM {source} t,
+       ROUND(CAST(sd.v[ss.s*{_W} + dd.dim + 1] AS DOUBLE), 6) AS component
+FROM (SELECT vec_id, {vec} AS v,
+             row_number() OVER (ORDER BY vec_id) - 1 AS j
+      FROM {source} src_t ORDER BY vec_id LIMIT {k}) sd,
      (SELECT unnest(range(0, {PQ_N_SUB})) AS s) ss,
      (SELECT unnest(range(0, {_W})) AS dim) dd
-WHERE t.vec_id < {k}
 """
 
 
@@ -134,6 +158,7 @@ def train_chain(
     vec: str = "embedding",
     n_unroll: int = PQ_UNROLL,
     tol_micro: int = PQ_TRAIN_TOL_MICRO,
+    sample_cap: int | None = PQ_TRAIN_SAMPLE_CAP,
 ) -> str:
     """Unrolled WITH-clause body ending in ``{prefix}cb`` =
     (s, j, dim, n_assigned, component, n_iters): each subspace's
@@ -141,11 +166,19 @@ def train_chain(
     subspace never converges within the unroll it is ABSENT from
     ``{prefix}cb`` → fewer rows → the gate fails LOUDLY (the _N_UNROLL
     lesson from r5). ``prefix`` namespaces the CTEs so two chains
-    (raw + residual) can coexist in one statement."""
+    (raw + residual) can coexist in one statement. The training
+    source is the deterministic ``train_source_sql`` sample of
+    ``source`` (stride 1 = full corpus below ``sample_cap``) — the
+    same rows operators/pq.pq_train_codebooks trains on."""
     p = prefix
+    src = (
+        train_source_sql(source, vec, sample_cap)
+        if sample_cap is not None
+        else source
+    )
     parts = [
-        f"{p}subv AS MATERIALIZED ({subv_sql(source, vec)})",
-        f"{p}c0 AS MATERIALIZED ({c0_sql(source, vec)})",
+        f"{p}subv AS MATERIALIZED ({subv_sql(src, vec)})",
+        f"{p}c0 AS MATERIALIZED ({c0_sql(src, vec)})",
     ]
     for i in range(1, n_unroll + 1):
         parts.append(
@@ -182,12 +215,26 @@ def duckdb_pq_train(
     out_table: str = "_pq_cb",
     tol_micro: int = PQ_TRAIN_TOL_MICRO,
     max_iter: int = PQ_TRAIN_MAX_ITER,
+    sample_cap: int | None = PQ_TRAIN_SAMPLE_CAP,
 ) -> dict[int, int]:
     """Early-exit twin of the unrolled chain for the big-SF gates: the
     same per-iteration SQL against temp tables, each subspace frozen
-    into ``out_table`` at its own first converged iteration. Returns
+    into ``out_table`` at its own first converged iteration — over the
+    same deterministic training sample as the unrolled chain. Returns
     {subspace: n_iters}."""
-    con.execute(f"CREATE OR REPLACE TEMP TABLE _pqt_src AS {source_sql}")
+    con.execute(f"CREATE OR REPLACE TEMP TABLE _pqt_all AS {source_sql}")
+    if sample_cap is not None:
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE _pqt_src AS "
+            "SELECT * FROM _pqt_all WHERE vec_id % "
+            f"(SELECT (COUNT(*) + {sample_cap - 1}) // {sample_cap} "
+            "FROM _pqt_all) = 0"
+        )
+    else:
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE _pqt_src AS "
+            "SELECT * FROM _pqt_all"
+        )
     con.execute(
         "CREATE OR REPLACE TEMP TABLE _pqt_subv AS "
         + subv_sql("_pqt_src", vec)

@@ -40,7 +40,8 @@ def _cb_sf_oracle(con, sf_dir):
 def pq_trained_codebooks(spark, sf_dir):
     """TRAINED product-quantization codebooks: per-subspace Lloyd's
     k-means (8 subspaces × 64 codewords, seeds = the 6-dp-rounded
-    subvectors of vec_id < 64) iterated until each subspace's max
+    subvectors of the 64 lowest train-set vec_ids) iterated until
+    each subspace's max
     per-component shift drops to ≤ 0.01 (10000 micro-units, integer
     compare — engine-neutral), per-subspace stopping. Output = the
     converged codebooks in long form (s, j, dim, n_assigned,
@@ -64,10 +65,23 @@ def pq_trained_codebooks(spark, sf_dir):
     — watermark-class driver state.
 
     Measured convergence (max subspace): 15 / 10 / 19 iterations at
-    sf0.001 / 0.01 / 0.1 — larger samples have smoother means, so the
-    unrolled oracle's depth is sized by the SMALL fixtures."""
+    sf0.001 / 0.01 / 0.1 (re-measured r8) — depth is NOT monotone in
+    corpus size (sf0.1 is the deepest), so PQ_UNROLL = 24 is sized by
+    the measured worst + headroom and re-pinned per run by
+    test_pq_unroll_covers_fixtures. Above PQ_TRAIN_SAMPLE_CAP vectors
+    training runs on the deterministic vec_id-stride sample (both
+    engines), capping depth drift at bigger SFs."""
+    from ..operators.pq import pq_train_stride
+
     cbs, n_iters, prev_cbs = pq_train_codebooks(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings").select("embedding")
+    # rebuild the final aggregation over the TRAIN SET (the stride
+    # sample above PQ_TRAIN_SAMPLE_CAP; the full corpus below it) —
+    # n_assigned/components are defined over what was trained on
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stride = pq_train_stride(e.count())
+    if stride > 1:
+        e = e.filter((F.col("vec_id") % stride) == 0)
+    e = e.select("embedding")
     iters_arr = F.array(*[F.lit(int(n)) for n in n_iters])
     return _pq_update(e, prev_cbs).withColumn(
         "n_iters", F.element_at(iters_arr, F.col("s") + 1)
