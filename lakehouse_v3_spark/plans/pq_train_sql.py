@@ -15,11 +15,13 @@ between consecutive chains, and snapshot each subspace's codebook at
 its own first converged iteration (per-subspace stopping — subspace
 updates are independent, so rows of a later iteration never affect an
 already-converged subspace's snapshot). Measured convergence maxima:
-15 / 10 / 19 iterations at sf0.001 / 0.01 / 0.1 — PQ_UNROLL = 24
-covers the worst with headroom, pinned by
-tests/test_oracle_parity.py::test_pq_unroll_covers_fixtures. The
+15 / 10 / 19 iterations at sf0.001 / 0.01 / 0.1 (re-measured r8; depth
+is NOT monotone in corpus size) — PQ_UNROLL = 24 covers the worst with
+headroom, pinned by
+tests/test_r7_advisories.py::test_pq_unroll_covers_fixtures. The
 big-SF gates use ``duckdb_pq_train`` (identical per-iteration SQL,
-real early exit).
+real early exit). Above PQ_TRAIN_SAMPLE_CAP vectors both engines train
+on the deterministic vec_id-stride sample (``train_source_sql``).
 
 Determinism contract (shared with operators/pq.pq_train_codebooks):
   - seeds: subvector s of the 6-dp-rounded vectors vec_id < k;
