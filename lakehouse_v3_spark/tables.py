@@ -333,6 +333,172 @@ class TableManager:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
 
+    # -- Z-order clustering + file skipping (round 8) -------------------
+    # The physical half of Delta's OPTIMIZE ZORDER BY + data skipping
+    # (public semantics; the catalog query zorder_cluster_keys covers
+    # the z-value math, this covers the LAYOUT and the pruned scan).
+    # At 100 TB the scan-cost story is: cluster the table so every
+    # file covers a tight hyper-rectangle of the predicate space, keep
+    # per-file min/max in a manifest, and let point/range predicates
+    # on ANY clustered column touch a small fraction of files.
+
+    def _zvalue(self, df: DataFrame, cols: list[str], bits: int = 8):
+        """Morton z-value column: each col is rank-binned into 2^bits
+        quantile buckets (edges via distributed approxQuantile — no
+        global sort, no single-partition window), then the bin bits of
+        all cols are interleaved. Quantile binning (not min/max
+        scaling) keeps buckets balanced under skew; NULL sorts to bin
+        0. Everything after the edge computation is JVM-side
+        expressions inside codegen."""
+        n_bins = 1 << bits
+        probs = [i / n_bins for i in range(1, n_bins)]
+        z = F.lit(0).cast("long")
+        for d, c in enumerate(cols):
+            edges = df.stat.approxQuantile(c, probs, 0.001)
+            # strictly increasing edge list (duplicates collapse under
+            # heavy repetition; fewer distinct edges = coarser bins,
+            # still correct)
+            uniq: list[float] = []
+            for e in edges:
+                if not uniq or e > uniq[-1]:
+                    uniq.append(e)
+            edges_lit = F.array(*[F.lit(float(e)) for e in uniq])
+            bin_c = F.aggregate(
+                edges_lit,
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col(c).cast("double") >= e, 1).otherwise(0),
+            )
+            bin_c = F.least(bin_c, F.lit(n_bins - 1))
+            for b in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(bin_c, b).bitwiseAND(F.lit(1)).cast("long"),
+                    b * len(cols) + d,
+                )
+        return z
+
+    def cluster_by(
+        self,
+        table: str,
+        cols: list[str],
+        target_file_rows: int = 1_000_000,
+        bits: int = 8,
+    ) -> int:
+        """OPTIMIZE ZORDER BY analogue: rewrite ``table`` range-
+        partitioned + sorted by the Morton z-value of ``cols`` into
+        ⌈rows / target_file_rows⌉ files, then persist a per-file
+        min/max stats manifest (sidecar JSON — the role of Delta's
+        per-AddFile stats in its log). Returns the file count.
+
+        Scale shape: one approxQuantile pass per clustered column
+        (distributed, driver holds 2^bits edges), one z-keyed range
+        shuffle, per-partition sort — no global window, no driver data
+        path. 100 TB tables re-cluster incrementally per partition in
+        production; the semantics per file are identical."""
+        df = self.read(table)
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // target_file_rows))
+        z = self._zvalue(df, cols, bits=bits)
+        clustered = (
+            df.withColumn("_zv", z)
+            .repartitionByRange(n_files, F.col("_zv"))
+            .sortWithinPartitions("_zv")
+            .drop("_zv")
+        )
+        self.overwrite(clustered, table)
+        self._write_stats(table, cols)
+        return n_files
+
+    def _stats_path(self, table: str) -> str:
+        # sidecar next to the table root (same convention as
+        # __properties.json): survives the atomic overwrite swap
+        return self.path(table) + "__stats.json"
+
+    def _write_stats(self, table: str, cols: list[str]) -> None:
+        """Per-file min/max manifest for ``cols`` from the parquet
+        footers — read once at write time (a footer per file, no data
+        pages), served to every later pruned scan."""
+        import pyarrow.parquet as papq
+
+        stats: dict[str, dict] = {}
+        root = self.path(table)
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(dirpath, fn)
+                md = papq.ParquetFile(fp).metadata
+                file_stats: dict[str, list] = {}
+                for c in cols:
+                    lo = hi = None
+                    for rg in range(md.num_row_groups):
+                        rgm = md.row_group(rg)
+                        for ci in range(rgm.num_columns):
+                            col = rgm.column(ci)
+                            if col.path_in_schema != c:
+                                continue
+                            st = col.statistics
+                            if st is None or not st.has_min_max:
+                                lo = hi = None
+                                break
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+                        else:
+                            continue
+                        break
+                    if lo is not None:
+                        file_stats[c] = [lo, hi]
+                stats[os.path.relpath(fp, root)] = file_stats
+        tmp = self._stats_path(table) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"columns": cols, "files": stats}, f, default=str)
+        os.replace(tmp, self._stats_path(table))
+
+    def prune_files(
+        self, table: str, predicates: dict[str, tuple]
+    ) -> tuple[list[str], int]:
+        """(files overlapping every [lo, hi] predicate, total files).
+        A file with no stats for a predicate column is kept
+        (conservative — correctness never depends on pruning). ``lo``
+        or ``hi`` may be None for one-sided ranges."""
+        with open(self._stats_path(table), encoding="utf-8") as f:
+            manifest = json.load(f)
+        root = self.path(table)
+        kept = []
+        for rel, file_stats in manifest["files"].items():
+            keep = True
+            for c, (lo, hi) in predicates.items():
+                if c not in file_stats:
+                    continue  # no stats → cannot prune
+                fmin, fmax = file_stats[c]
+                if (hi is not None and type(fmin)(hi) < fmin) or (
+                    lo is not None and type(fmax)(lo) > fmax
+                ):
+                    keep = False
+                    break
+            if keep:
+                kept.append(f"{root}/{rel}")
+        return kept, len(manifest["files"])
+
+    def read_skipping(
+        self, table: str, predicates: dict[str, tuple]
+    ) -> tuple[DataFrame, int, int]:
+        """Data-skipping scan: manifest-prune the file list, read only
+        the survivors, and re-apply the predicates exactly (pruning is
+        an optimization, never the filter). Returns
+        ``(df, files_read, files_total)``."""
+        files, total = self.prune_files(table, predicates)
+        if not files:
+            df = self.read(table).limit(0)
+        else:
+            df = self.spark.read.format(self.backend).load(files)
+        for c, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df, len(files), total
+
     # -- snapshots / time travel ----------------------------------------
     # A minimal transaction-log protocol on plain parquet, standing in
     # for Delta's log where delta-spark isn't available (TESTDATA.md):

@@ -1,0 +1,125 @@
+"""Z-order clustering + file-skipping scans (round 8) — the physical
+half of Delta's OPTIMIZE ZORDER BY + data skipping. The catalog query
+`zorder_cluster_keys` (plans/scale_extras.py) oracle-checks the
+z-value math; these tests check the LAYOUT property (each file covers
+a tight hyper-rectangle after cluster_by) and the pruned scan
+(read_skipping touches a small fraction of files while returning
+exactly the full-scan answer)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_v3_spark.tables import TableManager
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, sf_dir):
+    """lineitem written unclustered into 16 files, then z-clustered on
+    (l_orderkey, l_partkey) into ~16 files."""
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="zorder_wh_"), backend="parquet"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    n = li.count()
+    tm.overwrite(li.repartition(16), "t_unclustered")
+    tm._write_stats("t_unclustered", ["l_orderkey", "l_partkey"])
+    tm.overwrite(li.repartition(16), "t")
+    n_files = tm.cluster_by(
+        "t", ["l_orderkey", "l_partkey"], target_file_rows=max(1, n // 16)
+    )
+    return tm, n, n_files
+
+
+def test_cluster_by_preserves_rows_and_values(spark, clustered, sf_dir):
+    tm, n, _ = clustered
+    assert tm.read("t").count() == n
+    # content identical to the source (clustering is a layout rewrite)
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = tm.read("t").groupBy().agg(
+        F.sum("l_orderkey"), F.sum("l_partkey"), F.count(F.lit(1))
+    ).collect()[0]
+    b = src.groupBy().agg(
+        F.sum("l_orderkey"), F.sum("l_partkey"), F.count(F.lit(1))
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_skipping_scan_prunes_and_matches_full_scan(clustered):
+    tm, n, _ = clustered
+    # a 5%-ish range on the leading z dimension
+    full = tm.read("t")
+    lo, hi = full.stat.approxQuantile("l_orderkey", [0.4, 0.45], 0.0)
+    df, read, total = tm.read_skipping("t", {"l_orderkey": (lo, hi)})
+    expected = full.filter(
+        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
+    )
+    assert df.count() == expected.count() != 0
+    assert total >= 8
+    assert read < total, "clustered range scan should skip files"
+    assert read <= max(2, total // 2), (read, total)
+
+
+def test_skipping_on_second_dimension_also_prunes(clustered):
+    """The point of Z-ORDER over plain sort: BOTH interleaved columns
+    prune. A narrow range on the second column must also skip files."""
+    tm, n, _ = clustered
+    full = tm.read("t")
+    lo, hi = full.stat.approxQuantile("l_partkey", [0.7, 0.73], 0.0)
+    df, read, total = tm.read_skipping("t", {"l_partkey": (lo, hi)})
+    expected = full.filter(
+        (F.col("l_partkey") >= lo) & (F.col("l_partkey") <= hi)
+    )
+    assert df.count() == expected.count() != 0
+    assert read < total, "z-order must prune on the non-leading column too"
+
+
+def test_unclustered_layout_barely_prunes(clustered):
+    """Contrast: the same predicate over the round-robin layout keeps
+    ~every file (each file spans the whole key range) — showing the
+    pruning comes from the LAYOUT, not the manifest machinery."""
+    tm, n, _ = clustered
+    full = tm.read("t_unclustered")
+    lo, hi = full.stat.approxQuantile("l_orderkey", [0.4, 0.45], 0.0)
+    df, read, total = tm.read_skipping("t_unclustered", {"l_orderkey": (lo, hi)})
+    assert read == total  # no file can be excluded
+    expected = full.filter(
+        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
+    )
+    assert df.count() == expected.count()
+
+
+def test_one_sided_and_conjunctive_predicates(clustered):
+    tm, n, _ = clustered
+    full = tm.read("t")
+    okey_med = full.stat.approxQuantile("l_orderkey", [0.9], 0.0)[0]
+    pkey_med = full.stat.approxQuantile("l_partkey", [0.1], 0.0)[0]
+    df, read, total = tm.read_skipping(
+        "t", {"l_orderkey": (okey_med, None), "l_partkey": (None, pkey_med)}
+    )
+    expected = full.filter(
+        (F.col("l_orderkey") >= okey_med) & (F.col("l_partkey") <= pkey_med)
+    )
+    assert df.count() == expected.count()
+    assert read < total  # conjunction prunes at least as hard
+
+
+def test_empty_intersection_reads_zero_files(clustered):
+    tm, n, _ = clustered
+    mx = tm.read("t").agg(F.max("l_orderkey")).collect()[0][0]
+    df, read, total = tm.read_skipping("t", {"l_orderkey": (mx + 1, None)})
+    assert read == 0 and df.count() == 0
+
+
+def test_stats_manifest_survives_and_is_conservative(clustered):
+    """A column absent from the manifest never prunes (conservative
+    keep), and the sidecar lives NEXT TO the table root so the atomic
+    overwrite swap cannot destroy a fresh manifest mid-write."""
+    tm, n, _ = clustered
+    files, total = tm.prune_files("t", {"l_quantity": (0.0, 1.0)})
+    assert len(files) == total  # no stats for l_quantity → keep all
