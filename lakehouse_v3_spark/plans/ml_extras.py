@@ -99,6 +99,110 @@ def lm_unigram_doc_score(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Bigram-LM document quality score (round 8 — the conditional upgrade
+# of the unigram gate; CCNet's KenLM gate is an n-gram LM, and the
+# bigram conditional p(w2|w1) is its SQL-tractable core)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM toks WHERE len(ts) >= 2
+),
+bgf AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg),
+uf AS (
+  SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1 FROM big GROUP BY 1
+),
+model AS (
+  SELECT bgf.bg,
+         CAST(ROUND(ROUND(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6)
+              * 1e6, 0) AS BIGINT) AS logp_micro
+  FROM bgf JOIN uf ON split_part(bgf.bg, ' ', 1) = uf.w1
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       SUM(m.logp_micro) AS sum_logp_micro,
+       CAST(SUM(m.logp_micro) AS DOUBLE) / COUNT(*) / 1e6 AS avg_logp
+FROM big b JOIN model m USING (bg)
+GROUP BY b.doc_id
+"""
+
+
+@register("lm_bigram_doc_score", oracle=_BIGRAM_ORACLE)
+def lm_bigram_doc_score(spark, sf_dir):
+    """Bigram conditional-LM quality score per document: train
+    p(w2|w1) = c(w1 w2) / c(w1 ·) on the corpus itself, then score
+    each doc by mean log conditional probability of its consecutive
+    token pairs — the next step up from `lm_unigram_doc_score` toward
+    the CCNet KenLM perplexity gate, still with zero external
+    artifacts (self-trained ⇒ every scored bigram was seen ⇒ no
+    smoothing needed for definedness). Docs with < 2 tokens have no
+    bigrams and are absent, exactly like the oracle.
+
+    Plan shape at 100 TB: bigram expansion is a JVM-side
+    transform+explode (no Python); the model is two token-keyed
+    aggregations with map-side combine; scoring is one equi-join on
+    the bigram key — AQE broadcasts the model while it fits, shuffle
+    hash join beyond. Probabilities are exact rationals of two counts;
+    the only libm call (ln) is round(6)-ed then carried as exact int64
+    micro-units so per-doc sums are order-independent (the
+    lm_unigram_doc_score lesson).
+    """
+    d = load(spark, sf_dir, "documents")
+    ts = d.select("doc_id", tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    big = ts.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    bgf = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    uf = (
+        big.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    model = bgf.join(
+        uf, F.substring_index(bgf.bg, " ", 1) == uf.w1
+    ).select(
+        "bg",
+        F.round(
+            F.round(
+                F.log(F.col("c2").cast("double") / F.col("c1").cast("double")),
+                6,
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("logp_micro"),
+    )
+    return (
+        big.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_micro").alias("sum_logp_micro"),
+            (
+                F.sum("logp_micro").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6)
+            ).alias("avg_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # One k-means Lloyd step (assign to nearest centroid, recompute means)
 # ---------------------------------------------------------------------------
 
