@@ -837,6 +837,23 @@ class TableManager:
         root = self.path(table)
         return self.spark.read.parquet(*[f"{root}/{rel}" for rel in live])
 
+    def txn_compact(
+        self, table: str, target_file_rows: int = 1_000_000
+    ) -> int:
+        """OPTIMIZE on the commit log: rewrite the current live set
+        into ⌈rows / target_file_rows⌉ files and commit the result as a
+        NEW overwrite version — content-identical, fewer files.
+        Readers are never torn (it's an ordinary commit); time travel
+        to pre-compaction versions keeps working until txn_vacuum;
+        and a concurrent writer landing first makes the compaction
+        fail LOUDLY instead of discarding that writer's rows (the
+        overwrite conflict rule — Delta's OPTIMIZE behaves the same:
+        it re-runs rather than clobbers). Returns the new version."""
+        df = self.txn_read(table)
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // target_file_rows))
+        return self.txn_overwrite(df.repartition(n_files), table)
+
     def txn_vacuum(
         self, table: str, retention_seconds: float = 600.0
     ) -> list[str]:

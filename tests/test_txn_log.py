@@ -249,6 +249,40 @@ def test_claim_backend_is_injectable(spark, tmp_path):
     assert sum(c.endswith(".json") for c in calls) == 2
 
 
+def test_txn_compact_preserves_rows_and_history(spark, tmp_path):
+    """OPTIMIZE on the commit log: fewer files, identical content, a
+    real commit (pre-compaction versions stay time-travelable until
+    vacuumed; version number advances)."""
+    import os as _os
+
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    for i in range(4):  # 4 appends → ≥4 data dirs, many small files
+        mgr.txn_append(
+            spark.range(i * 10, i * 10 + 10).repartition(4), "t"
+        )
+    assert mgr.txn_version("t") == 3
+
+    def live_files():
+        _, live = mgr._txn_state("t")
+        return sum(
+            1
+            for rel in live
+            for f in _os.listdir(f"{mgr.path('t')}/{rel}")
+            if f.endswith(".parquet")
+        )
+
+    before = live_files()
+    v = mgr.txn_compact("t")
+    assert v == 4
+    assert live_files() < before
+    assert sorted(r.id for r in mgr.txn_read("t").collect()) == list(range(40))
+    # pre-compaction state still readable (time travel)
+    assert mgr.txn_read("t", version=3).count() == 40
+    # and vacuum now reclaims the superseded small-file dirs
+    removed = mgr.txn_vacuum("t")
+    assert len(removed) == 4
+
+
 # -- the two-OS-process acceptance test ----------------------------------
 
 _WRITER_SCRIPT = textwrap.dedent(
