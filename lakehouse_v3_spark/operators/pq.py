@@ -71,6 +71,27 @@ def pq_train_stride(n_vectors: int, cap: int = PQ_TRAIN_SAMPLE_CAP) -> int:
     return max(1, (int(n_vectors) + cap - 1) // cap)
 
 
+def corpus_rows(sf_dir: str, table: str = "embeddings") -> int:
+    """Row count from the parquet FOOTERS — no Spark job (the stride
+    decision needs only n; a distributed count on a 2000-row fixture
+    still costs a whole job's latency, which showed up as a ~1.5×
+    bench regression on every sub-second PQ row at sf0.1)."""
+    import pyarrow.parquet as papq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        return papq.ParquetFile(path).metadata.num_rows
+    # directory-shaped table: sum the part footers
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += papq.ParquetFile(
+                    os.path.join(dirpath, fn)
+                ).metadata.num_rows
+    return total
+
+
 def _seq_sqdist_np(M, cent):
     """Exact left-fold Σ (M[:,d]-cent[d])² — sequential over dims,
     vectorized over rows; one accumulator per row, seeded 0.0 (the
@@ -102,22 +123,28 @@ def pq_codebooks(
     codebook was trained). Collects k_codes rows — O(k·dim) driver
     bytes, independent of corpus size. SQL twin:
     plans/pq_train_sql.c0_sql's ORDER BY vec_id LIMIT k seed CTE."""
-    rows = (
-        embeddings.select(
-            id_col,
-            F.transform(vec_col, lambda x: F.round(x.cast("double"), 6)).alias(
-                "c"
-            ),
-        )
-        .orderBy(id_col)
-        .limit(k_codes)
-        .collect()
+    proj = embeddings.select(
+        id_col,
+        F.transform(vec_col, lambda x: F.round(x.cast("double"), 6)).alias(
+            "c"
+        ),
     )
-    if len(rows) != k_codes:
-        raise RuntimeError(
-            f"expected {k_codes} seed vectors, got {len(rows)}"
-        )
-    seeds = [[float(v) for v in r.c] for r in rows]  # already id-ordered
+    # fast path: a full contiguous-id corpus has its k lowest ids at
+    # id < k — a pushed-down filter scan, cheaper than a TakeOrdered
+    # job. Falls back to ORDER BY id LIMIT k (the general definition,
+    # e.g. a strided train sample) when the filter doesn't yield
+    # exactly ids 0..k-1.
+    rows = proj.filter(F.col(id_col) < k_codes).collect()
+    if sorted(int(r[id_col]) for r in rows) != list(range(k_codes)):
+        rows = proj.orderBy(id_col).limit(k_codes).collect()
+        rows = sorted(rows, key=lambda r: r[id_col])
+        if len(rows) != k_codes:
+            raise RuntimeError(
+                f"expected {k_codes} seed vectors, got {len(rows)}"
+            )
+    else:
+        rows = sorted(rows, key=lambda r: r[id_col])
+    seeds = [[float(v) for v in r.c] for r in rows]  # id-ordered
     dim = len(seeds[0])
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
@@ -307,7 +334,8 @@ def pq_train_codebooks(
         else load(spark, sf_dir, "embeddings").select("vec_id", vec_col)
     )
     if sample_cap is not None:
-        stride = pq_train_stride(e.count(), sample_cap)
+        n = corpus_rows(sf_dir) if train_df is None else e.count()
+        stride = pq_train_stride(n, sample_cap)
         if stride > 1:
             e = e.filter((F.col("vec_id") % stride) == 0)
     seeds = pq_codebooks(

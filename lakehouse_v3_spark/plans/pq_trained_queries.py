@@ -71,14 +71,14 @@ def pq_trained_codebooks(spark, sf_dir):
     test_pq_unroll_covers_fixtures. Above PQ_TRAIN_SAMPLE_CAP vectors
     training runs on the deterministic vec_id-stride sample (both
     engines), capping depth drift at bigger SFs."""
-    from ..operators.pq import pq_train_stride
+    from ..operators.pq import corpus_rows, pq_train_stride
 
     cbs, n_iters, prev_cbs = pq_train_codebooks(spark, sf_dir)
     # rebuild the final aggregation over the TRAIN SET (the stride
     # sample above PQ_TRAIN_SAMPLE_CAP; the full corpus below it) —
     # n_assigned/components are defined over what was trained on
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    stride = pq_train_stride(e.count())
+    stride = pq_train_stride(corpus_rows(sf_dir))
     if stride > 1:
         e = e.filter((F.col("vec_id") % stride) == 0)
     e = e.select("embedding")
