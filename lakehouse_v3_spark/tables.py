@@ -835,7 +835,12 @@ class TableManager:
         for rec in records:
             live = list(rec["add"]) if rec["op"] == "overwrite" else live + list(rec["add"])
         root = self.path(table)
-        return self.spark.read.parquet(*[f"{root}/{rel}" for rel in live])
+        # mergeSchema: commits may append columns over time (the S8
+        # mergeSchema contract extends to the txn path — Delta appends
+        # evolve schema the same way)
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[f"{root}/{rel}" for rel in live]
+        )
 
     def txn_compact(
         self, table: str, target_file_rows: int = 1_000_000

@@ -249,6 +249,21 @@ def test_claim_backend_is_injectable(spark, tmp_path):
     assert sum(c.endswith(".json") for c in calls) == 2
 
 
+def test_txn_read_merges_evolving_schema(spark, tmp_path):
+    """S8's mergeSchema contract extends to the commit log: an append
+    that adds a column evolves the table schema; earlier rows read the
+    new column as NULL (Delta append semantics)."""
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    mgr.txn_append(spark.range(3).selectExpr("id AS x"), "t")
+    mgr.txn_append(
+        spark.range(3, 5).selectExpr("id AS x", "id * 10 AS y"), "t"
+    )
+    df = mgr.txn_read("t")
+    assert set(df.columns) == {"x", "y"}
+    rows = {r.x: r.y for r in df.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40}
+
+
 def test_txn_compact_preserves_rows_and_history(spark, tmp_path):
     """OPTIMIZE on the commit log: fewer files, identical content, a
     real commit (pre-compaction versions stay time-travelable until
