@@ -45,6 +45,25 @@ def _build_parser() -> argparse.ArgumentParser:
 
     op = sub.add_parser("oracle", help="print the DuckDB oracle SQL")
     op.add_argument("query")
+
+    gp = sub.add_parser(
+        "gateway",
+        help="serve the HTTP SQL gateway over the fixture tables "
+        "(the reference's Trino surface)",
+    )
+    gp.add_argument("--host", default="127.0.0.1")
+    gp.add_argument("--port", type=int, default=8780)
+    gp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    gp.add_argument("--row-cap", type=int, default=10_000)
+    gp.add_argument("--token", default=None)
+    gp.add_argument(
+        "--statement-timeout-ms", type=int, default=None
+    )
+    gp.add_argument(
+        "--once",
+        action="store_true",
+        help="bind and exit immediately (smoke/CI)",
+    )
     return p
 
 
@@ -62,6 +81,43 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if args.substr in name:
                 doc = (reg[name].doc or "").strip().split("\n")[0]
                 print(f"{name:42s} {doc[:90]}")
+        return 0
+
+    if args.cmd == "gateway":
+        if spark is None:  # pragma: no cover - exercised via injected spark
+            from .session import get_spark
+
+            spark = get_spark(app_name="lakehouse-sql-gateway")
+        from .io_utils import load
+        from .sql_gateway import SqlGateway
+
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            try:
+                load(spark, args.sf_dir, t).createOrReplaceTempView(t)
+            except Exception:  # missing fixture table: serve the rest
+                pass
+        gw = SqlGateway(
+            spark,
+            host=args.host,
+            port=args.port,
+            row_cap=args.row_cap,
+            token=args.token,
+            statement_timeout_ms=args.statement_timeout_ms,
+        ).start()
+        print(f"sql gateway listening on {gw.url}", flush=True)
+        if args.once:
+            gw.stop()
+            return 0
+        try:  # pragma: no cover - interactive serve loop
+            import time as _time
+
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            gw.stop()
         return 0
 
     if args.cmd == "oracle":

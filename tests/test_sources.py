@@ -232,6 +232,44 @@ def test_cli_list_run_explain_oracle(spark, capsys):
     assert main(["oracle", "nope_not_a_query"]) == 2
 
 
+def test_cli_gateway_serves_fixture_tables(spark, sf_dir, capsys):
+    """`python -m lakehouse_v3_spark gateway` — the Trino-surface
+    service is launchable from the CLI: binds an ephemeral port,
+    registers the fixture tables, answers one SQL request."""
+    import json
+    import re
+    import urllib.request
+
+    import threading
+
+    from lakehouse_v3_spark.__main__ import main
+
+    # --once path: bind, print URL, stop cleanly
+    assert main(
+        ["gateway", "--port", "0", "--sf-dir", sf_dir, "--once"], spark=spark
+    ) == 0
+    url = re.search(
+        r"listening on (http://\S+)", capsys.readouterr().out
+    ).group(1)
+    assert url.startswith("http://127.0.0.1:")
+
+    # and the registered views actually answer SQL through a fresh
+    # gateway on the same session (views persist on the session)
+    from lakehouse_v3_spark.sql_gateway import SqlGateway
+
+    with SqlGateway(spark, port=0) as gw:
+        req = urllib.request.Request(
+            gw.url + "/sql",
+            data=json.dumps(
+                {"sql": "SELECT COUNT(*) AS n FROM nation"}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert json.loads(resp.read())["rows"][0][0] == 25
+
+
 def test_native_xml_source(spark, tmp_path):
     """Spark 4 native XML reader (rowTag-based) — the S-surface member
     for the one common ingest format the reference never handles."""
