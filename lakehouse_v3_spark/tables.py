@@ -242,10 +242,17 @@ class TableManager:
         range-partition cache) plus an overwrite-by-swap would
         otherwise serve STALE data to every later read of the table —
         exactly the cache-invalidate Delta performs on commit
-        (delta-io OSS `DeltaLog.update`)."""
+        (delta-io OSS `DeltaLog.update`). The file-skipping stats
+        sidecar is dropped too: a manifest from before this write
+        would prune against a file list that no longer exists
+        (cluster_by re-writes it AFTER its own overwrite)."""
         try:
             self.spark.catalog.refreshByPath(self.path(table))
         except Exception:  # pragma: no cover - defensive: cache-only op
+            pass
+        try:
+            os.unlink(self._stats_path(table))
+        except FileNotFoundError:
             pass
 
     def merge(self, source: DataFrame, table: str, key: list[str]) -> None:
@@ -465,7 +472,21 @@ class TableManager:
             manifest = json.load(f)
         root = self.path(table)
         kept = []
+        # defense in depth against a stale manifest (writes already
+        # drop the sidecar via _invalidate): any on-disk parquet file
+        # the manifest doesn't know about is UNPRUNABLE and always read
+        # — skipping is an optimization, never allowed to lose rows
+        on_disk = {
+            os.path.relpath(os.path.join(dp, fn), root)
+            for dp, _dirs, files in os.walk(root)
+            for fn in files
+            if fn.endswith(".parquet")
+        }
+        unknown = sorted(on_disk - set(manifest["files"]))
+        kept.extend(f"{root}/{rel}" for rel in unknown)
         for rel, file_stats in manifest["files"].items():
+            if rel not in on_disk:
+                continue  # vanished file: nothing to read
             keep = True
             for c, (lo, hi) in predicates.items():
                 if c not in file_stats:
@@ -478,7 +499,7 @@ class TableManager:
                     break
             if keep:
                 kept.append(f"{root}/{rel}")
-        return kept, len(manifest["files"])
+        return kept, len(on_disk)
 
     def read_skipping(
         self, table: str, predicates: dict[str, tuple]

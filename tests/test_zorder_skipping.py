@@ -123,3 +123,41 @@ def test_stats_manifest_survives_and_is_conservative(clustered):
     tm, n, _ = clustered
     files, total = tm.prune_files("t", {"l_quantity": (0.0, 1.0)})
     assert len(files) == total  # no stats for l_quantity → keep all
+
+
+def test_write_after_cluster_invalidates_stale_manifest(spark, sf_dir):
+    """Correctness guard: a write AFTER cluster_by drops the stats
+    sidecar (a pre-write manifest would prune against a dead file
+    list), so read_skipping fails loudly instead of losing rows; and
+    files the manifest doesn't know are always read."""
+    import json as _json
+    import os as _os
+
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="zstale_wh_"), backend="parquet"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    tm.overwrite(li, "t")
+    tm.cluster_by("t", ["l_orderkey"], target_file_rows=max(1, li.count() // 8))
+    assert _os.path.exists(tm._stats_path("t"))
+
+    # an append invalidates the manifest → loud FileNotFoundError
+    tm.append(li.limit(5), "t")
+    assert not _os.path.exists(tm._stats_path("t"))
+    with pytest.raises(FileNotFoundError):
+        tm.read_skipping("t", {"l_orderkey": (0, 10)})
+
+    # re-cluster, then simulate an unknown file sneaking in UNDER a
+    # live manifest: it must be read unconditionally
+    tm.cluster_by("t", ["l_orderkey"], target_file_rows=max(1, li.count() // 8))
+    manifest = _json.load(open(tm._stats_path("t")))
+    victim = sorted(manifest["files"])[0]
+    del manifest["files"][victim]
+    _json.dump(manifest, open(tm._stats_path("t"), "w"))
+    mx = tm.read("t").agg(F.max("l_orderkey")).collect()[0][0]
+    files, total = tm.prune_files("t", {"l_orderkey": (mx + 1, None)})
+    # every known file is prunable for an impossible range, but the
+    # unknown file survives pruning
+    assert [f for f in files if f.endswith(victim)] and len(files) == 1
