@@ -377,3 +377,73 @@ def stream_state_running_totals(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark (native streaming dedup, Spark 3.5+)
+# ---------------------------------------------------------------------------
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+FROM events
+"""
+
+
+@register("stream_dedup_within_watermark", oracle=_STREAM_DEDUP_ORACLE)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """Native streaming dedup run as a REAL streaming query: the events
+    fixture is streamed alongside a planted duplicate file (every 5th
+    event re-emitted), and ``dropDuplicatesWithinWatermark("event_id")``
+    must emit each event EXACTLY once across micro-batches — the final
+    table equals the pristine events table (each id appears once in
+    the source, so first-seen content is canonical either way).
+
+    This is the engine-native third leg of the dedup story: exact
+    batch dedup (A14), MinHash near-dup, and now arriving-stream
+    exactly-once — the operator a 100 TB ingest pipeline puts directly
+    after the source to absorb at-least-once delivery (Kafka replays,
+    file re-lands). State is one entry per key inside the watermark
+    horizon, evicted as event time advances — bounded by arrival-window
+    keys, NOT corpus keys, which is what makes it viable where a
+    global-history dedup table is not. Sunk distributed via
+    foreachBatch like every other streaming row here.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    # build the duplicated source dir: the fixture file verbatim + a
+    # single-file re-emission of every 5th event
+    src_root = spark.sparkContext.getCheckpointDir() or tempfile.gettempdir()
+    dup_dir = os.path.join(src_root, f"dedup_src_{uuid.uuid4().hex}")
+    os.makedirs(dup_dir)
+    shutil.copyfile(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(dup_dir, "events_a.parquet"),
+    )
+    stage = dup_dir + "_stage"
+    load(spark, sf_dir, "events").filter("event_id % 5 = 0").coalesce(
+        1
+    ).write.parquet(stage)
+    part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(dup_dir, "events_dups.parquet"))
+    shutil.rmtree(stage)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(dup_dir)
+        .withWatermark("ts", "1440 hours")  # > the fixture's ts span:
+        # every duplicate lands inside the horizon → exact global dedup
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    sink_dir = _drain_to_parquet(spark, stream, "append", "sdedup")
+    _TWS_SINK_DIRS.append(dup_dir)  # clean up with the sinks at exit
+    return spark.read.parquet(sink_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
