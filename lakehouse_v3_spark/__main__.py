@@ -64,6 +64,29 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="bind and exit immediately (smoke/CI)",
     )
+
+    sp = sub.add_parser(
+        "schedule-uber",
+        help="run one scheduler tick of the uber medallion DAG "
+        "(cron-invokable; durable .last_run state makes each tick "
+        "resume where the last left off)",
+    )
+    sp.add_argument("--raw-dir", required=True, help="landing-zone csv dir")
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument(
+        "--state-dir", default=None,
+        help="scheduler state dir (default <warehouse>/_scheduler)",
+    )
+    sp.add_argument("--start", required=True, help="ISO schedule start")
+    sp.add_argument(
+        "--interval", default="@daily",
+        help="@hourly/@daily/@weekly, 'M H * * *', 'M H * * D', or "
+        "an integer number of seconds",
+    )
+    sp.add_argument("--no-catchup", action="store_true")
+    sp.add_argument(
+        "--now", default=None, help="ISO clock override (default: wall clock)"
+    )
     return p
 
 
@@ -118,6 +141,50 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 _time.sleep(3600)
         except KeyboardInterrupt:
             gw.stop()
+        return 0
+
+    if args.cmd == "schedule-uber":
+        import json as _json
+        from datetime import datetime, timedelta
+
+        from .orchestrate import Schedule, ScheduledDag
+        from .pipelines.dags import scheduled_uber_dag
+        from .tables import TableManager
+
+        if spark is None:  # pragma: no cover - exercised via injected spark
+            from .session import get_spark
+
+            spark = get_spark(app_name="lakehouse-scheduler")
+        interval = (
+            timedelta(seconds=int(args.interval))
+            if args.interval.lstrip("-").isdigit()
+            else args.interval
+        )
+        tm = TableManager(spark, args.warehouse)
+        sd = ScheduledDag(
+            scheduled_uber_dag(spark, args.raw_dir, tm),
+            Schedule(
+                start=datetime.fromisoformat(args.start),
+                interval=interval,
+                catchup=not args.no_catchup,
+            ),
+            state_dir=args.state_dir or f"{args.warehouse}/_scheduler",
+        )
+        now = (
+            datetime.fromisoformat(args.now)
+            if args.now
+            else datetime.now()
+        )
+        for logical, report in sd.tick(now):
+            print(
+                _json.dumps(
+                    {
+                        "logical_date": logical.isoformat(),
+                        "ok": report.ok,
+                        "states": report.states(),
+                    }
+                )
+            )
         return 0
 
     if args.cmd == "oracle":

@@ -327,6 +327,42 @@ def test_scheduled_uber_backfill_matches_batch_run(spark):
     assert _gold_rows(tm_sched, "uber.gold_booking_stats") == before
 
 
+def test_cli_schedule_uber_tick_and_resume(spark, capsys):
+    """`python -m lakehouse_v3_spark schedule-uber` — one cron-invokable
+    scheduler tick: catchup backfill on the first invocation, durable
+    resume (no re-runs) on the second."""
+    import json
+
+    from lakehouse_v3_spark.__main__ import main
+    from lakehouse_v3_spark.tables import TableManager
+
+    raw = tempfile.mkdtemp(prefix="uber_raw_cli_")
+    wh = tempfile.mkdtemp(prefix="uber_wh_cli_")
+    with open(os.path.join(raw, "all.csv"), "w") as f:
+        f.write(_CSV_HEADER + "\n" + "\n".join(_ROWS) + "\n")
+
+    argv = [
+        "schedule-uber", "--raw-dir", raw, "--warehouse", wh,
+        "--start", "2024-05-01", "--interval", "@daily",
+        "--now", "2024-05-04T06:00:00",
+    ]
+    assert main(argv, spark=spark) == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [x["logical_date"][:10] for x in lines] == [
+        "2024-05-01", "2024-05-02", "2024-05-03"
+    ]
+    assert all(x["ok"] for x in lines)
+    tm = TableManager(spark, wh, backend="parquet")
+    assert tm.read("uber.gold_booking_stats").count() == 5
+
+    # second tick at the same clock: durable state → nothing due
+    assert main(argv, spark=spark) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+
 def test_scheduled_audit_dag_alerts_once_per_closed_interval(spark):
     """r7 verdict item #7: audit engine + fact builder + alerting under
     the scheduler — planted violations produce a FAIL alert exactly
