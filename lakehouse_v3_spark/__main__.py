@@ -111,13 +111,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from .session import get_spark
 
             spark = get_spark(app_name="lakehouse-sql-gateway")
-        from .io_utils import load
+        from .io_utils import TABLES, load
         from .sql_gateway import SqlGateway
 
-        for t in (
-            "region nation customer supplier part orders lineitem "
-            "events documents embeddings"
-        ).split():
+        for t in TABLES:
             try:
                 load(spark, args.sf_dir, t).createOrReplaceTempView(t)
             except Exception:  # missing fixture table: serve the rest

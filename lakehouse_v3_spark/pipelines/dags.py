@@ -113,9 +113,9 @@ def scheduled_uber_dag(
     retry_delay: float = 0.0,
 ) -> Dag:
     """Interval-scoped uber medallion DAG for :class:`~..orchestrate.
-    ScheduledDag`: the ingest task selects ONLY the rows whose ``Date``
-    falls inside ``[ctx['data_interval_start'],
-    ctx['data_interval_end'])`` — the Airflow pattern where each dag
+    ScheduledDag`: the ingest task selects ONLY the rows whose event
+    timestamp (``Date`` + ``Time``) falls inside
+    ``[ctx['data_interval_start'], ctx['data_interval_end'])`` — the Airflow pattern where each dag
     run processes its own data interval via the ``data_interval_*``
     template variables (reference airflow/dags/uber_dag.py:23-54:
     ``schedule_interval`` + ``catchup`` drive one logical date per
@@ -139,15 +139,23 @@ def scheduled_uber_dag(
             .csv(raw_dir + "/*.csv")
             .withColumn("_ingest_file", F.input_file_name())
         )
+        # slice at TIMESTAMP granularity (Date + Time) so sub-daily
+        # schedules (@hourly, N-second intervals — all offered by the
+        # schedule-uber CLI) select their own slice instead of
+        # degenerating to empty intra-day windows (r8 review); falls
+        # back to the Date column when the feed carries no Time.
+        if "Time" in raw.columns:
+            ev_ts = F.to_timestamp(
+                F.concat_ws(" ", F.col("Date"), F.col("Time"))
+            )
+        else:
+            ev_ts = F.to_timestamp(F.col("Date"))
         sliced = raw.filter(
-            (F.col("Date") >= F.lit(start.strftime("%Y-%m-%d")))
-            & (F.col("Date") < F.lit(end.strftime("%Y-%m-%d")))
+            (ev_ts >= F.lit(start)) & (ev_ts < F.lit(end))
         )
         n = sliced.count()
         if n == 0:
-            raise Skip(
-                f"no rows in interval [{start:%Y-%m-%d}, {end:%Y-%m-%d})"
-            )
+            raise Skip(f"no rows in interval [{start}, {end})")
         tm.merge(sliced, "uber.bronze1", key=["Booking_ID"])
         return {"interval_rows": n}
 

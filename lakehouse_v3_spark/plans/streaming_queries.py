@@ -414,22 +414,26 @@ def stream_dedup_within_watermark(spark, sf_dir):
     import tempfile
     import uuid
 
-    # build the duplicated source dir: the fixture file verbatim + a
-    # single-file re-emission of every 5th event
+    # build the duplicated source dir: the events table + a re-emission
+    # of every 5th event. BOTH files are written through load() so the
+    # ts column is micros regardless of the fixture's physical type —
+    # copying the raw fixture file verbatim would feed the stream
+    # TIMESTAMP(NANOS) on a nanos-generation testdata regen, exactly
+    # the hazard io_utils.load exists to absorb (r8 review).
     src_root = spark.sparkContext.getCheckpointDir() or tempfile.gettempdir()
     dup_dir = os.path.join(src_root, f"dedup_src_{uuid.uuid4().hex}")
     os.makedirs(dup_dir)
-    shutil.copyfile(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(dup_dir, "events_a.parquet"),
-    )
-    stage = dup_dir + "_stage"
-    load(spark, sf_dir, "events").filter("event_id % 5 = 0").coalesce(
-        1
-    ).write.parquet(stage)
-    part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-    shutil.move(part, os.path.join(dup_dir, "events_dups.parquet"))
-    shutil.rmtree(stage)
+
+    def _one_file(df, name):
+        stage = f"{dup_dir}_stage_{name}"
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(dup_dir, name))
+        shutil.rmtree(stage)
+
+    ev = load(spark, sf_dir, "events")
+    _one_file(ev, "events_a.parquet")
+    _one_file(ev.filter("event_id % 5 = 0"), "events_dups.parquet")
 
     stream = (
         spark.readStream.schema(

@@ -325,6 +325,16 @@ class SqlGateway:
                     return self._reply(*_error_payload(budget, exc, timeout_ms))
 
             def _fetch_page(self, token, page_size, timeout_ms):
+                # Budget caveat: a parked toLocalIterator's partition
+                # jobs are submitted by the JVM serving thread created
+                # at iterator birth, which inherited the ORIGINAL
+                # statement's (since-cleared) job group — this page's
+                # fresh group cannot reach them, so timeout_ms here
+                # bounds the HTTP wait, not the cluster work. Cancel-
+                # lable paging would need per-fetch job-group plumbing
+                # Spark doesn't expose for local iterators; the
+                # first-page budget (inside _run_statement) does cover
+                # the heavy initial jobs.
                 cur = gateway._cursor(token)
                 if cur is None:
                     return self._reply(
@@ -407,11 +417,19 @@ class SqlGateway:
             ]
             for t in dead:
                 del self._cursors[t]
-            while len(self._cursors) >= self.max_cursors:
-                oldest = min(
-                    self._cursors, key=lambda t: self._cursors[t]["touched"]
-                )
-                del self._cursors[oldest]
+            # LRU-bound, but never evict a cursor a fetch currently
+            # holds (its client would be handed a next_token that is
+            # guaranteed to 404 mid-drain — r8 review)
+            evictable = sorted(
+                (
+                    t
+                    for t, c in self._cursors.items()
+                    if not c["lock"].locked()
+                ),
+                key=lambda t: self._cursors[t]["touched"],
+            )
+            while len(self._cursors) >= self.max_cursors and evictable:
+                del self._cursors[evictable.pop(0)]
             self._cursors[tok] = {
                 "it": it,
                 "pending": pending,

@@ -104,16 +104,18 @@ class PosixLinkClaim(ClaimBackend):
     def probe(self, directory: str) -> None:
         """Fail loudly if hard links don't work here (e.g. an
         object-store FUSE mount): the claim would silently lose its
-        atomicity and the commit log its safety."""
+        atomicity and the commit log its safety. The probe name is
+        uuid-unique so concurrent probes (two threads' first commits,
+        two processes sharing a pid namespace) cannot collide and
+        misreport a working filesystem as broken (r8 review)."""
+        import uuid
+
         os.makedirs(directory, exist_ok=True)
-        final = f"{directory}/.probe-claim-{os.getpid()}"
+        final = f"{directory}/.probe-claim-{os.getpid()}-{uuid.uuid4().hex}"
         try:
             try:
                 if not self.put_if_absent(b"probe", final):
-                    # stale probe file from a dead process: retry once
-                    os.unlink(final)
-                    if not self.put_if_absent(b"probe", final):
-                        raise OSError("claim lost twice on empty dir")
+                    raise OSError("claim of a unique fresh name lost")
                 with open(final, "rb") as f:
                     if f.read() != b"probe":
                         raise OSError("claim content mismatch")
@@ -223,6 +225,11 @@ class TableManager:
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.save(self.path(table))
+            # delta overwrite is a logical delete: old parquet files
+            # REMAIN on disk, so a pre-overwrite stats manifest would
+            # pass the on-disk staleness guard while pruning with dead
+            # ranges — invalidate here too (r8 review finding)
+            self._invalidate(table)
             return
         target = self.path(table)
         tmp = target + "__tmp_overwrite"
@@ -359,9 +366,12 @@ class TableManager:
         expressions inside codegen."""
         n_bins = 1 << bits
         probs = [i / n_bins for i in range(1, n_bins)]
+        # ONE distributed pass computes every column's edge set
+        # (per-column calls would scan the table len(cols) times)
+        all_edges = df.stat.approxQuantile(cols, probs, 0.001)
         z = F.lit(0).cast("long")
         for d, c in enumerate(cols):
-            edges = df.stat.approxQuantile(c, probs, 0.001)
+            edges = all_edges[d]
             # strictly increasing edge list (duplicates collapse under
             # heavy repetition; fewer distinct edges = coarser bins,
             # still correct)
@@ -484,6 +494,33 @@ class TableManager:
         }
         unknown = sorted(on_disk - set(manifest["files"]))
         kept.extend(f"{root}/{rel}" for rel in unknown)
+        def disjoint(fmin, fmax, lo, hi) -> bool:
+            """True ONLY when the predicate provably misses [fmin,
+            fmax]. Stats pass through JSON (default=str), so Decimal/
+            bytes/date stats arrive as strings while the predicate may
+            be numeric — compare numerically when both sides coerce to
+            float, same-type otherwise, and on ANY doubt (mixed
+            incomparable types, coercion failure) return False: a file
+            is never pruned on an unsound comparison."""
+            try:
+                try:
+                    fmin_c, fmax_c = float(fmin), float(fmax)
+                    lo_c = None if lo is None else float(lo)
+                    hi_c = None if hi is None else float(hi)
+                except (TypeError, ValueError):
+                    if not all(
+                        isinstance(v, type(fmin))
+                        for v in (fmax, lo, hi)
+                        if v is not None
+                    ):
+                        return False
+                    fmin_c, fmax_c, lo_c, hi_c = fmin, fmax, lo, hi
+                return (hi_c is not None and hi_c < fmin_c) or (
+                    lo_c is not None and lo_c > fmax_c
+                )
+            except TypeError:
+                return False
+
         for rel, file_stats in manifest["files"].items():
             if rel not in on_disk:
                 continue  # vanished file: nothing to read
@@ -492,9 +529,7 @@ class TableManager:
                 if c not in file_stats:
                     continue  # no stats → cannot prune
                 fmin, fmax = file_stats[c]
-                if (hi is not None and type(fmin)(hi) < fmin) or (
-                    lo is not None and type(fmax)(lo) > fmax
-                ):
+                if disjoint(fmin, fmax, lo, hi):
                     keep = False
                     break
             if keep:
@@ -818,15 +853,32 @@ class TableManager:
             f"append to {table!r} lost the commit race {max_retries} times"
         )
 
-    def txn_overwrite(self, df: DataFrame, table: str) -> int:
+    def txn_overwrite(
+        self, df: DataFrame, table: str, read_version: "int | None" = ...
+    ) -> int:
         """ACID overwrite: replaces the table's live set in one commit.
         NO retry on a lost race — an overwrite's remove-set is computed
         from its read snapshot, so ANY intervening commit (append or
         overwrite) makes it stale and it must fail loudly (Delta's
-        conflict rule for non-blind writes)."""
-        read_version = self.txn_version(table)
+        conflict rule for non-blind writes).
+
+        ``read_version`` pins the snapshot the caller's ``df`` was
+        DERIVED from (txn_compact): if anything committed after it,
+        the claim at read_version+1 loses and raises — closing the
+        read→overwrite window for read-modify-write callers. Default:
+        snapshot at entry (blind replace semantics)."""
+        if read_version is ...:
+            read_version = self.txn_version(table)
         rel = self._txn_write_data(df, table)
-        _, live = self._txn_state(table)
+        # remove-set = the live set AT the snapshot (replay commits
+        # ≤ read_version), never at write time
+        live: list[str] = []
+        for r in self._txn_read_log(table):
+            if read_version is None or r["version"] > read_version:
+                continue
+            live = (
+                list(r["add"]) if r["op"] == "overwrite" else live + list(r["add"])
+            )
         rec = {
             "version": (read_version if read_version is not None else -1) + 1,
             "op": "overwrite",
@@ -874,11 +926,19 @@ class TableManager:
         and a concurrent writer landing first makes the compaction
         fail LOUDLY instead of discarding that writer's rows (the
         overwrite conflict rule — Delta's OPTIMIZE behaves the same:
-        it re-runs rather than clobbers). Returns the new version."""
-        df = self.txn_read(table)
+        it re-runs rather than clobbers). Returns the new version.
+
+        The overwrite is PINNED to the version the compaction read: a
+        commit landing anywhere in the read→rewrite window (including
+        during the count/rewrite jobs) makes the claim lose and raise
+        instead of silently discarding that commit's rows."""
+        read_version = self.txn_version(table)
+        df = self.txn_read(table, version=read_version)
         n_rows = df.count()
         n_files = max(1, -(-n_rows // target_file_rows))
-        return self.txn_overwrite(df.repartition(n_files), table)
+        return self.txn_overwrite(
+            df.repartition(n_files), table, read_version=read_version
+        )
 
     def txn_vacuum(
         self, table: str, retention_seconds: float = 600.0

@@ -264,6 +264,40 @@ def test_txn_read_merges_evolving_schema(spark, tmp_path):
     assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40}
 
 
+def test_txn_compact_loses_race_loudly_not_rows(spark, tmp_path):
+    """r8 review finding: an append committed between compaction's
+    read snapshot and its overwrite claim must make the compaction
+    RAISE — never silently drop the append's committed rows. The
+    overwrite is pinned to the read version, so the interloper taking
+    read_version+1 defeats the claim."""
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    mgr.txn_append(spark.range(10), "t")  # v0
+    real_write = mgr._txn_write_data
+    injected = {"done": False}
+
+    def write_then_interlope(df, table):
+        rel = real_write(df, table)
+        if not injected["done"]:
+            injected["done"] = True
+            # a concurrent append lands AFTER compact's snapshot but
+            # BEFORE its claim (mid-rewrite)
+            mgr._txn_write_data = real_write
+            try:
+                mgr.txn_append(spark.range(100, 105), "t")  # v1
+            finally:
+                mgr._txn_write_data = write_then_interlope
+        return rel
+
+    mgr._txn_write_data = write_then_interlope
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            mgr.txn_compact("t")
+    finally:
+        mgr._txn_write_data = real_write
+    # nothing lost: both commits' rows remain live
+    assert mgr.txn_read("t").count() == 15
+
+
 def test_txn_compact_preserves_rows_and_history(spark, tmp_path):
     """OPTIMIZE on the commit log: fewer files, identical content, a
     real commit (pre-compaction versions stay time-travelable until
