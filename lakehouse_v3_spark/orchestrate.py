@@ -458,14 +458,33 @@ class ScheduledDag:
 
     def tick(self, now: datetime, ctx=None, max_workers: int = 1):
         """Run everything due at ``now``; returns the list of
-        (logical_date, DagRunReport)."""
+        (logical_date, DagRunReport).
+
+        The WHOLE tick — read ``.last_run``, compute due dates, run,
+        record — holds a blocking exclusive flock on the state file:
+        two schedulers ticking concurrently (two cron firings, two
+        hosts on shared storage) serialize, and the second re-reads
+        the advanced pointer instead of re-running logical dates the
+        first already completed. The per-run dag flock alone cannot
+        give this exactly-once property: it guards overlap, not the
+        stale due-list a concurrent tick computed before the lock."""
+        lock_path = self._state_path + ".lock"
         out = []
-        for logical in self.schedule.due_runs(self.last_completed(), now):
-            run_ctx = dict(ctx or {})
-            run_ctx["logical_date"] = logical
-            run_ctx["data_interval_start"] = logical
-            run_ctx["data_interval_end"] = self.schedule._interval_of(logical)
-            report = self.dag.run(run_ctx, max_workers=max_workers)
-            self._record(logical)
-            out.append((logical, report))
+        with open(lock_path, "w") as lock_f:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_f, fcntl.LOCK_EX)  # blocking: serialize
+            except ImportError:  # pragma: no cover - non-POSIX
+                pass
+            for logical in self.schedule.due_runs(self.last_completed(), now):
+                run_ctx = dict(ctx or {})
+                run_ctx["logical_date"] = logical
+                run_ctx["data_interval_start"] = logical
+                run_ctx["data_interval_end"] = self.schedule._interval_of(
+                    logical
+                )
+                report = self.dag.run(run_ctx, max_workers=max_workers)
+                self._record(logical)
+                out.append((logical, report))
         return out

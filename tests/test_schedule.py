@@ -327,6 +327,48 @@ def test_scheduled_uber_backfill_matches_batch_run(spark):
     assert _gold_rows(tm_sched, "uber.gold_booking_stats") == before
 
 
+def test_concurrent_ticks_run_each_logical_date_exactly_once():
+    """Two schedulers ticking at once (two cron firings / two hosts on
+    shared storage) must not double-run a logical date: the whole tick
+    serializes on the state-file flock, and the loser re-reads the
+    advanced pointer."""
+    import threading
+    import time as _time
+
+    state = tempfile.mkdtemp(prefix="schedstate_")
+    runs: list = []
+    runs_mu = threading.Lock()
+
+    def make_sd():
+        dag = Dag(
+            "conc_t", lock_dir=tempfile.mkdtemp(prefix="daglock_")
+        )
+
+        def job(ctx):
+            _time.sleep(0.05)  # widen the window
+            with runs_mu:
+                runs.append(ctx["logical_date"])
+
+        dag.task("job", job)
+        return ScheduledDag(
+            dag,
+            Schedule(start=D(2024, 5, 1), interval=timedelta(days=1)),
+            state_dir=state,
+        )
+
+    sds = [make_sd() for _ in range(3)]
+    threads = [
+        threading.Thread(target=lambda s=s: s.tick(D(2024, 5, 4, 6, 0)))
+        for s in sds
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    # 3 closed intervals, each run EXACTLY once across all schedulers
+    assert sorted(runs) == [D(2024, 5, 1), D(2024, 5, 2), D(2024, 5, 3)]
+
+
 def test_cli_schedule_uber_tick_and_resume(spark, capsys):
     """`python -m lakehouse_v3_spark schedule-uber` — one cron-invokable
     scheduler tick: catchup backfill on the first invocation, durable
