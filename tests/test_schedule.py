@@ -405,6 +405,38 @@ def test_cli_schedule_uber_tick_and_resume(spark, capsys):
     assert capsys.readouterr().out.strip() == ""
 
 
+def test_scheduled_uber_hourly_intervals_slice_within_a_day(spark):
+    """r8 review fix: the interval filter is timestamp-granular
+    (Date + Time), so an @hourly schedule ingests each hour's rows in
+    its own run instead of skipping every intra-day interval."""
+    from lakehouse_v3_spark.pipelines.dags import scheduled_uber_dag
+    from lakehouse_v3_spark.tables import TableManager
+
+    raw = tempfile.mkdtemp(prefix="uber_raw_h_")
+    rows = [
+        "2024-05-01,08:30:00,HR-001,Completed,Sedan,4.5,250.0,10.0,UPI,,,",
+        "2024-05-01,08:45:00,HR-002,Completed,Bike,2.0,80.0,4.0,Cash,,,",
+        "2024-05-01,09:15:00,HR-003,Completed,Auto,3.0,120.0,5.0,UPI,,,",
+    ]
+    with open(os.path.join(raw, "d.csv"), "w") as f:
+        f.write(_CSV_HEADER + "\n" + "\n".join(rows) + "\n")
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="uber_wh_h_"), backend="parquet"
+    )
+    sd = ScheduledDag(
+        scheduled_uber_dag(spark, raw, tm),
+        Schedule(start=D(2024, 5, 1, 8), interval="@hourly"),
+        state_dir=tempfile.mkdtemp(prefix="schedstate_"),
+    )
+    out = sd.tick(D(2024, 5, 1, 10, 0))  # hours [8,9) and [9,10) closed
+    assert [lg for lg, _ in out] == [D(2024, 5, 1, 8), D(2024, 5, 1, 9)]
+    assert [rep.tasks["ingest"].result for _, rep in out] == [
+        {"interval_rows": 2},  # 08:30 + 08:45
+        {"interval_rows": 1},  # 09:15
+    ]
+    assert tm.read("uber.bronze1").count() == 3
+
+
 def test_scheduled_audit_dag_alerts_once_per_closed_interval(spark):
     """r7 verdict item #7: audit engine + fact builder + alerting under
     the scheduler — planted violations produce a FAIL alert exactly
