@@ -459,3 +459,96 @@ def dup_ngram_doc_fraction(spark, sf_dir):
             ).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch upsampling: repeat scarce sources up to a shared token budget
+# (the complement of datamix_rebalance_langs' downsampling — together
+# they are the two halves of pretraining data mixing)
+# ---------------------------------------------------------------------------
+
+_UPSAMPLE_ORACLE = """
+WITH tok AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS t_s
+  FROM documents GROUP BY source
+),
+b AS (SELECT MAX(t_s) AS max_t FROM tok),
+rates AS (
+  SELECT source, n_docs, t_s, (max_t * 10000) // t_s AS repeat_bp
+  FROM tok, b
+),
+em AS (
+  SELECT d.source,
+         (r.repeat_bp // 10000)
+           + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000 < r.repeat_bp % 10000
+                  THEN 1 ELSE 0 END AS n_rep,
+         d.n_chars
+  FROM documents d JOIN rates r USING (source)
+)
+SELECT r.source,
+       CAST(r.n_docs AS BIGINT)    AS n_docs,
+       CAST(r.t_s AS BIGINT)       AS n_tokens,
+       CAST(r.repeat_bp AS BIGINT) AS repeat_bp,
+       CAST(SUM(e.n_rep) AS BIGINT)             AS n_emitted_docs,
+       CAST(SUM(e.n_rep * e.n_chars) AS BIGINT) AS n_emitted_tokens
+FROM rates r JOIN em e ON e.source = r.source
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("datamix_epoch_upsample", oracle=_UPSAMPLE_ORACLE)
+def datamix_epoch_upsample(spark, sf_dir):
+    """Epoch-style upsampling mix: every source is repeated up to the
+    LARGEST source's token mass — per-source repeat factors in integer
+    basis points (exact in both engines), with the fractional epoch
+    realized per document by the deterministic hash-of-id rule (a doc
+    either gets the extra copy in every run or never — reproducible
+    mixes, no RNG). This is the upsampling half of pretraining data
+    mixing (scarce high-quality sources repeat for multiple epochs);
+    `datamix_rebalance_langs` is the downsampling half.
+
+    The Spark side MATERIALIZES the emission (explode over a repeat
+    sequence — what a real mixing job writes out) and the summary it
+    returns is aggregated FROM those emitted rows, so the oracle's
+    analytic expectation verifies the actual emission, not just the
+    rate arithmetic. Scale shape: rates are a tiny broadcast; the
+    explode multiplies rows map-side with no shuffle; the only shuffle
+    is the final per-source summary."""
+    from ..operators.dedup import md5_int
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tok = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("t_s"),
+    )
+    b = tok.agg(F.max("t_s").alias("max_t"))
+    rates = tok.crossJoin(F.broadcast(b)).withColumn(
+        "repeat_bp", F.expr("(max_t * 10000) DIV t_s")
+    )
+    emitted = (
+        d.join(
+            F.broadcast(rates.select("source", "repeat_bp")), "source"
+        )
+        .withColumn(
+            "n_rep",
+            F.expr("repeat_bp DIV 10000").cast("int")
+            + (
+                md5_int(F.col("doc_id").cast("string"), mod=10000)
+                < F.col("repeat_bp") % 10000
+            ).cast("int"),
+        )
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("n_rep"))))
+    )
+    summary = emitted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_emitted_docs"),
+        F.sum("n_chars").alias("n_emitted_tokens"),
+    )
+    return rates.join(summary, "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("t_s").cast("long").alias("n_tokens"),
+        F.col("repeat_bp").cast("long").alias("repeat_bp"),
+        F.col("n_emitted_docs").cast("long").alias("n_emitted_docs"),
+        F.col("n_emitted_tokens").cast("long").alias("n_emitted_tokens"),
+    )
