@@ -190,22 +190,34 @@ def test_no_notimplemented_left():
     """Round-2 verdict item: the codec stub is gone from the tree.
 
     What this guards against is STUB bodies (`raise NotImplementedError`
-    as a function's whole implementation). The r4-advisory guards in the
-    vendored protobuf mini runtime raise NotImplementedError precisely to
-    make an UNSUPPORTED mutation pattern loud instead of silently
-    corrupting data — that's a guard on a working implementation, not a
-    stub, so the check skips the vendor tree (its own tests pin the
-    raising behavior in test_protobuf_shim.py)."""
+    as a function's whole implementation). Loud CAPABILITY guards on
+    working implementations are the opposite of stubs and are allowed
+    where their raising behavior is itself pinned by a test:
+
+    - the vendored protobuf mini runtime's unsupported-wire-format
+      guards (r4 advisory; pinned by test_protobuf_shim.py);
+    - ``TableManager._require_parquet_backend`` (r8 advisory, medium:
+      the z-order/skipping path must REFUSE non-parquet backends
+      instead of pruning with dead delta files; pinned by
+      test_zorder_skipping.py::test_cluster_by_rejects_non_parquet_backend).
+    """
     import pathlib
 
     pkg = pathlib.Path(__file__).resolve().parents[1] / "lakehouse_v3_spark"
+    allowed = {"tables.py"}  # _require_parquet_backend capability guard
     hits = [
         p
         for p in pkg.rglob("*.py")
         if "vendor" not in p.parts
+        and p.name not in allowed
         and "NotImplementedError" in p.read_text(encoding="utf-8")
     ]
     assert hits == [], f"NotImplementedError still present in {hits}"
+    # the allowance is exactly one guard method, not a creeping license
+    import re
+
+    tables_src = (pkg / "tables.py").read_text(encoding="utf-8")
+    assert len(re.findall(r"raise NotImplementedError", tables_src)) == 1
 
 
 def test_decoded_image_features_spark(spark):

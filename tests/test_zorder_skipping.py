@@ -161,3 +161,48 @@ def test_write_after_cluster_invalidates_stale_manifest(spark, sf_dir):
     # every known file is prunable for an impossible range, but the
     # unknown file survives pruning
     assert [f for f in files if f.endswith(victim)] and len(files) == 1
+
+
+def test_cluster_by_rejects_non_parquet_backend(spark, tmp_path):
+    """r8 advisory (medium): under backend='delta' an overwrite is a
+    logical delete that leaves dead parquet on disk, so the os.walk
+    manifest would index dead data + _delta_log checkpoints, and
+    read_skipping cannot hand the delta source a raw file list. The
+    z-order path must fail LOUDLY for any non-parquet backend (use
+    native OPTIMIZE ZORDER BY there), never prune with dead ranges."""
+    tm = TableManager(spark, str(tmp_path / "wh"), backend="delta")
+    with pytest.raises(NotImplementedError, match="parquet"):
+        tm.cluster_by("t", ["x"])
+    with pytest.raises(NotImplementedError, match="parquet"):
+        tm.prune_files("t", {"x": (0, 1)})
+    with pytest.raises(NotImplementedError, match="parquet"):
+        tm.read_skipping("t", {"x": (0, 1)})
+
+
+def test_stats_walk_excludes_reserved_subtrees(spark, tmp_path):
+    """r8 advisory: if the txn API and cluster_by are used on the same
+    table path, _txn_data uuid dirs (including superseded versions)
+    must NOT be indexed as table files — neither in the manifest nor
+    in prune_files' conservative on-disk set, or skipping scans would
+    read dead versions' rows."""
+    tm = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    df = spark.range(100).selectExpr("id AS x", "id * 2 AS y")
+    tm.overwrite(df, "t")
+    # txn traffic on the same table path: one superseded + one live set
+    tm.txn_append(spark.range(500, 600).selectExpr("id AS x", "id*2 AS y"), "t")
+    tm.txn_overwrite(spark.range(700, 710).selectExpr("id AS x", "id*2 AS y"), "t")
+    tm.write_snapshot(df, "t")  # _snapshots subtree too
+    tm._write_stats("t", ["x"])
+    import json as _json
+
+    with open(tm._stats_path("t"), encoding="utf-8") as f:
+        manifest = _json.load(f)
+    assert all(
+        not rel.startswith(("_txn_data", "_txn_log", "_snapshots"))
+        for rel in manifest["files"]
+    ), sorted(manifest["files"])
+    # pruning sees only the 100 table rows — never dead txn versions
+    files, total = tm.prune_files("t", {"x": (0, 99)})
+    assert total == len(manifest["files"])
+    got, n_read, _ = tm.read_skipping("t", {"x": (0, None)})
+    assert got.count() == 100
