@@ -344,34 +344,37 @@ class SqlGateway:
                                     "existed — re-run the statement"},
                     )
                 budget = _Budget(gateway.spark, timeout_ms)
-                with cur["lock"]:
-                    try:
-                        with budget:
-                            n = page_size or cur["page_size"]
-                            first = [cur["pending"]] if cur["pending"] is not None else []
-                            cur["pending"] = None
-                            rows, pending = gateway._take(
-                                cur["it"], n, first
-                            )
-                            if pending is not None:
-                                cur["pending"] = pending
-                                cur["touched"] = time.monotonic()
-                                tok = token
-                            else:
-                                gateway._drop_cursor(token)
-                                tok = None
+                try:
+                    with cur["lock"]:
+                        try:
+                            with budget:
+                                n = page_size or cur["page_size"]
+                                first = [cur["pending"]] if cur["pending"] is not None else []
+                                cur["pending"] = None
+                                rows, pending = gateway._take(
+                                    cur["it"], n, first
+                                )
+                                if pending is not None:
+                                    cur["pending"] = pending
+                                    cur["touched"] = time.monotonic()
+                                    tok = token
+                                else:
+                                    gateway._drop_cursor(token)
+                                    tok = None
+                                return self._reply(
+                                    200,
+                                    {"columns": cur["columns"],
+                                     "types": cur["types"],
+                                     "rows": rows, "next_token": tok},
+                                )
+                        except Exception as exc:
+                            # a cancelled/broken iterator can't be resumed
+                            gateway._drop_cursor(token)
                             return self._reply(
-                                200,
-                                {"columns": cur["columns"],
-                                 "types": cur["types"],
-                                 "rows": rows, "next_token": tok},
+                                *_error_payload(budget, exc, timeout_ms)
                             )
-                    except Exception as exc:
-                        # a cancelled/broken iterator can't be resumed
-                        gateway._drop_cursor(token)
-                        return self._reply(
-                            *_error_payload(budget, exc, timeout_ms)
-                        )
+                finally:
+                    gateway._unpin(cur)
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._server.daemon_threads = True
@@ -418,13 +421,18 @@ class SqlGateway:
             for t in dead:
                 del self._cursors[t]
             # LRU-bound, but never evict a cursor a fetch currently
-            # holds (its client would be handed a next_token that is
-            # guaranteed to 404 mid-drain — r8 review)
+            # holds or has CLAIMED (pins > 0): the lock alone left a
+            # window — _cursor() returned the dict, released this
+            # mutex, and only then did the fetch acquire cur["lock"],
+            # so eviction could fire in between and the in-flight
+            # fetch would hand its client a next_token guaranteed to
+            # 404 (r8 advisory). Pinning happens INSIDE _cursor()
+            # while this mutex is held, closing the window.
             evictable = sorted(
                 (
                     t
                     for t, c in self._cursors.items()
-                    if not c["lock"].locked()
+                    if not c["lock"].locked() and c["pins"] == 0
                 ),
                 key=lambda t: self._cursors[t]["touched"],
             )
@@ -438,10 +446,14 @@ class SqlGateway:
                 "page_size": meta.get("page_size", self.row_cap),
                 "lock": threading.Lock(),
                 "touched": now,
+                "pins": 0,
             }
         return tok
 
     def _cursor(self, token: str) -> dict | None:
+        """Look up AND pin the cursor atomically (one _cursors_mu
+        hold): a returned cursor cannot be LRU-evicted until the
+        caller _unpin()s it in a finally."""
         with self._cursors_mu:
             cur = self._cursors.get(token)
             if cur is None:
@@ -449,7 +461,12 @@ class SqlGateway:
             if time.monotonic() - cur["touched"] > self.cursor_ttl_s:
                 del self._cursors[token]
                 return None
+            cur["pins"] += 1
             return cur
+
+    def _unpin(self, cur: dict) -> None:
+        with self._cursors_mu:
+            cur["pins"] -= 1
 
     def _drop_cursor(self, token: str) -> None:
         with self._cursors_mu:
