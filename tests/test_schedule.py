@@ -280,9 +280,16 @@ def test_scheduled_uber_backfill_matches_batch_run(spark):
     from lakehouse_v3_spark.pipelines.dags import scheduled_uber_dag, uber_dag
     from lakehouse_v3_spark.tables import TableManager
 
+    # landing zone in the reference collectors' Hive-style layout
+    # (date=YYYY-MM-DD dirs, airflow/tasks/uber/ingestion.py:147-166)
     raw = tempfile.mkdtemp(prefix="uber_raw_")
-    with open(os.path.join(raw, "all.csv"), "w") as f:
-        f.write(_CSV_HEADER + "\n" + "\n".join(_ROWS) + "\n")
+    by_day: dict[str, list[str]] = {}
+    for row in _ROWS:
+        by_day.setdefault(row.split(",", 1)[0], []).append(row)
+    for day, rows in by_day.items():
+        os.makedirs(os.path.join(raw, f"date={day}"))
+        with open(os.path.join(raw, f"date={day}", "part-0.csv"), "w") as f:
+            f.write(_CSV_HEADER + "\n" + "\n".join(rows) + "\n")
 
     # batch reference run: one uber_dag pass over everything
     tm_batch = TableManager(
@@ -302,10 +309,18 @@ def test_scheduled_uber_backfill_matches_batch_run(spark):
     out = sd.tick(D(2024, 5, 4, 6, 0))
     assert [lg for lg, _ in out] == [D(2024, 5, 1), D(2024, 5, 2), D(2024, 5, 3)]
     assert all(rep.ok for _, rep in out)
-    # each run ingested exactly its own day's rows
-    assert [rep.tasks["ingest"].result for _, rep in out] == [
-        {"interval_rows": 2}, {"interval_rows": 2}, {"interval_rows": 1}
-    ]
+    # each run ingested exactly its own day's rows ...
+    results = [rep.tasks["ingest"].result for _, rep in out]
+    assert [r["interval_rows"] for r in results] == [2, 2, 1]
+    assert [r["unparsed_rows"] for r in results] == [0, 0, 0]
+    # ... and READ only its own day's landing files (r8 verdict item
+    # #2: the interval filter prunes partition directories — a tick
+    # never opens another interval's data)
+    for (lg, _), r in zip(out, results):
+        day = lg.date().isoformat()
+        assert r["files_read"] == [
+            os.path.join(raw, f"date={day}", "part-0.csv")
+        ], (day, r["files_read"])
 
     for gold in (
         "uber.gold_booking_stats",
@@ -430,11 +445,65 @@ def test_scheduled_uber_hourly_intervals_slice_within_a_day(spark):
     )
     out = sd.tick(D(2024, 5, 1, 10, 0))  # hours [8,9) and [9,10) closed
     assert [lg for lg, _ in out] == [D(2024, 5, 1, 8), D(2024, 5, 1, 9)]
-    assert [rep.tasks["ingest"].result for _, rep in out] == [
-        {"interval_rows": 2},  # 08:30 + 08:45
-        {"interval_rows": 1},  # 09:15
+    # flat (unpartitioned) landing files carry no date= info: the
+    # pruner conservatively keeps them and the timestamp filter does
+    # the slicing — pruning may read more than the interval, never less
+    assert [rep.tasks["ingest"].result["interval_rows"] for _, rep in out] == [
+        2,  # 08:30 + 08:45
+        1,  # 09:15
     ]
     assert tm.read("uber.bronze1").count() == 3
+
+
+def test_scheduled_uber_surfaces_unparseable_timestamps(spark):
+    """r8 advisory: rows whose Date/Time fail to_timestamp can belong
+    to NO interval — they must be counted and surfaced in the ingest
+    result (and the Skip message), never silently vanish from
+    bronze1."""
+    from lakehouse_v3_spark.pipelines.dags import scheduled_uber_dag
+    from lakehouse_v3_spark.tables import TableManager
+
+    raw = tempfile.mkdtemp(prefix="uber_raw_bad_")
+    rows = [
+        "2024-05-01,08:30:00,BAD-001,Completed,Sedan,4.5,250.0,10.0,UPI,,,",
+        "not-a-date,xx:yy,BAD-002,Completed,Bike,2.0,80.0,4.0,Cash,,,",
+        "2024-05-01,zz:00:00,BAD-003,Completed,Auto,3.0,120.0,5.0,UPI,,,",
+    ]
+    os.makedirs(os.path.join(raw, "date=2024-05-01"))
+    with open(
+        os.path.join(raw, "date=2024-05-01", "part-0.csv"), "w"
+    ) as f:
+        f.write(_CSV_HEADER + "\n" + "\n".join(rows) + "\n")
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="uber_wh_bad_"), backend="parquet"
+    )
+    sd = ScheduledDag(
+        scheduled_uber_dag(spark, raw, tm),
+        Schedule(start=D(2024, 5, 1), interval=timedelta(days=1)),
+        state_dir=tempfile.mkdtemp(prefix="schedstate_"),
+    )
+    out = sd.tick(D(2024, 5, 2, 6, 0))
+    assert len(out) == 1 and out[0][1].ok
+    res = out[0][1].tasks["ingest"].result
+    assert res["interval_rows"] == 1
+    assert res["unparsed_rows"] == 2  # surfaced, not silently dropped
+    assert tm.read("uber.bronze1").count() == 1
+
+    # an interval whose only rows are unparseable Skips with the count
+    # in the message (visible signal, not an empty-looking no-op)
+    os.makedirs(os.path.join(raw, "date=2024-05-02"))
+    with open(
+        os.path.join(raw, "date=2024-05-02", "part-0.csv"), "w"
+    ) as f:
+        f.write(
+            _CSV_HEADER + "\n"
+            + "garbage,??,BAD-004,Completed,Bike,2.0,80.0,4.0,Cash,,,\n"
+        )
+    out2 = sd.tick(D(2024, 5, 3, 6, 0))
+    assert len(out2) == 1
+    rep = out2[0][1]
+    assert rep.states()["ingest"] == "skipped"
+    assert "1 unparseable" in (rep.tasks["ingest"].error or "")
 
 
 def test_scheduled_audit_dag_alerts_once_per_closed_interval(spark):
