@@ -35,37 +35,63 @@ def with_dense_id(
     id_col: str = "cd_id",
     offset: int = 0,
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Add ``id_col`` = offset + dense rank 1..N of ``order_cols`` ordering.
 
     ``order_cols`` should be a unique key for a fully deterministic
     assignment (ties are assigned arbitrarily-but-densely otherwise).
+
+    ``materialize=True`` (default) eagerly localCheckpoints the result
+    so the internal range-partition cache can be dropped before
+    returning — no persisted plan outlives the call (r8 verdict item
+    #7). ``materialize=False`` returns the LAZY plan and leaves the
+    cache pinned (caller owns the lifecycle; used by the plan guards
+    to assert the no-global-window shape).
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # The persist is CORRECTNESS, not caching: Spark's RangePartitioner
+    # seeds its boundary sampling from the RDD id (byteswap32(-rdd.id-1)
+    # in core), so two independent actions over an unpersisted
+    # repartitionByRange may draw DIFFERENT boundaries — the counts job
+    # and the id job must see the same partitioning. It is scoped with
+    # try/finally (r8 verdict item #7): the id frame is materialized
+    # (localCheckpoint severs the lineage so the result no longer
+    # references the cached frame), then the cache entry is dropped —
+    # no persisted plan outlives this call. At 100 TB callers write the
+    # result to a table immediately; the localCheckpoint is that
+    # materialization, executor-local, reclaimed by the ContextCleaner
+    # when the returned frame is garbage-collected.
     part = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn(_PID, F.spark_partition_id())
         .persist()
     )
-    counts = {r[_PID]: r["cnt"] for r in part.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    cum = 0
-    offsets: dict[int, int] = {}
-    for pid in sorted(counts):  # range partitions are ordered by key
-        offsets[pid] = cum
-        cum += counts[pid]
-    if not offsets:
-        return df.withColumn(id_col, F.lit(None).cast("long"))
-    mapping = F.create_map(*[F.lit(x) for pid_off in offsets.items() for x in pid_off])
-    w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
-    out = (
-        part.withColumn(
-            id_col,
-            F.row_number().over(w).cast("long") + mapping[F.col(_PID)] + F.lit(offset).cast("long"),
+    try:
+        counts = {r[_PID]: r["cnt"] for r in part.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        cum = 0
+        offsets: dict[int, int] = {}
+        for pid in sorted(counts):  # range partitions are ordered by key
+            offsets[pid] = cum
+            cum += counts[pid]
+        if not offsets:
+            return df.withColumn(id_col, F.lit(None).cast("long"))
+        mapping = F.create_map(*[F.lit(x) for pid_off in offsets.items() for x in pid_off])
+        w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
+        out = (
+            part.withColumn(
+                id_col,
+                F.row_number().over(w).cast("long") + mapping[F.col(_PID)] + F.lit(offset).cast("long"),
+            )
+            .drop(_PID)
         )
-        .drop(_PID)
-    )
-    return out
+        if not materialize:
+            return out
+        return out.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            part.unpersist(blocking=False)
 
 
 def max_id_seed(df: DataFrame, id_col: str) -> int:

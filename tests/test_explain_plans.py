@@ -45,13 +45,49 @@ def test_q5_dimension_chain_broadcasts(spark, sf_dir):
 
 
 def test_dense_ids_have_no_global_window(spark, sf_dir):
-    # the single-partition hazard: a Window with an empty partition spec
-    plan = _plan(spark, sf_dir, "w1_dense_ids_scalable")
-    for line in plan.splitlines():
-        if "Window" in line and "partition" in line.lower():
-            raise AssertionError(f"unexpected window spec: {line}")
-    # range partitioning present instead
-    assert "rangepartitioning" in plan.replace(" ", "").lower() or "RangePartitioning" in plan
+    # the single-partition hazard: a Window with an empty partition
+    # spec. Inspect the LAZY id plan (materialize=False — the default
+    # path eagerly localCheckpoints, r9, which collapses the explain to
+    # a Scan ExistingRDD; the lazy plan IS the plan the default path
+    # executes before checkpointing)
+    from lakehouse_v3_spark.ids import with_dense_id
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = with_dense_id(o, ["o_orderkey"], id_col="cd_id", materialize=False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    try:
+        for line in plan.splitlines():
+            if "Window" in line and "partition" in line.lower():
+                raise AssertionError(f"unexpected window spec: {line}")
+        # range partitioning present instead
+        assert "rangepartitioning" in plan.replace(" ", "").lower() or "RangePartitioning" in plan
+    finally:
+        spark.catalog.clearCache()  # materialize=False pins the cache
+
+
+def test_dense_ids_leave_no_lingering_cache(spark, sf_dir):
+    """r8 verdict item #7: the default (materialized) path drops its
+    internal range-partition cache before returning — no persisted
+    plan outlives the call."""
+    from lakehouse_v3_spark.ids import with_dense_id
+
+    spark.catalog.clearCache()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = with_dense_id(o, ["o_orderkey"], id_col="cd_id")
+    n = out.count()
+    assert n == o.count()
+    # dense 1..N ids survive the checkpoint hand-off
+    agg = out.agg(
+        F.min("cd_id").alias("lo"), F.max("cd_id").alias("hi"),
+        F.countDistinct("cd_id").alias("d"),
+    ).collect()[0]
+    assert (agg["lo"], agg["hi"], agg["d"]) == (1, n, n)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "with_dense_id left a persisted plan behind"
+    )
 
 
 def test_scan_pruning_on_projection(spark, sf_dir):
