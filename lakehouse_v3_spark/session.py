@@ -61,6 +61,7 @@ def get_spark(
     driver_memory: str | None = None,
     extra_conf: dict[str, str] | None = None,
     metastore_dir: str | None = None,
+    metastore_uri: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
@@ -79,8 +80,23 @@ def get_spark(
         persistent=True)`` entries survive the session and are visible
         to any later session given the same dir. Mirrors the reference's
         cross-job HMS registration (coin/convert_to_delta.py:167-173).
-        Derby allows ONE concurrent session per metastore_dir.
+        Derby allows ONE concurrent session per metastore_dir — a
+        SINGLE-HOST limit: concurrent sessions on one shared catalog
+        need a networked metastore (``metastore_uri``).
+      - ``metastore_uri``: a NETWORKED Hive Metastore (thrift://host:
+        port) — the reference's actual substrate (docker-compose.yaml:
+        70-108 runs a thrift HMS service). Sets
+        ``spark.hadoop.hive.metastore.uris`` and enables Hive support;
+        no thrift service exists in this harness, so the seam is
+        config-plumbing-tested only (the derby path carries the
+        cross-process test). Mutually exclusive with ``metastore_dir``
+        (one catalog per session).
     """
+    if metastore_dir and metastore_uri:
+        raise ValueError(
+            "metastore_dir (embedded derby) and metastore_uri (thrift "
+            "HMS) are mutually exclusive — one catalog per session"
+        )
     cpus = default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
@@ -126,6 +142,11 @@ def get_spark(
                 "spark.hadoop.javax.jdo.option.ConnectionURL",
                 f"jdbc:derby:;databaseName={metastore_dir}/metastore_db;create=true",
             )
+            .enableHiveSupport()
+        )
+    if metastore_uri:
+        builder = (
+            builder.config("spark.hadoop.hive.metastore.uris", metastore_uri)
             .enableHiveSupport()
         )
     for k, v in (extra_conf or {}).items():

@@ -263,3 +263,49 @@ def test_register_persistent_survives_session(tmp_path):
         )
         assert out.returncode == 0, out.stderr[-2000:]
         assert "REGISTERED_ROWS=2" in out.stdout, (phase, out.stdout[-500:])
+
+
+_METASTORE_URI_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from lakehouse_v3_spark.session import get_spark
+# thrift HMS connects LAZILY (first catalog call), so building the
+# session asserts only the conf plumbing — no service needed
+spark = get_spark("metastore-uri-test", master="local[2]",
+                  shuffle_partitions=2,
+                  metastore_uri="thrift://hms.example:9083")
+assert (spark.conf.get("spark.hadoop.hive.metastore.uris")
+        == "thrift://hms.example:9083"), "uri conf missing"
+assert spark.conf.get("spark.sql.catalogImplementation") == "hive", (
+    "hive support not enabled")
+print("URI_SEAM_OK")
+spark.stop()
+"""
+
+
+def test_metastore_uri_seam_and_mutual_exclusion(tmp_path):
+    """r8 verdict item #6: the reference registers tables in a
+    NETWORKED thrift Hive Metastore (docker-compose.yaml:70-108);
+    ``get_spark(metastore_uri=...)`` must plumb
+    spark.hadoop.hive.metastore.uris + Hive support through (verified
+    in a fresh process — static confs can't be asserted on a reused
+    session), the derby path keeps its own cross-process round-trip
+    (test above), and the two catalogs are mutually exclusive."""
+    import os
+    import subprocess
+    import sys
+
+    import pytest as _pytest
+
+    from lakehouse_v3_spark.session import get_spark
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        get_spark(metastore_dir="/x", metastore_uri="thrift://h:9083")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", _METASTORE_URI_SCRIPT.format(repo=repo)],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "URI_SEAM_OK" in out.stdout
