@@ -13,7 +13,7 @@ and its row count is recorded.
 
 Usage:
   python tools/sf_gate.py --sf-dir /root/repo/testdata/sf1 \
-      --out /tmp/sf1_gate.jsonl [--oracle-timeout 180] [--only substr]
+      --out /tmp/sf1_gate.jsonl [--oracle-timeout 180] [--only substr[,substr...]]
 """
 
 from __future__ import annotations
@@ -113,9 +113,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
 
+    # --only: comma-separated substrings (r9) — any match selects the
+    # query; a single substring behaves exactly as before
+    only = [s for s in args.only.split(",") if s]
     with open(args.out, "a") as out:
         for name in sorted(registry):
-            if name in done or (args.only and args.only not in name):
+            if name in done or (only and not any(s in name for s in only)):
                 continue
             qd = registry[name]
             rec: dict = {"name": name}

@@ -12,7 +12,11 @@ the actual work removed (1-row source, identity transform):
   noop_state  — + an applyInPandasWithState identity operator (adds
                 state-store machinery);
   noop_join   — TWO file-source streams → stream-stream equi+interval
-                join → sink (the shell of stream_stream_interval_join).
+                join → sink (the shell of stream_stream_interval_join);
+  noop_dedup  — file-source stream → withWatermark →
+                dropDuplicatesWithinWatermark → sink (the shell of
+                stream_dedup_within_watermark minus the data — r8
+                verdict item #5).
 
 Each shape runs twice and reports the SECOND time (first pays one-off
 session warmup, same protocol as the bench). Output: one JSON line —
@@ -148,6 +152,28 @@ def noop_join(spark) -> float:
         return time.time() - t
 
 
+def noop_dedup(spark) -> float:
+    src = _tiny_source_dir(spark, "dedup")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .parquet(src)
+        .withWatermark("ts", "1440 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    with tempfile.TemporaryDirectory(prefix="noop_ckpt_") as ckpt:
+        t = time.time()
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return time.time() - t
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -169,6 +195,7 @@ def main() -> None:
         ("noop_basic", noop_basic),
         ("noop_state", noop_state),
         ("noop_join", noop_join),
+        ("noop_dedup", noop_dedup),
     ]:
         fn(spark)  # warmup run: session/codegen one-offs
         out[name] = round(fn(spark), 3)
