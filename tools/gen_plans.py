@@ -20,7 +20,7 @@ COMMENTARY = {
     "q18_large_volume_orders": "HAVING subquery aggregates lineitem once, then joins back on the SAME key — the Exchange is reused, and the key set (~23% of all orders) is deliberately NOT broadcast-hinted: a pinned broadcast of an SF-growing set is a driver OOM at scale; AQE may still demote to broadcast when the runtime size is genuinely small.",
     "dedup_minhash_lsh": "Shingle set is localCheckpoint'ed (3 consumer branches), signatures/bands/verify all reuse it; candidate join is on band_key buckets, never all-pairs.",
     "knn_bruteforce_cosine": "Corpus scans in place; the 10-query side broadcasts (BroadcastNestedLoopJoin); per-query top-k via window over partial ranks — corpus never shuffles.",
-    "w1_dense_ids_scalable": "RangePartitioning + per-partition row_number + driver offsets: dense monotone ids with NO single-partition window (the reference's W1 anti-pattern, SURVEY §4.1).",
+    "w1_dense_ids_scalable": "RangePartitioning + per-partition row_number + driver offsets: dense monotone ids with NO single-partition window (the reference's W1 anti-pattern, SURVEY §4.1). Shown here is the LAZY id plan (with_dense_id(materialize=False)); the default path executes exactly this plan and then eagerly localCheckpoints so its internal range-partition cache can be dropped before returning (r9 lifecycle fix), which collapses a later explain to Scan ExistingRDD.",
     "grouping_sets_explicit": "One scan → Expand (3 grouping sets) → two-phase aggregate: all subtotal granularities from a single pass.",
     "components_near_dup_clusters": "Iterative: edge set materialized once (localCheckpoint), then per-round join+min; lineage truncated per iteration so plan size is constant in rounds.",
     "mv_incremental_merge": "Two partial aggregations (base slice, delta slice) unioned and re-aggregated on the same key: the merge shuffles only per-key STATE rows (≤2 per key), never re-scanning base data — the incremental-refresh cost model is O(delta) + O(state).",
@@ -62,8 +62,19 @@ def main() -> None:
         "load-bearing properties so they cannot silently regress.",
         "",
     ]
+    def _w1_lazy_plan(spark, sf_dir):
+        # the id plan BEFORE the default path's eager localCheckpoint
+        from lakehouse_v3_spark.ids import with_dense_id
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return with_dense_id(
+            o, ["o_orderkey"], id_col="cd_id", materialize=False
+        ).select("cd_id", "o_orderkey")
+
+    overrides = {"w1_dense_ids_scalable": _w1_lazy_plan}
+
     for name, note in COMMENTARY.items():
-        df = reg[name].fn(spark, "/root/testdata/sf0.001")
+        df = overrides.get(name, reg[name].fn)(spark, "/root/testdata/sf0.001")
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
