@@ -552,3 +552,69 @@ def datamix_epoch_upsample(spark, sf_dir):
         F.col("n_emitted_docs").cast("long").alias("n_emitted_docs"),
         F.col("n_emitted_tokens").cast("long").alias("n_emitted_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting: one tokenizer-training iteration (round 9)
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+words AS (SELECT unnest(t) AS w FROM toks),
+vocab AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, i, 2))) AS pair,
+         cnt
+  FROM vocab
+)
+SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 50
+"""
+
+
+@register("bpe_merge_pair_counts", oracle=_BPE_ORACLE)
+def bpe_merge_pair_counts(spark, sf_dir):
+    """One BPE tokenizer-training iteration, distributed: the top
+    adjacent-symbol pair counts over the corpus (the pair with the
+    highest count is the merge BPE performs next — Sennrich et al.
+    2016, the public algorithm behind GPT/Llama tokenizers).
+
+    Scale shape — the reason BPE training is feasible at 100 TB:
+      1. the corpus collapses to a WORD-FREQUENCY vocabulary first
+         (one hash shuffle on the word; partial aggregation makes the
+         map side emit each distinct word once per partition);
+      2. adjacent character pairs explode from VOCAB ENTRIES weighted
+         by the word count — cost tracks |vocab| x avg word length,
+         not corpus tokens (the classic corpus->dict reduction every
+         real BPE trainer uses);
+      3. pair counts aggregate on a symbol-pair key whose cardinality
+         is bounded by |alphabet|^2 — the final shuffle is tiny.
+    Everything is JVM-side codegen (split/explode/substring); a full
+    trainer loops this query, folding the winning merge into the
+    symbolization — each iteration is this same plan shape.
+
+    Output: top-50 (pair, pair_count), count-desc then pair-asc —
+    deterministic total order, integer counts (hash-exact).
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(_spark_toks(F.col("text"))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # single-char words have no pairs; Spark's sequence(1, 0) DESCENDS
+    # ([1, 0]) rather than returning empty, so filter them out before
+    # the explode (DuckDB's range(1, 1) is naturally empty)
+    vocab = vocab.filter(F.length("w") >= 2)
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(50)
+    )

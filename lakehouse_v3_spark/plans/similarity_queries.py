@@ -799,3 +799,116 @@ def knn_pq_adc_recall_audit(spark, sf_dir):
         F.col("h_rr").cast("long").alias("n_hits_rerank"),
         (F.col("h_rr").cast("double") / 5.0).alias("recall_rerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: centroid-policy semantic pruning (round 9)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_ORACLE = f"""
+WITH comp AS (
+  SELECT label, i AS pos, embedding[i]::DOUBLE AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+),
+cmeans AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(val) AS cmean
+  FROM comp GROUP BY label, pos
+),
+cent AS (
+  SELECT label, list(cmean ORDER BY pos) AS centroid FROM cmeans GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label, {_cos('e.embedding', 'c.centroid')} AS ccos
+  FROM embeddings e JOIN cent c ON e.label = c.label
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
+),
+dropped AS (
+  SELECT DISTINCT CASE WHEN sa.ccos > sb.ccos THEN sa.vec_id
+              WHEN sb.ccos > sa.ccos THEN sb.vec_id
+              ELSE greatest(sa.vec_id, sb.vec_id) END AS vec_id
+  FROM pairs p
+  JOIN scored sa ON p.id_a = sa.vec_id
+  JOIN scored sb ON p.id_b = sb.vec_id
+)
+SELECT e.vec_id, e.label,
+       e.vec_id NOT IN (SELECT vec_id FROM dropped) AS is_kept
+FROM embeddings e
+"""
+
+
+@register("semdedup_centroid_prune", oracle=_SEMDEDUP_ORACLE)
+def semdedup_centroid_prune(spark, sf_dir):
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, public
+    method): within each semantic cluster, near-duplicate pairs
+    (cosine >= 0.4) drop the member MORE similar to the cluster
+    centroid — keeping the far-from-centroid example preserves
+    diversity, which is the paper's selection policy, applied here
+    pairwise (a pair-local relaxation of the paper's per-cluster
+    greedy sweep; deterministic: ties drop the higher vec_id). The
+    fixture's ``label`` column stands in for the paper's k-means
+    cluster assignment (same convention as embedding_near_dup /
+    knn_ivf_cells).
+
+    Output is one row per vector: (vec_id, label, is_kept) — the
+    keep/drop decision a curation pipeline joins back onto the corpus.
+
+    Scale shape (100 TB / billions of vectors):
+      - centroids are per-(label, component) DECIMAL-accumulated means
+        (order-independent => bit-identical to the oracle, same dsum
+        contract as plans.davg): one partial-aggregated shuffle of
+        (label, pos) pairs, output |labels| x dim — tiny => BROADCAST
+        back onto the corpus;
+      - centroid cosines are one codegen'd map over the scan (flat
+        unrolled dot, operators/similarity.dot_product_unrolled);
+      - the pair set reuses near_dup_pairs' blocked GEMM path
+        (O(n^2) -> sum block^2, Arrow-batched BLAS);
+      - the drop set is pair-bounded and joins back once on vec_id.
+    """
+    from ..operators.similarity import dot_product_unrolled, l2_norm
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    comp = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cmeans = comp.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,6)")).cast("double")
+            / F.count("val")
+        ).alias("cmean")
+    )
+    centroid = cmeans.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cmean"))),
+            lambda s: s["cmean"],
+        ).alias("centroid")
+    )
+    c_cos = dot_product_unrolled(F.col("embedding"), F.col("centroid"), 64) / (
+        l2_norm(F.col("embedding")) * l2_norm(F.col("centroid"))
+    )
+    scored = e.join(F.broadcast(centroid), "label").select(
+        "vec_id", "label", c_cos.alias("ccos")
+    )
+    pairs = near_dup_pairs(
+        e, "vec_id", block_col="label", threshold=0.4, dim=64
+    ).select("id_a", "id_b")
+    sa = scored.select(F.col("vec_id").alias("id_a"), F.col("ccos").alias("ca"))
+    sb = scored.select(F.col("vec_id").alias("id_b"), F.col("ccos").alias("cb"))
+    dropped = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.when(F.col("ca") > F.col("cb"), F.col("id_a"))
+            .when(F.col("cb") > F.col("ca"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return e.select("vec_id", "label").join(dropped, "vec_id", "left").select(
+        "vec_id", "label", F.col("_dropped").isNull().alias("is_kept")
+    )

@@ -467,3 +467,24 @@ def test_ivf_pq_routes_by_cell_equi_join(spark, sf_dir):
         "IVF-PQ degenerated to an all-pairs scan"
     )
     assert "ArrowEvalPython" in plan, "encode/ADC should be Arrow UDFs"
+
+
+def test_bpe_merge_pairs_vocab_reduction_plan(spark, sf_dir):
+    """BPE pair counting must go corpus→vocab→pairs: two partial-
+    aggregated exchanges (word counts, then pair counts) and a
+    TakeOrdered top-k — never a global sort, never a Python eval node
+    (the whole iteration is JVM codegen)."""
+    plan = _plan(spark, sf_dir, "bpe_merge_pair_counts")
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_semdedup_broadcasts_centroids(spark, sf_dir):
+    """SemDeDup's centroid table is |labels|×dim — it must BROADCAST
+    onto the corpus (pinned), and nothing in the plan may fall back to
+    a cartesian product (the pair set is label-blocked)."""
+    plan = _plan(spark, sf_dir, "semdedup_centroid_prune")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
