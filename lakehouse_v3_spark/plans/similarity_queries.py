@@ -842,7 +842,39 @@ FROM embeddings e
 """
 
 
-@register("semdedup_centroid_prune", oracle=_SEMDEDUP_ORACLE)
+# Big-SF formulation: identical except the pair CTE prefilters with
+# DuckDB's native float32 array_cosine_similarity at (tau - 1e-3) —
+# the same margin argument as _NEARDUP_SF_ORACLE (float32 cosine error
+# for 64 dims is <= ~1e-5, so the prefilter cannot drop a true pair);
+# the EXACT double fold still decides inclusion. Equivalence to the
+# primary oracle is pinned at sf0.01 by
+# test_sf_oracle_equivalent_to_primary.
+_SEMDEDUP_SF_ORACLE = _SEMDEDUP_ORACLE.replace(
+    """pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {cos} >= 0.4
+)""".format(cos=_cos('a.embedding', 'b.embedding')),
+    """fv AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS FLOAT[64]) AS arr, embedding
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM fv a
+  JOIN fv b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE array_cosine_similarity(a.arr, b.arr) >= 0.4 - 1e-3
+    AND {cos} >= 0.4
+)""".format(cos=_cos('a.embedding', 'b.embedding')),
+)
+
+
+@register(
+    "semdedup_centroid_prune",
+    oracle=_SEMDEDUP_ORACLE,
+    sf_oracle=_SEMDEDUP_SF_ORACLE,
+)
 def semdedup_centroid_prune(spark, sf_dir):
     """SemDeDup-style semantic pruning (Abbas et al. 2023, public
     method): within each semantic cluster, near-duplicate pairs
