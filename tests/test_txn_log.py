@@ -561,3 +561,72 @@ def F_count():
     from pyspark.sql import functions as F
 
     return F.count(F.lit(1)).alias("n")
+
+
+_SNAPSHOT_WRITER_SCRIPT = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession, functions as F
+    from lakehouse_v3_spark.tables import (
+        TableManager, PosixLinkClaim, RenameNoReplaceClaim,
+    )
+
+    wh, marker, claim_name = sys.argv[1], sys.argv[2], sys.argv[3]
+    claim = (PosixLinkClaim() if claim_name == "posix_link"
+             else RenameNoReplaceClaim())
+    spark = (SparkSession.builder.master("local[2]")
+             .config("spark.sql.shuffle.partitions", "2")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    mgr = TableManager(spark, wh, backend="parquet", claim_backend=claim)
+    for b in range(3):
+        df = spark.range(10).select(
+            F.lit(marker + "-" + str(b)).alias("batch"), F.col("id"))
+        v = mgr.write_snapshot(df, "t")
+        print("snap", marker, b, "as v", v, flush=True)
+    print("SNAPSHOTTER_OK", flush=True)
+    spark.stop()
+    """
+)
+
+
+def test_two_process_snapshot_writers_serialize(spark, tmp_path, claim_impl):
+    """The claimed HEAD-log protocol under REAL cross-process
+    concurrency (both ClaimBackends): two OS processes each commit 3
+    snapshots of the same table. Versions must come out dense (0..5,
+    no clobbers, no holes), the HEAD log's seq records dense, HEAD
+    must point at a retained version, and every retained version must
+    be a complete readable table."""
+    wh = str(tmp_path / "wh")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             _SNAPSHOT_WRITER_SCRIPT.format(repo=REPO_DIR), wh, m,
+             claim_impl],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=dict(os.environ),
+        )
+        for m in ("alpha", "beta")
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for (out, err), p in zip(outs, procs):
+        assert p.returncode == 0, err[-2000:]
+        assert "SNAPSHOTTER_OK" in out
+
+    mgr = TableManager(spark, wh, backend="parquet")
+    assert mgr.snapshot_history("t") == [0, 1, 2, 3, 4, 5]
+    head = mgr.snapshot_version("t")
+    assert head in mgr.snapshot_history("t")
+    # head-log seq records are dense (every HEAD move was a clean claim)
+    log_dir = mgr._head_log_dir("t")
+    seqs = sorted(
+        int(e.name[:-5]) for e in os.scandir(log_dir)
+        if e.name.endswith(".json")
+    )
+    assert seqs == list(range(6)), seqs
+    # every retained version reads back complete (10 rows, one batch)
+    for v in mgr.snapshot_history("t"):
+        df = mgr.read_snapshot("t", v)
+        assert df.count() == 10
+        assert df.select("batch").distinct().count() == 1
