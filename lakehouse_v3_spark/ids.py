@@ -68,6 +68,12 @@ def with_dense_id(
         .withColumn(_PID, F.spark_partition_id())
         .persist()
     )
+    # the pin survives ONLY the successful materialize=False return
+    # (the caller inspects the lazy plan and owns the lifecycle); every
+    # other exit — materialized result, empty input, exception — drops
+    # the cache entry before leaving (r9 review: the empty/exception
+    # paths leaked an unreachable pinned frame in lazy mode too)
+    keep_pinned = False
     try:
         counts = {r[_PID]: r["cnt"] for r in part.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()}
         cum = 0
@@ -87,10 +93,11 @@ def with_dense_id(
             .drop(_PID)
         )
         if not materialize:
+            keep_pinned = True
             return out
         return out.localCheckpoint(eager=True)
     finally:
-        if materialize:
+        if not keep_pinned:
             part.unpersist(blocking=False)
 
 

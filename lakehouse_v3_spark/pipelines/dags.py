@@ -115,22 +115,36 @@ def _interval_csv_files(raw_dir: str, start, end) -> list[str]:
     zone rescan (at 100× an hourly schedule was 24 full scans of the
     zone per day; now it's 24 listings plus each day's files once).
 
-    Flat ``*.csv`` directly under ``raw_dir`` carry no partition info
-    and are conservatively kept (pruning is an optimization — it may
-    read MORE than the interval, never less)."""
+    Conservative rules (pruning is an optimization — it may read MORE
+    than the interval, never less): flat ``*.csv`` directly under
+    ``raw_dir`` carry no partition info and are always kept, and so is
+    any ``date=`` dir whose key does NOT parse as a date (a misnamed
+    partition must degrade to "read and let the timestamp filter
+    decide", not silently vanish from every tick — r9 review). Keys
+    are compared as PARSED dates, so non-zero-padded keys
+    (``date=2024-5-1``) prune correctly rather than never matching.
+    A row misfiled under a parseable key OUTSIDE its own day is the
+    one case pruning cannot see — that is the collector's partition
+    contract (identical to Hive/Delta partition-column semantics).
+    """
     import os as _os
-    from datetime import timedelta as _td
+    from datetime import date as _date, timedelta as _td
 
-    days = set()
-    d = start.date()
-    last = (end - _td(microseconds=1)).date()
-    while d <= last:
-        days.add(d.isoformat())
-        d += _td(days=1)
+    lo = start.date()
+    hi = (end - _td(microseconds=1)).date()
     files: list[str] = []
+
+    def _key_date(key: str):
+        try:
+            y, m, d = key.split("-")
+            return _date(int(y), int(m), int(d))
+        except (ValueError, TypeError):
+            return None
+
     for e in sorted(_os.scandir(raw_dir), key=lambda e: e.name):
         if e.is_dir() and e.name.startswith("date="):
-            if e.name[len("date="):] in days:
+            kd = _key_date(e.name[len("date="):])
+            if kd is None or lo <= kd <= hi:
                 files.extend(
                     f"{e.path}/{fn}"
                     for fn in sorted(_os.listdir(e.path))

@@ -870,6 +870,15 @@ pairs AS (
 )
 
 
+# the .replace() above is brittle against future edits to the pairs
+# CTE text: a silent miss would make the SF variant identical to the
+# primary (trivially "equivalent" to the pinning test) and big-SF
+# gates would lose the prefilter — fail at import instead (r9 review)
+assert "array_cosine_similarity" in _SEMDEDUP_SF_ORACLE, (
+    "_SEMDEDUP_SF_ORACLE replace missed: pairs CTE text drifted"
+)
+
+
 @register(
     "semdedup_centroid_prune",
     oracle=_SEMDEDUP_ORACLE,

@@ -413,10 +413,15 @@ class SqlGateway:
         tok = uuid.uuid4().hex
         now = time.monotonic()
         with self._cursors_mu:
+            # TTL sweep must also respect pins (r9 review): `touched`
+            # only refreshes AFTER a successful page drain, so a slow
+            # in-flight fetch can look expired mid-drain — sweeping it
+            # here would re-open the exact mid-drain-404 window the
+            # pin mechanism closes for the LRU path
             dead = [
                 t
                 for t, c in self._cursors.items()
-                if now - c["touched"] > self.cursor_ttl_s
+                if now - c["touched"] > self.cursor_ttl_s and c["pins"] == 0
             ]
             for t in dead:
                 del self._cursors[t]
@@ -458,7 +463,13 @@ class SqlGateway:
             cur = self._cursors.get(token)
             if cur is None:
                 return None
-            if time.monotonic() - cur["touched"] > self.cursor_ttl_s:
+            # a PINNED cursor is never TTL-expired here either: another
+            # fetch is mid-drain and will refresh `touched` when it
+            # finishes (r9 review — same reasoning as the sweep above)
+            if (
+                time.monotonic() - cur["touched"] > self.cursor_ttl_s
+                and cur["pins"] == 0
+            ):
                 del self._cursors[token]
                 return None
             cur["pins"] += 1

@@ -83,12 +83,23 @@ class ClaimBackend(abc.ABC):
         ...
 
 
+def _claim_tmp_name(directory: str) -> str:
+    """Uuid-unique staging name for a claim payload (r9 review): the
+    claim dir is SHARED across hosts — that is the whole point of the
+    backends — and a pid-based tmp name can collide between two hosts'
+    writers (equal pids in separate namespaces), letting writer B's
+    staging truncate writer A's bytes before A publishes: a silently
+    corrupt commit record, worse than a lost claim."""
+    import uuid
+
+    return f"{directory}/.tmp-claim-{uuid.uuid4().hex}"
+
+
 class PosixLinkClaim(ClaimBackend):
     """Hard-link claim: POSIX local / NFSv4 filesystems."""
 
     def put_if_absent(self, payload: bytes, final_path: str) -> bool:
-        d = os.path.dirname(final_path)
-        tmp = f"{d}/.tmp-claim-{os.getpid()}-{id(payload)}"
+        tmp = _claim_tmp_name(os.path.dirname(final_path))
         with open(tmp, "wb") as f:
             f.write(payload)
             f.flush()
@@ -147,6 +158,25 @@ class RenameNoReplaceClaim(ClaimBackend):
 
     _AT_FDCWD = -100
     _RENAME_NOREPLACE = 1
+    _libc = None  # loaded once per process (class attribute)
+
+    @classmethod
+    def _renameat2(cls):
+        """Resolve libc's renameat2 once; a libc WITHOUT the symbol
+        (glibc < 2.28) must surface as OSError(ENOSYS) — not a raw
+        AttributeError — so probe()'s except-OSError converts it into
+        the contractual ClaimUnsupportedError (r9 review)."""
+        import ctypes
+        import errno as _errno
+
+        if cls._libc is None:
+            cls._libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        try:
+            return cls._libc.renameat2
+        except AttributeError as exc:
+            raise OSError(
+                _errno.ENOSYS, "libc has no renameat2 symbol"
+            ) from exc
 
     def _renameat2_noreplace(self, src: str, dst: str) -> None:
         """Raises FileExistsError when dst exists, OSError when the
@@ -154,8 +184,8 @@ class RenameNoReplaceClaim(ClaimBackend):
         import ctypes
         import errno as _errno
 
-        libc = ctypes.CDLL("libc.so.6", use_errno=True)
-        r = libc.renameat2(
+        fn = self._renameat2()
+        r = fn(
             self._AT_FDCWD,
             os.fsencode(src),
             self._AT_FDCWD,
@@ -169,8 +199,7 @@ class RenameNoReplaceClaim(ClaimBackend):
             raise OSError(e, os.strerror(e), src)
 
     def put_if_absent(self, payload: bytes, final_path: str) -> bool:
-        d = os.path.dirname(final_path)
-        tmp = f"{d}/.tmp-claim-{os.getpid()}-{id(payload)}"
+        tmp = _claim_tmp_name(os.path.dirname(final_path))
         with open(tmp, "wb") as f:
             f.write(payload)
             f.flush()
@@ -696,13 +725,24 @@ class TableManager:
         snapshot story ports to object storage with the same
         conditional-put and nothing else."""
         d = self._head_log_dir(table)
-        if not os.path.isdir(d):
+        if os.path.isdir(d):
+            names = [
+                e.name for e in os.scandir(d) if e.name.endswith(".json")
+            ]
+            if names:
+                with open(f"{d}/{max(names)}", encoding="utf-8") as f:
+                    return json.load(f)
+        # back-compat (r9 review): tables committed before the claimed
+        # head log used a single _HEAD pointer file — honor it when the
+        # log is empty so pre-migration warehouses keep their HEAD; the
+        # next _commit_head seeds the log at seq 0 and supersedes it
+        try:
+            with open(
+                f"{self._snap_dir(table)}/_HEAD", encoding="utf-8"
+            ) as f:
+                return {"seq": -1, "version": int(json.load(f)["version"])}
+        except FileNotFoundError:
             return None
-        names = [e.name for e in os.scandir(d) if e.name.endswith(".json")]
-        if not names:
-            return None
-        with open(f"{d}/{max(names)}", encoding="utf-8") as f:
-            return json.load(f)
 
     def _commit_head(self, table: str, version: int) -> None:
         """Move HEAD to ``version`` by claiming the next head-log seq
@@ -852,6 +892,18 @@ class TableManager:
                 if v not in keep:
                     shutil.rmtree(f"{self._snap_dir(table)}/v{v}")
                     removed.append(v)
+            # compact the HEAD log to its max-seq record (the only one
+            # _head_record ever reads) — the append-only log of HEAD
+            # moves must not grow without bound on a long-lived table
+            # (r9 review); safe under the writer lock because the next
+            # _commit_head allocates max+1 regardless of holes below it
+            d = self._head_log_dir(table)
+            if os.path.isdir(d):
+                names = sorted(
+                    e.name for e in os.scandir(d) if e.name.endswith(".json")
+                )
+                for name in names[:-1]:
+                    os.unlink(f"{d}/{name}")
         return removed
 
     # -- optimistic-concurrency commit log (r6 verdict item #3) ----------

@@ -542,3 +542,31 @@ def test_scheduled_audit_dag_alerts_once_per_closed_interval(spark):
     # caught up: no further interval, no further alert
     assert sd.tick(D(2024, 5, 1, 2, 30)) == []
     assert len(sent) == 2
+
+
+def test_interval_pruning_is_conservative_on_odd_keys(spark):
+    """r9 review: a date= dir whose key is non-canonical must degrade
+    to read-and-filter, never silently vanish from every tick —
+    unpadded keys prune by PARSED date, unparseable keys are kept."""
+    from lakehouse_v3_spark.pipelines.dags import _interval_csv_files
+
+    raw = tempfile.mkdtemp(prefix="uber_raw_odd_")
+    layout = {
+        "date=2024-05-01": "in-interval, canonical",
+        "date=2024-5-2": "in-interval, UNPADDED (must parse + match)",
+        "date=2024-05-09": "outside interval (pruned)",
+        "date=whenever": "unparseable (conservatively kept)",
+    }
+    for d in layout:
+        os.makedirs(os.path.join(raw, d))
+        with open(os.path.join(raw, d, "x.csv"), "w") as f:
+            f.write("Date\n2024-05-01\n")
+    with open(os.path.join(raw, "flat.csv"), "w") as f:
+        f.write("Date\n2024-05-01\n")
+    got = _interval_csv_files(raw, D(2024, 5, 1), D(2024, 5, 3))
+    dirs = {os.path.basename(os.path.dirname(p)) or "." for p in got}
+    assert "date=2024-05-01" in dirs
+    assert "date=2024-5-2" in dirs        # unpadded still matches
+    assert "date=whenever" in dirs        # unparseable kept
+    assert "date=2024-05-09" not in dirs  # genuinely pruned
+    assert any(p.endswith("flat.csv") for p in got)

@@ -630,3 +630,41 @@ def test_two_process_snapshot_writers_serialize(spark, tmp_path, claim_impl):
         df = mgr.read_snapshot("t", v)
         assert df.count() == 10
         assert df.select("batch").distinct().count() == 1
+
+
+def test_legacy_head_pointer_still_resolves(spark, tmp_path):
+    """Back-compat (r9 review): a warehouse written before the claimed
+    head log used a single _HEAD pointer file — it must keep resolving,
+    and the next commit must supersede it through the log."""
+    import json as _json
+
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    # forge the pre-migration layout: version dirs + _HEAD, no head log
+    snap = mgr._snap_dir("t")
+    for v, n in ((0, 3), (1, 5)):
+        spark.range(n).write.parquet(f"{snap}/v{v}")
+    with open(f"{snap}/_HEAD", "w", encoding="utf-8") as f:
+        _json.dump({"version": 1}, f)
+    assert mgr.snapshot_version("t") == 1
+    assert mgr.read_snapshot("t").count() == 5
+    mgr.restore_snapshot("t", 0)  # first claimed HEAD move (seq 0)
+    assert mgr.snapshot_version("t") == 0
+    v2 = mgr.write_snapshot(spark.range(7), "t")
+    assert v2 == 2 and mgr.read_snapshot("t").count() == 7
+
+
+def test_vacuum_snapshots_compacts_head_log(spark, tmp_path):
+    """The append-only HEAD log must not grow without bound:
+    vacuum_snapshots keeps only the max-seq record (the one
+    _head_record reads), and subsequent commits continue above it."""
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    for i in range(4):
+        mgr.write_snapshot(spark.range(i + 1), "t")
+    d = mgr._head_log_dir("t")
+    assert len(os.listdir(d)) == 4
+    mgr.vacuum_snapshots("t", keep_last=2)
+    logs = [n for n in os.listdir(d) if n.endswith(".json")]
+    assert len(logs) == 1 and logs[0] == f"{3:020d}.json"
+    assert mgr.snapshot_version("t") == 3
+    assert mgr.write_snapshot(spark.range(9), "t") == 4  # seq continues
+    assert mgr.snapshot_version("t") == 4
