@@ -953,3 +953,129 @@ def semdedup_centroid_prune(spark, sf_dir):
     return e.select("vec_id", "label").join(dropped, "vec_id", "left").select(
         "vec_id", "label", F.col("_dropped").isNull().alias("is_kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split leakage audit: near-dup pairs crossing train/val/test (round 9)
+# ---------------------------------------------------------------------------
+
+_LEAK_SPLIT_CASE = (
+    "CASE WHEN {id} % 10 < 8 THEN 'train' "
+    "WHEN {id} % 10 = 8 THEN 'val' ELSE 'test' END"
+)
+
+_LEAK_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
+),
+sp AS (
+  SELECT id_a, id_b,
+         {_LEAK_SPLIT_CASE.format(id='id_a')} AS sa,
+         {_LEAK_SPLIT_CASE.format(id='id_b')} AS sb
+  FROM pairs
+),
+crossed AS (
+  SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+         CASE WHEN sa <= sb THEN id_a ELSE id_b END AS lo_id,
+         CASE WHEN sa <= sb THEN id_b ELSE id_a END AS hi_id
+  FROM sp WHERE sa <> sb
+)
+SELECT split_lo, split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs,
+       CAST(COUNT(DISTINCT lo_id) AS BIGINT) AS n_docs_lo,
+       CAST(COUNT(DISTINCT hi_id) AS BIGINT) AS n_docs_hi
+FROM crossed
+GROUP BY split_lo, split_hi
+"""
+
+# big-SF variant, written OUT IN FULL (not string-replaced — r9 review
+# lesson): float32 native-cosine prefilter at (tau - 1e-3), exact
+# double fold decides; equivalence pinned at sf0.01 by
+# test_sf_oracle_equivalent_to_primary
+_LEAK_SF_ORACLE = f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS FLOAT[64]) AS arr, embedding
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a
+  JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE array_cosine_similarity(a.arr, b.arr) >= 0.4 - 1e-3
+    AND {_cos('a.embedding', 'b.embedding')} >= 0.4
+),
+sp AS (
+  SELECT id_a, id_b,
+         {_LEAK_SPLIT_CASE.format(id='id_a')} AS sa,
+         {_LEAK_SPLIT_CASE.format(id='id_b')} AS sb
+  FROM pairs
+),
+crossed AS (
+  SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+         CASE WHEN sa <= sb THEN id_a ELSE id_b END AS lo_id,
+         CASE WHEN sa <= sb THEN id_b ELSE id_a END AS hi_id
+  FROM sp WHERE sa <> sb
+)
+SELECT split_lo, split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs,
+       CAST(COUNT(DISTINCT lo_id) AS BIGINT) AS n_docs_lo,
+       CAST(COUNT(DISTINCT hi_id) AS BIGINT) AS n_docs_hi
+FROM crossed
+GROUP BY split_lo, split_hi
+"""
+
+
+@register(
+    "split_leakage_audit", oracle=_LEAK_ORACLE, sf_oracle=_LEAK_SF_ORACLE
+)
+def split_leakage_audit(spark, sf_dir):
+    """Train/val/test LEAKAGE audit: near-duplicate pairs that CROSS a
+    split boundary. Decontamination (decontaminate_ngram_overlap)
+    guards against external benchmark leakage; this is the internal
+    counterpart — a val/test example with a near-duplicate in train
+    inflates eval scores exactly like contamination, so curation
+    pipelines audit (and drop) cross-split near-dups after splitting
+    (the published failure mode behind several benchmark-overlap
+    retractions; same deterministic hash-of-id split convention as
+    split_train_val_test: id % 10 → 8/1/1).
+
+    Output: one row per unordered split pair (train-val, train-test,
+    test-val) with the leaky pair count and the distinct contaminated
+    docs on each side — the drop-list sizes. Integer-only output,
+    deterministic.
+
+    Scale shape: the pair set reuses near_dup_pairs' label-blocked
+    GEMM path (O(n²) → Σ block², Arrow-batched BLAS); the split
+    classification is a pure JVM expression on the pair ids (no
+    second scan of the corpus — the audit costs ONE aggregation over
+    the pair set, grouped on a ≤3-row key)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    pairs = near_dup_pairs(
+        e, "vec_id", block_col="label", threshold=0.4, dim=64
+    ).select("id_a", "id_b")
+
+    def split(c):
+        return (
+            F.when(c % 10 < 8, "train").when(c % 10 == 8, "val").otherwise("test")
+        )
+
+    sp = pairs.select(
+        "id_a", "id_b",
+        split(F.col("id_a")).alias("sa"),
+        split(F.col("id_b")).alias("sb"),
+    ).filter(F.col("sa") != F.col("sb"))
+    lo_first = F.col("sa") <= F.col("sb")
+    crossed = sp.select(
+        F.least("sa", "sb").alias("split_lo"),
+        F.greatest("sa", "sb").alias("split_hi"),
+        F.when(lo_first, F.col("id_a")).otherwise(F.col("id_b")).alias("lo_id"),
+        F.when(lo_first, F.col("id_b")).otherwise(F.col("id_a")).alias("hi_id"),
+    )
+    return crossed.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).alias("n_leaky_pairs"),
+        F.countDistinct("lo_id").alias("n_docs_lo"),
+        F.countDistinct("hi_id").alias("n_docs_hi"),
+    )
