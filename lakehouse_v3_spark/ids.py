@@ -48,6 +48,17 @@ def with_dense_id(
     #7). ``materialize=False`` returns the LAZY plan and leaves the
     cache pinned (caller owns the lifecycle; used by the plan guards
     to assert the no-global-window shape).
+
+    .. warning:: (r9 ADVICE) ``localCheckpoint`` is NON-RELIABLE: the
+       checkpointed partitions live only on executors, so on a real
+       cluster an executor loss or dynamic-allocation decommission
+       makes the returned frame unrecomputable after the fact. Callers
+       must treat the result as transient — write it to a table (the
+       intended 100 TB usage) promptly rather than holding it across
+       long-running work. Under ``spark.dynamicAllocation.enabled``
+       prefer writing the result immediately or use a reliable
+       ``checkpoint()`` with a checkpoint dir if the frame must
+       survive executor churn.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

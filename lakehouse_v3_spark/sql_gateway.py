@@ -180,6 +180,16 @@ class SqlGateway:
         # running iterators forever.
         self.cursor_ttl_s = float(cursor_ttl_s)
         self.max_cursors = int(max_cursors)
+        # Hard upper bound on a PINNED cursor's age (r9 ADVICE, low): a
+        # fetch hung inside _take never refreshes `touched` and its pin
+        # exempts the cursor from TTL + LRU, so enough hung fetches
+        # could grow the registry past max_cursors with nothing
+        # evictable. After pin_hard_ttl_x × cursor_ttl_s of silence the
+        # cursor is force-dropped regardless of pins; the hung fetch's
+        # eventual _unpin decrements a detached dict (harmless) and its
+        # client's next_token 404s — the correct outcome for a fetch
+        # that outlived every sane budget.
+        self.pin_hard_ttl_x = 10.0
         self._cursors: dict[str, dict] = {}
         self._cursors_mu = threading.Lock()
         gateway = self
@@ -418,10 +428,14 @@ class SqlGateway:
             # in-flight fetch can look expired mid-drain — sweeping it
             # here would re-open the exact mid-drain-404 window the
             # pin mechanism closes for the LRU path
+            hard = self.cursor_ttl_s * self.pin_hard_ttl_x
             dead = [
                 t
                 for t, c in self._cursors.items()
-                if now - c["touched"] > self.cursor_ttl_s and c["pins"] == 0
+                if (now - c["touched"] > self.cursor_ttl_s and c["pins"] == 0)
+                # hard bound: even a pinned cursor dies after pin_hard_ttl_x
+                # TTLs of silence — a hung fetch must not pin forever
+                or now - c["touched"] > hard
             ]
             for t in dead:
                 del self._cursors[t]
@@ -466,9 +480,11 @@ class SqlGateway:
             # a PINNED cursor is never TTL-expired here either: another
             # fetch is mid-drain and will refresh `touched` when it
             # finishes (r9 review — same reasoning as the sweep above)
-            if (
-                time.monotonic() - cur["touched"] > self.cursor_ttl_s
-                and cur["pins"] == 0
+            age = time.monotonic() - cur["touched"]
+            if (age > self.cursor_ttl_s and cur["pins"] == 0) or (
+                # same hard bound as the registration sweep: a cursor
+                # pinned by a hung fetch is not a valid fetch target
+                age > self.cursor_ttl_s * self.pin_hard_ttl_x
             ):
                 del self._cursors[token]
                 return None

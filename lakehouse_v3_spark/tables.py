@@ -268,7 +268,12 @@ class TableManager:
         self.warehouse_dir = warehouse_dir.rstrip("/")
         self.backend = backend or ("delta" if _delta_available() else "parquet")
         self.claim_backend = claim_backend or PosixLinkClaim()
-        self._claim_probed = False
+        # Probed state is keyed by DIRECTORY, not a single flag (r9
+        # ADVICE, low): the snapshot head-log dir and the txn-log dir —
+        # and different tables — can live on different mounts (e.g. one
+        # table on a FUSE object-store mount); each claim directory must
+        # pass its own capability probe before its first claim.
+        self._claim_probed: set[str] = set()
         os.makedirs(self.warehouse_dir, exist_ok=True)
 
     # -- paths -----------------------------------------------------------
@@ -726,12 +731,23 @@ class TableManager:
         conditional-put and nothing else."""
         d = self._head_log_dir(table)
         if os.path.isdir(d):
-            names = [
-                e.name for e in os.scandir(d) if e.name.endswith(".json")
-            ]
-            if names:
-                with open(f"{d}/{max(names)}", encoding="utf-8") as f:
-                    return json.load(f)
+            # Readers hold NO lock (that is the protocol's point), so the
+            # max-seq record listed here can be unlinked between scandir
+            # and open by a concurrent commit + vacuum_snapshots head-log
+            # compaction (r9 ADVICE, medium). Retry the list-and-open: a
+            # vanished max means a NEWER record exists (compaction only
+            # removes superseded records), so the re-scan converges.
+            for _ in range(64):
+                names = [
+                    e.name for e in os.scandir(d) if e.name.endswith(".json")
+                ]
+                if not names:
+                    break
+                try:
+                    with open(f"{d}/{max(names)}", encoding="utf-8") as f:
+                        return json.load(f)
+                except FileNotFoundError:
+                    continue
         # back-compat (r9 review): tables committed before the claimed
         # head log used a single _HEAD pointer file — honor it when the
         # log is empty so pre-migration warehouses keep their HEAD; the
@@ -752,9 +768,9 @@ class TableManager:
         (the flock can't see other hosts — the claim can)."""
         d = self._head_log_dir(table)
         os.makedirs(d, exist_ok=True)
-        if not self._claim_probed:
+        if d not in self._claim_probed:
             self.claim_backend.probe(d)
-            self._claim_probed = True
+            self._claim_probed.add(d)
         head = self._head_record(table)
         seq = (head["seq"] + 1) if head else 0
         payload = json.dumps({"seq": seq, "version": version}).encode("utf-8")
@@ -804,7 +820,16 @@ class TableManager:
             tmp = f"{snap}/.tmp-v{version}"
             df.write.format("parquet").mode("overwrite").save(tmp)
             os.replace(tmp, vdir)  # data visible only under its final name
-            self._commit_head(table, version)  # THE commit point (claimed)
+            try:
+                self._commit_head(table, version)  # THE commit point (claimed)
+            except ConcurrentWriteError:
+                # The vdir was renamed into place but its commit lost the
+                # claim (cross-host racer the flock can't see). It was
+                # never published via HEAD — remove it so time travel
+                # can't serve an uncommitted version and vacuum never
+                # retains it as one of keep_last (r9 ADVICE, low).
+                shutil.rmtree(vdir, ignore_errors=True)
+                raise
         return version
 
     def snapshot_version(self, table: str) -> int | None:
@@ -902,7 +927,12 @@ class TableManager:
                 names = sorted(
                     e.name for e in os.scandir(d) if e.name.endswith(".json")
                 )
-                for name in names[:-1]:
+                # keep the top TWO records, not one (r10, ADVICE): a
+                # lockless reader that listed the old max right before a
+                # commit landed would otherwise find its record unlinked;
+                # keeping max-1 widens the race window the reader-side
+                # retry (above, _head_record) has to cover.
+                for name in names[:-2]:
                     os.unlink(f"{d}/{name}")
         return removed
 
@@ -988,9 +1018,9 @@ class TableManager:
         LOUDLY (ClaimUnsupportedError), never racily."""
         log = self._txn_log_dir(table)
         os.makedirs(log, exist_ok=True)
-        if not self._claim_probed:
+        if log not in self._claim_probed:
             self.claim_backend.probe(log)
-            self._claim_probed = True
+            self._claim_probed.add(log)
         payload = json.dumps(record).encode("utf-8")
         return self.claim_backend.put_if_absent(
             payload, self._txn_commit_path(table, record["version"])

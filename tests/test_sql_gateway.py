@@ -309,3 +309,38 @@ def test_cross_process_paged_client(gateway):
     assert proc.returncode == 0, proc.stderr
     rows = json.loads(proc.stdout)
     assert [r[0] for r in rows] == list(range(25))
+
+
+def test_hung_pinned_cursor_force_dropped_after_hard_ttl(spark):
+    """r9 ADVICE (low): a fetch hung inside _take pins its cursor
+    forever and the pin exempts it from TTL + LRU. After
+    pin_hard_ttl_x × cursor_ttl_s of silence the cursor must be
+    force-dropped regardless of pins — both at lookup time and in the
+    registration sweep — so hung fetches cannot grow the registry
+    unboundedly."""
+    import time as _time
+
+    with SqlGateway(spark, port=0, cursor_ttl_s=0.05) as gw:
+        out = _post(
+            gw.url,
+            {"sql": "SELECT id FROM RANGE(100) ORDER BY id",
+             "page_size": 10},
+        )
+        tok = out["next_token"]
+        assert tok
+        # simulate the hung fetch: pin without ever unpinning/touching
+        hung = gw._cursor(tok)
+        assert hung is not None and hung["pins"] == 1
+        # within the hard bound a pinned cursor survives the sweep
+        _time.sleep(0.1)  # > ttl, < 10×ttl
+        gw._register_cursor(iter([]), None, {"columns": [], "types": []})
+        assert tok in gw._cursors
+        # past the hard bound (10 × 0.05 s = 0.5 s) it is droppable
+        _time.sleep(0.5)
+        assert gw._cursor(tok) is None          # lookup force-drops
+        assert tok not in gw._cursors
+        # the hung fetch's eventual unpin on the detached dict is benign
+        gw._unpin(hung)
+        # registry still serves new statements
+        ok = _post(gw.url, {"sql": "SELECT 1 AS x"})
+        assert ok["rows"] == [[1]]

@@ -655,16 +655,106 @@ def test_legacy_head_pointer_still_resolves(spark, tmp_path):
 
 def test_vacuum_snapshots_compacts_head_log(spark, tmp_path):
     """The append-only HEAD log must not grow without bound:
-    vacuum_snapshots keeps only the max-seq record (the one
-    _head_record reads), and subsequent commits continue above it."""
+    vacuum_snapshots keeps only the top-TWO records (max-seq is the one
+    _head_record reads; max-1 widens the lockless-reader race window —
+    r9 ADVICE), and subsequent commits continue above them."""
     mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
     for i in range(4):
         mgr.write_snapshot(spark.range(i + 1), "t")
     d = mgr._head_log_dir("t")
     assert len(os.listdir(d)) == 4
     mgr.vacuum_snapshots("t", keep_last=2)
-    logs = [n for n in os.listdir(d) if n.endswith(".json")]
-    assert len(logs) == 1 and logs[0] == f"{3:020d}.json"
+    logs = sorted(n for n in os.listdir(d) if n.endswith(".json"))
+    assert logs == [f"{2:020d}.json", f"{3:020d}.json"]
     assert mgr.snapshot_version("t") == 3
     assert mgr.write_snapshot(spark.range(9), "t") == 4  # seq continues
     assert mgr.snapshot_version("t") == 4
+
+
+def test_head_record_retries_on_compacted_max(spark, tmp_path, monkeypatch):
+    """r9 ADVICE (medium): a lockless reader's listed max-seq record can
+    be unlinked between scandir and open by a concurrent commit +
+    head-log compaction. _head_record must re-scan (a vanished max
+    implies a NEWER record exists), never crash with FileNotFoundError."""
+    import lakehouse_v3_spark.tables as T
+
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    mgr.write_snapshot(spark.range(3), "t")  # seq 0
+    mgr.write_snapshot(spark.range(5), "t")  # seq 1
+    d = mgr._head_log_dir("t")
+
+    real_scandir = os.scandir
+    state = {"raced": False}
+
+    class FakeEntry:
+        name = f"{99:020d}.json"  # listed, then "compacted away"
+
+    def racing_scandir(path, *a, **kw):
+        entries = list(real_scandir(path, *a, **kw))
+        if os.path.abspath(str(path)) == os.path.abspath(d) and not state["raced"]:
+            state["raced"] = True
+            entries.append(FakeEntry())  # stale listing: max vanishes
+        return iter(entries)
+
+    monkeypatch.setattr(T.os, "scandir", racing_scandir)
+    head = mgr._head_record("t")
+    assert state["raced"] and head == {"seq": 1, "version": 1}
+
+
+def test_claim_probe_is_per_directory(spark, tmp_path):
+    """r9 ADVICE (low): the capability probe must run once per claim
+    DIRECTORY, not once per TableManager — tables (and the snapshot
+    head-log vs txn-log dirs) can span mounts with different claim
+    support."""
+    from lakehouse_v3_spark.tables import PosixLinkClaim
+
+    probed = []
+
+    class Recording(PosixLinkClaim):
+        def probe(self, directory):
+            probed.append(directory)
+            return super().probe(directory)
+
+    mgr = TableManager(
+        spark, str(tmp_path / "wh"), backend="parquet",
+        claim_backend=Recording(),
+    )
+    mgr.txn_append(spark.range(1), "t1")        # txn-log dir of t1
+    mgr.txn_append(spark.range(1), "t1")        # same dir: no new probe
+    mgr.txn_append(spark.range(1), "t2")        # txn-log dir of t2
+    mgr.write_snapshot(spark.range(1), "t1")    # head-log dir of t1
+    assert len(probed) == 3 and len(set(probed)) == 3
+    assert mgr._txn_log_dir("t1") in probed
+    assert mgr._txn_log_dir("t2") in probed
+    assert mgr._head_log_dir("t1") in probed
+
+
+def test_lost_head_claim_removes_uncommitted_vdir(spark, tmp_path):
+    """r9 ADVICE (low): when write_snapshot's HEAD commit loses the
+    claim, the just-renamed version dir was never published — it must
+    not linger in snapshot_history (time travel serving uncommitted
+    data) nor count toward vacuum's keep_last."""
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    mgr.write_snapshot(spark.range(3), "t")  # v0, seq 0
+    real_put = mgr.claim_backend.put_if_absent
+    stolen = {"done": False}
+
+    def steal_seq(payload, final_path):
+        if "_head_log" in final_path and not stolen["done"]:
+            stolen["done"] = True
+            assert real_put(b'{"seq": 1, "version": 0}', final_path)
+        return real_put(payload, final_path)
+
+    mgr.claim_backend.put_if_absent = steal_seq
+    try:
+        with pytest.raises(ConcurrentWriteError, match="HEAD"):
+            mgr.write_snapshot(spark.range(5), "t")
+    finally:
+        mgr.claim_backend.put_if_absent = real_put
+    # the never-committed v1 is gone: not readable, not in history
+    assert mgr.snapshot_history("t") == [0]
+    with pytest.raises(Exception):
+        mgr.read_snapshot("t", version=1).count()
+    # and the next write re-allocates version 1 cleanly
+    assert mgr.write_snapshot(spark.range(7), "t") == 1
+    assert mgr.read_snapshot("t").count() == 7
