@@ -116,6 +116,7 @@ _MODULES = [
     "stats_extras",
     "source_queries",
     "linededup_queries",
+    "curation_pipeline",
 ]
 
 

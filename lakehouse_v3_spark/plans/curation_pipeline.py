@@ -1,0 +1,356 @@
+"""Catalog queries for the composed curation pipeline
+(:mod:`..pipelines.curation`) — the end-to-end funnel as driver-contract
+queries with FULL DuckDB WITH-chain oracles that replay every stage:
+quality filter → exact dedup → MinHash near-dup → decontaminate →
+deterministic split → cross-split leakage drop → gold summary.
+
+The oracle SQL is GENERATED from the same constants as the Spark
+stages (thresholds from pipelines/curation.py, minhash seeds/bands from
+operators/dedup.py, stopwords from functions/text.py), so both engines
+run the identical funnel — the oracle is a true independent
+re-execution of the whole pipeline, not of one operator.
+
+Also here: ``split_leakage_apply`` (r9 verdict item #2) — the
+embedding-space drop-list applicator closing ``split_leakage_audit``'s
+loop: consume the cross-split near-dup pair set and DROP the train-side
+contaminators (keep val/test), returning per-split retained counts.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS
+from ..io_utils import load
+from ..operators.dedup import BAND_SIZE, MINHASH_PRIME, MINHASH_SEEDS
+from ..operators.similarity import near_dup_pairs
+from ..pipelines.curation import (
+    EVAL_MOD,
+    LEAK_JACCARD,
+    MAX_STOPWORD_RATIO,
+    MAX_TOKENS,
+    MIN_TOKENS,
+    NEAR_DUP_JACCARD,
+    run_funnel,
+)
+from . import register
+from .similarity_queries import _cos
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _funnel_ctes() -> str:
+    """The full-funnel CTE chain over the ``documents`` view. Every
+    stage mirrors the Spark function in pipelines/curation.py; the
+    minhash fragments are generated from the SAME seeds/band constants
+    as operators/dedup.py (the dedup_queries oracle-generation
+    pattern)."""
+    md5_8 = f"(('0x' || substr(md5(shingle), 1, 8))::BIGINT % {MINHASH_PRIME})"
+    sig_lines = ",\n    ".join(
+        f"MIN(({a} * {md5_8} + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    n_bands = len(MINHASH_SEEDS) // BAND_SIZE
+    band_items = ",\n     ".join(
+        "concat_ws('|', '%d', %s)"
+        % (b, ", ".join(f"mh{b * BAND_SIZE + r}::VARCHAR" for r in range(BAND_SIZE)))
+        for b in range(n_bands)
+    )
+    # 2-gram shingles over the carried token array t (the same
+    # word_shingles(k=2) the Spark side uses)
+    shingles2 = (
+        "list_transform(range(1, greatest(len(t) - 1, 0) + 1), "
+        "i -> concat_ws(' ', t[i], t[i+1]))"
+    )
+    # 8-gram shingles for decontamination (decontaminate_ngram_overlap's
+    # exact formulation)
+    ng8 = (
+        "list_transform(range(1, len(t) - 6), i -> "
+        "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || "
+        "t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])"
+    )
+    split_case = (
+        "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train' "
+        "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val' "
+        "ELSE 'test' END"
+    )
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, lang, text, {_TOKS} AS t FROM documents
+),
+q AS (  -- stage Q: quality gate (text_quality_score's exact rule)
+  SELECT * FROM toks0
+  WHERE len(t) BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+    AND (CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(t, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(t)
+         END) < {MAX_STOPWORD_RATIO}
+),
+ck AS (  -- stage E: exact dedup by normalized-content sha256
+  SELECT *,
+         sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                    ' +', ' ', 'g'))) AS _ck
+  FROM q
+),
+e AS (
+  SELECT ck.doc_id, ck.lang, ck.text, ck.t
+  FROM ck
+  JOIN (SELECT _ck, MIN(doc_id) AS doc_id FROM ck GROUP BY _ck) k
+    USING (_ck, doc_id)
+),
+sets AS (  -- MinHash machinery (dedup_minhash_lsh's exact fragments)
+  SELECT DISTINCT doc_id, unnest(list_distinct({shingles2})) AS shingle FROM e
+),
+sigs AS (
+  SELECT doc_id,
+    {sig_lines}
+  FROM sets GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([
+     {band_items}]) AS band_key
+  FROM sigs
+),
+cands AS (
+  SELECT DISTINCT h.id_a, b.doc_id AS id_b
+  FROM bands b
+  JOIN (SELECT band_key, MIN(doc_id) AS id_a FROM bands GROUP BY band_key) h
+    ON b.band_key = h.band_key AND h.id_a < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (  -- verified pairs at the looser LEAK threshold, reused twice
+  SELECT c.id_a, c.id_b,
+         CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+           / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) AS jaccard
+  FROM cands c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b
+  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+          / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) >= CAST({LEAK_JACCARD} AS DOUBLE)
+),
+n AS (  -- stage N: greedy keep-min near-dup drop
+  SELECT * FROM e
+  WHERE doc_id NOT IN (
+    SELECT DISTINCT id_b FROM pairs WHERE jaccard >= CAST({NEAR_DUP_JACCARD} AS DOUBLE)
+  )
+),
+ev AS (  -- stage D: eval 8-gram set from the ORIGINAL documents
+  SELECT DISTINCT unnest({ng8}) AS ng FROM toks0 WHERE doc_id % {EVAL_MOD} = 0
+),
+corpus AS (SELECT * FROM n WHERE doc_id % {EVAL_MOD} <> 0),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({ng8}) AS ng FROM corpus) cng
+  JOIN ev USING (ng)
+),
+d AS (
+  SELECT * FROM corpus
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+s AS (  -- stage S: deterministic md5 80/10/10 split
+  SELECT *, {split_case} AS split FROM d
+),
+lp AS (  -- stage L: cross-split verified pairs among live docs
+  SELECT p.id_a, p.id_b, a.split AS sa, b.split AS sb
+  FROM pairs p
+  JOIN s a ON a.doc_id = p.id_a
+  JOIN s b ON b.doc_id = p.id_b
+  WHERE a.split <> b.split
+),
+leak_drops AS (
+  SELECT DISTINCT CASE WHEN sa = 'train' THEN id_a ELSE id_b END AS doc_id
+  FROM lp WHERE sa = 'train' OR sb = 'train'
+),
+l AS (
+  SELECT * FROM s WHERE doc_id NOT IN (SELECT doc_id FROM leak_drops)
+)"""
+
+
+_GOLD_ORACLE = f"""{_funnel_ctes()}
+SELECT lang, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+FROM l
+GROUP BY lang, split
+"""
+
+_FUNNEL_STAGES = [
+    "ingest", "quality", "exact_dedup", "near_dup", "decontaminate", "leakage",
+]
+_FUNNEL_CTE_OF = {
+    "ingest": "toks0", "quality": "q", "exact_dedup": "e",
+    "near_dup": "n", "decontaminate": "d", "leakage": "l",
+}
+
+_FUNNEL_ORACLE = f"""{_funnel_ctes()}
+""" + "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS INTEGER) AS stage_idx, '{name}' AS stage, "
+    f"CAST(COUNT(*) AS BIGINT) AS n_docs FROM {_FUNNEL_CTE_OF[name]}"
+    for i, name in enumerate(_FUNNEL_STAGES)
+)
+
+
+@register("curation_pipeline_gold", oracle=_GOLD_ORACLE)
+def curation_pipeline_gold(spark, sf_dir):
+    """The END-TO-END curation funnel as one composed query (r9 verdict
+    item #1): quality filter → exact dedup → MinHash near-dup (greedy
+    keep-min) → decontaminate vs the eval set → deterministic 80/10/10
+    split → cross-split leakage drop (train side) → per-(lang, split)
+    gold survivorship with total token counts. Every stage is the
+    already-verified operator's exact rule, composed in the published
+    pipeline order; the oracle replays the IDENTICAL funnel as one
+    DuckDB WITH chain.
+
+    Scale shape: the one expensive step (minhash pair job) is computed
+    ONCE and localCheckpointed — it feeds both the near-dup drop and
+    the leakage drop; everything else is projections, hash-key
+    shuffles, a broadcast anti-join, and one ≤(langs×3)-row final
+    aggregation. The orchestrated warehouse form of the same funnel
+    (incremental ingest, per-stage tables, idempotent re-runs) is
+    pipelines/curation.curation_dag, tested in tests/test_curation.py."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return run_funnel(docs, materialize_pairs=True)["gold"]
+
+
+@register("curation_funnel_counts", oracle=_FUNNEL_ORACLE)
+def curation_funnel_counts(spark, sf_dir):
+    """Stage-survivorship funnel for the curation pipeline: one row per
+    stage with the surviving document count — the pipeline-health
+    table an operator actually watches (drop-rate regressions surface
+    here before they poison a training run). Same composed funnel as
+    curation_pipeline_gold; six single-row aggregations unioned."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    f = run_funnel(docs, materialize_pairs=True)
+    branches = [
+        f[name]
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n_docs"),
+        )
+        for i, name in enumerate(_FUNNEL_STAGES)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), branches)
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_apply: the embedding-space drop-list applicator
+# ---------------------------------------------------------------------------
+
+_APPLY_SPLIT_CASE = (
+    "CASE WHEN {id} % 10 < 8 THEN 'train' "
+    "WHEN {id} % 10 = 8 THEN 'val' ELSE 'test' END"
+)
+
+_APPLY_TAIL = f"""
+sp AS (
+  SELECT id_a, id_b,
+         {_APPLY_SPLIT_CASE.format(id='id_a')} AS sa,
+         {_APPLY_SPLIT_CASE.format(id='id_b')} AS sb
+  FROM pairs
+),
+drops AS (
+  SELECT DISTINCT CASE WHEN sa = 'train' THEN id_a ELSE id_b END AS vec_id
+  FROM sp WHERE sa <> sb AND (sa = 'train' OR sb = 'train')
+),
+base AS (
+  SELECT vec_id, {_APPLY_SPLIT_CASE.format(id='vec_id')} AS split
+  FROM embeddings
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_retained
+FROM base
+LEFT JOIN drops d USING (vec_id)
+GROUP BY split
+"""
+
+_APPLY_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
+),{_APPLY_TAIL}"""
+
+# big-SF variant: float32 native-cosine prefilter at (tau - 1e-3), exact
+# double fold decides — split_leakage_audit's exact sf_oracle pattern;
+# equivalence pinned at sf0.01 by test_sf_oracle_equivalent_to_primary
+_APPLY_SF_ORACLE = f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS FLOAT[64]) AS arr, embedding
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a
+  JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE array_cosine_similarity(a.arr, b.arr) >= 0.4 - 1e-3
+    AND {_cos('a.embedding', 'b.embedding')} >= 0.4
+),{_APPLY_TAIL}"""
+
+
+@register(
+    "split_leakage_apply", oracle=_APPLY_ORACLE, sf_oracle=_APPLY_SF_ORACLE
+)
+def split_leakage_apply(spark, sf_dir):
+    """Close the leakage loop (r9 verdict item #2): consume the SAME
+    cross-split near-dup pair set as split_leakage_audit and APPLY the
+    drop policy — a train doc near-duplicating a val/test doc is
+    dropped, val/test stay intact (eval sets are sacred; the
+    contaminating train copy goes). Output: one row per split with
+    total / dropped / retained counts — the audit's drop-list sizes
+    turned into an executed decision.
+
+    Scale shape: identical to the audit's — the pair set reuses
+    near_dup_pairs' label-blocked GEMM path (Σ block², Arrow-batched
+    BLAS); the drop set is DISTINCT train-side ids off the bounded
+    pair set (broadcast-sized), applied with one left_anti-shaped
+    LEFT JOIN + one ≤3-row aggregation. The corpus never shuffles."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    pairs = near_dup_pairs(
+        e, "vec_id", block_col="label", threshold=0.4, dim=64
+    ).select("id_a", "id_b")
+
+    def split(c):
+        return (
+            F.when(c % 10 < 8, "train").when(c % 10 == 8, "val").otherwise("test")
+        )
+
+    sp = pairs.select(
+        "id_a", "id_b",
+        split(F.col("id_a")).alias("sa"),
+        split(F.col("id_b")).alias("sb"),
+    ).filter(F.col("sa") != F.col("sb"))
+    drops = (
+        sp.filter((F.col("sa") == "train") | (F.col("sb") == "train"))
+        .select(
+            F.when(F.col("sa") == "train", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    base = e.select("vec_id", split(F.col("vec_id")).alias("split"))
+    return (
+        base.join(F.broadcast(drops), "vec_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("_dropped")).alias("n_retained"),
+        )
+    )
