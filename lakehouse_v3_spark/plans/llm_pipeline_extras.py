@@ -618,3 +618,133 @@ def bpe_merge_pair_counts(spark, sf_dir):
         .orderBy(F.col("pair_count").desc(), F.col("pair"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterated BPE training: K merge rounds (r9 verdict item #3)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 10
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """Unrolled K-round replay of the identical training loop in DuckDB:
+    each round picks the (count desc, pair asc) argmax adjacent pair
+    and applies it with the same greedy left-to-right fold (list_reduce
+    over a string accumulator; symbols are [a-z]+ so the space-joined
+    encoding and the LIKE ends-with test are unambiguous). Every
+    intermediate is MATERIALIZED — a data-dependent CTE referenced
+    twice must not be inlined twice."""
+    parts = [
+        f"""WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+words AS (SELECT unnest(t) AS w FROM toks),
+vocab AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+syms0 AS MATERIALIZED (
+  SELECT cnt,
+         list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)) AS s
+  FROM vocab
+)"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"syms{i - 1}"
+        parts.append(f""",
+b{i} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT unnest(list_transform(range(1, len(s)),
+                                     j -> s[j] || ' ' || s[j+1])) AS pair,
+               cnt
+        FROM {prev} WHERE len(s) >= 2)
+  GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 1
+),
+syms{i} AS MATERIALIZED (
+  -- DuckDB lambdas reject subqueries; the 1-row argmax CTE is
+  -- cross-joined in so the lambda captures plain columns (ml, mr)
+  SELECT cnt, string_split(list_reduce(s, (acc, x) ->
+    CASE WHEN x = mr AND (acc = ml OR acc LIKE '% ' || ml)
+         THEN acc || x ELSE acc || ' ' || x END), ' ') AS s
+  FROM (SELECT p.cnt, p.s,
+               split_part(b.pair, ' ', 1) AS ml,
+               split_part(b.pair, ' ', 2) AS mr
+        FROM {prev} p, b{i} b)
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_idx, pair, pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+@register("bpe_train_merges", oracle=_bpe_train_oracle(BPE_TRAIN_ROUNDS))
+def bpe_train_merges(spark, sf_dir):
+    """FULL BPE tokenizer training for K merge rounds (Sennrich et al.
+    2016) — the iterative extension of bpe_merge_pair_counts: each round
+    counts adjacent symbol pairs over the word-frequency vocabulary,
+    picks the (count desc, pair asc) argmax, MERGES it everywhere with
+    the greedy left-to-right fold real BPE uses (overlaps consume
+    left-first: 'aaaa' + (a,a) → [aa, aa]), and re-counts. Output: the
+    learned merge table (merge_idx, pair, pair_count) — the artifact a
+    tokenizer ships.
+
+    This is the reference-shaped "driver loop over Spark jobs" pattern
+    (the audit engine / iterative-CC shape, SURVEY §3.3): per round ONE
+    aggregation job whose argmax (a single row) is pulled to the
+    driver, then folded back into the symbolization as a literal.
+
+    Scale shape: the corpus collapses to the word-frequency vocab once
+    (the corpus→dict reduction — pair work tracks |vocab| × word
+    length, not corpus tokens); each round's symbolization is PERSISTED
+    and the previous round's cache dropped, so round k never replays
+    rounds 1..k-1's folds (without this the lineage recompute makes the
+    loop O(K²)); the pair-count shuffle key stays alphabet²-bounded.
+    The merge fold is a JVM aggregate over a string accumulator — no
+    Python in any per-row path."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(_spark_toks(F.col("text"))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    prev = vocab.select(
+        "cnt",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("s"),
+    ).persist()
+    merges: list[tuple[int, str, int]] = []
+    try:
+        for k in range(1, BPE_TRAIN_ROUNDS + 1):
+            pairs = prev.filter(F.size("s") >= 2).select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> concat_ws(' ', element_at(s, i), element_at(s, i + 1)))"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            best = (
+                pairs.groupBy("pair")
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(F.col("pair_count").desc(), F.col("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not best:  # corpus fully merged (unreachable on real data)
+                break
+            pair, n = best[0]["pair"], int(best[0]["pair_count"])
+            merges.append((k, pair, n))
+            a, b = pair.split(" ")
+            folded = F.aggregate(
+                F.slice(F.col("s"), 2, F.size("s")),
+                F.element_at(F.col("s"), 1),
+                lambda acc, x: F.when(
+                    (x == F.lit(b))
+                    & ((acc == F.lit(a)) | F.endswith(acc, F.lit(" " + a))),
+                    F.concat(acc, x),
+                ).otherwise(F.concat(acc, F.lit(" "), x)),
+            )
+            nxt = prev.select("cnt", F.split(folded, " ").alias("s")).persist()
+            nxt.count()  # materialize from prev's cache before dropping it
+            prev.unpersist(blocking=False)
+            prev = nxt
+    finally:
+        prev.unpersist(blocking=False)
+    return spark.createDataFrame(
+        merges, "merge_idx INT, pair STRING, pair_count LONG"
+    )

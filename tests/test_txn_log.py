@@ -23,20 +23,24 @@ from lakehouse_v3_spark.tables import ConcurrentWriteError, TableManager
 REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.fixture(autouse=True, params=["posix_link", "rename_noreplace"])
+@pytest.fixture(
+    autouse=True,
+    params=["posix_link", "rename_noreplace", "conditional_put"],
+)
 def claim_impl(request, monkeypatch):
-    """Run the ENTIRE commit-log suite over BOTH ClaimBackends (r8
-    verdict item #1: a second implementation must exercise the seam —
-    every conflict/retry/vacuum/compact scenario, not a bespoke
-    smoke test). TableManager's default claim constructor is swapped
-    per-param, so each test body runs unchanged twice."""
+    """Run the ENTIRE commit-log suite over ALL THREE ClaimBackends
+    (r8 verdict item #1 + r9 item #5: every implementation must
+    exercise the seam — every conflict/retry/vacuum/compact scenario,
+    not a bespoke smoke test; conditional_put is the mock object-store
+    If-None-Match backend). TableManager's default claim constructor is
+    swapped per-param, so each test body runs unchanged three times."""
     import lakehouse_v3_spark.tables as T
 
-    impl = (
-        T.PosixLinkClaim
-        if request.param == "posix_link"
-        else T.RenameNoReplaceClaim
-    )
+    impl = {
+        "posix_link": T.PosixLinkClaim,
+        "rename_noreplace": T.RenameNoReplaceClaim,
+        "conditional_put": T.ConditionalPutClaim,
+    }[request.param]
     monkeypatch.setattr(T, "PosixLinkClaim", impl)
     return request.param
 
@@ -248,13 +252,27 @@ def test_claim_backend_probe_fails_loudly_without_primitive(
             raise OSError(38, "Function not implemented (hard links)")
 
         monkeypatch.setattr(os, "link", no_link)
-    else:
+    elif claim_impl == "rename_noreplace":
         def no_renameat2(self, src, dst):
             raise OSError(38, "Function not implemented (renameat2)")
 
         monkeypatch.setattr(
             RenameNoReplaceClaim, "_renameat2_noreplace", no_renameat2
         )
+    else:
+        import lakehouse_v3_spark.tables as T
+
+        real_mkdir = os.mkdir
+
+        def no_mkdir(path, *a, **kw):
+            # only the CLAIM mkdir is "unsupported" — makedirs of the
+            # log dir itself must keep working so the probe reaches the
+            # primitive under test
+            if str(path).endswith(".claim"):
+                raise OSError(38, "Function not implemented (mkdir)")
+            return real_mkdir(path, *a, **kw)
+
+        monkeypatch.setattr(T.os, "mkdir", no_mkdir)
     with pytest.raises(ClaimUnsupportedError, match="conditional-put"):
         mgr.txn_append(spark.range(1), "t")
 
@@ -437,14 +455,15 @@ _WRITER_SCRIPT = textwrap.dedent(
     from pyspark.sql import SparkSession, functions as F
     from lakehouse_v3_spark.tables import (
         TableManager, ConcurrentWriteError, PosixLinkClaim,
-        RenameNoReplaceClaim,
+        RenameNoReplaceClaim, ConditionalPutClaim,
     )
 
     wh, marker, mode, claim_name = (
         sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
     )
-    claim = (PosixLinkClaim() if claim_name == "posix_link"
-             else RenameNoReplaceClaim())
+    claim = {{"posix_link": PosixLinkClaim,
+              "rename_noreplace": RenameNoReplaceClaim,
+              "conditional_put": ConditionalPutClaim}}[claim_name]()
     spark = (SparkSession.builder.master("local[2]")
              .config("spark.sql.shuffle.partitions", "2")
              .config("spark.ui.enabled", "false").getOrCreate())
@@ -570,11 +589,13 @@ _SNAPSHOT_WRITER_SCRIPT = textwrap.dedent(
     from pyspark.sql import SparkSession, functions as F
     from lakehouse_v3_spark.tables import (
         TableManager, PosixLinkClaim, RenameNoReplaceClaim,
+        ConditionalPutClaim,
     )
 
     wh, marker, claim_name = sys.argv[1], sys.argv[2], sys.argv[3]
-    claim = (PosixLinkClaim() if claim_name == "posix_link"
-             else RenameNoReplaceClaim())
+    claim = {{"posix_link": PosixLinkClaim,
+              "rename_noreplace": RenameNoReplaceClaim,
+              "conditional_put": ConditionalPutClaim}}[claim_name]()
     spark = (SparkSession.builder.master("local[2]")
              .config("spark.sql.shuffle.partitions", "2")
              .config("spark.ui.enabled", "false").getOrCreate())
@@ -662,10 +683,13 @@ def test_vacuum_snapshots_compacts_head_log(spark, tmp_path):
     for i in range(4):
         mgr.write_snapshot(spark.range(i + 1), "t")
     d = mgr._head_log_dir("t")
-    assert len(os.listdir(d)) == 4
+    assert sum(n.endswith(".json") for n in os.listdir(d)) == 4
     mgr.vacuum_snapshots("t", keep_last=2)
     logs = sorted(n for n in os.listdir(d) if n.endswith(".json"))
     assert logs == [f"{2:020d}.json", f"{3:020d}.json"]
+    # marker-based backends: compacted records take their claim markers
+    # with them (bounded log, any backend)
+    assert sum(n.endswith(".claim") for n in os.listdir(d)) <= 2
     assert mgr.snapshot_version("t") == 3
     assert mgr.write_snapshot(spark.range(9), "t") == 4  # seq continues
     assert mgr.snapshot_version("t") == 4
@@ -758,3 +782,74 @@ def test_lost_head_claim_removes_uncommitted_vdir(spark, tmp_path):
     # and the next write re-allocates version 1 cleanly
     assert mgr.write_snapshot(spark.range(7), "t") == 1
     assert mgr.read_snapshot("t").count() == 7
+
+
+# -- conditional-put (mock object store) fault injection ------------------
+
+
+def test_conditional_put_visibility_lag_is_safe(spark, tmp_path, claim_impl):
+    """r9 verdict item #5: the object-store failure mode the POSIX
+    backends cannot express — the conditional PUT is ACKNOWLEDGED
+    (claim decided) while the object lags out of listings. A competing
+    appender keeps targeting the invisible version and losing its
+    claim; once the object publishes, it lands exactly-once ABOVE it.
+    No version is ever double-claimed, no reader sees a torn record."""
+    import threading
+
+    from lakehouse_v3_spark.tables import ConditionalPutClaim
+
+    if claim_impl != "conditional_put":
+        pytest.skip("backend-specific fault injection")
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    mgr.txn_append(spark.range(3), "t")  # v0
+
+    # racer: claims v1 through a LAGGY backend (ack now, publish late)
+    laggy = ConditionalPutClaim(visibility_delay_s=0.6)
+    racer_rel = mgr._txn_write_data(spark.range(100, 105), "t")
+    rec = {"version": 1, "op": "append", "add": [racer_rel],
+           "readVersion": 0}
+    payload = __import__("json").dumps(rec).encode()
+    racer = threading.Thread(
+        target=lambda: laggy.put_if_absent(
+            payload, mgr._txn_commit_path("t", 1)
+        )
+    )
+    racer.start()
+    time.sleep(0.1)  # claim marker is down, object not yet visible
+    # competing append: loses the claim on invisible v1 until it
+    # publishes, then retries onto v2 — exactly-once
+    v = mgr.txn_append(spark.range(10, 14), "t", max_retries=200_000)
+    racer.join()
+    assert v == 2
+    assert mgr.txn_version("t") == 2
+    assert mgr.txn_read("t").count() == 3 + 5 + 4  # racer's rows landed too
+
+
+def test_conditional_put_crash_window_fails_loudly(
+    spark, tmp_path, claim_impl
+):
+    """The mock's disclosed crash window (claim marker down, object
+    never published — real S3 makes both one conditional PUT): the
+    orphaned claim must make competing appends fail LOUDLY after their
+    retry budget, never double-claim or corrupt the log."""
+    from lakehouse_v3_spark.tables import ConditionalPutClaim
+
+    if claim_impl != "conditional_put":
+        pytest.skip("backend-specific fault injection")
+    mgr = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    mgr.txn_append(spark.range(3), "t")  # v0
+
+    class Crash(RuntimeError):
+        pass
+
+    crasher = ConditionalPutClaim(
+        on_claimed=lambda path: (_ for _ in ()).throw(Crash("died"))
+    )
+    with pytest.raises(Crash):
+        crasher.put_if_absent(b"{}", mgr._txn_commit_path("t", 1))
+    # v1 is claimed forever but never published: appends stall, then
+    # raise — the log itself stays clean (v0 only, every record parses)
+    with pytest.raises(ConcurrentWriteError, match="lost the commit race"):
+        mgr.txn_append(spark.range(5), "t", max_retries=10)
+    assert mgr.txn_version("t") == 0
+    assert mgr.txn_read("t").count() == 3
