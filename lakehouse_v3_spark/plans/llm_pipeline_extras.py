@@ -707,6 +707,15 @@ def bpe_train_merges(spark, sf_dir):
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("s"),
     ).persist()
     merges: list[tuple[int, str, int]] = []
+    # One ACTION per round, not two: round k's argmax collect is itself
+    # the job that materializes round k-1's persisted symbolization (it
+    # is the first action touching it), so the dedicated
+    # nxt.count()-then-unpersist step is redundant — instead the
+    # previous frame is kept cached ONE extra round (so the fold reads
+    # a cache, never replays lineage) and unpersisted right after the
+    # argmax that materialized its successor. Halves the per-round job
+    # count; the loop stays O(K).
+    stale = None
     try:
         for k in range(1, BPE_TRAIN_ROUNDS + 1):
             pairs = prev.filter(F.size("s") >= 2).select(
@@ -725,10 +734,17 @@ def bpe_train_merges(spark, sf_dir):
                 .limit(1)
                 .collect()
             )
+            # prev is now materialized in its own cache; its parent's
+            # cache is no longer needed by anything
+            if stale is not None:
+                stale.unpersist(blocking=False)
+                stale = None
             if not best:  # corpus fully merged (unreachable on real data)
                 break
             pair, n = best[0]["pair"], int(best[0]["pair_count"])
             merges.append((k, pair, n))
+            if k == BPE_TRAIN_ROUNDS:
+                break  # the K-th fold's output is never read — skip it
             a, b = pair.split(" ")
             folded = F.aggregate(
                 F.slice(F.col("s"), 2, F.size("s")),
@@ -740,11 +756,454 @@ def bpe_train_merges(spark, sf_dir):
                 ).otherwise(F.concat(acc, F.lit(" "), x)),
             )
             nxt = prev.select("cnt", F.split(folded, " ").alias("s")).persist()
-            nxt.count()  # materialize from prev's cache before dropping it
-            prev.unpersist(blocking=False)
-            prev = nxt
+            stale, prev = prev, nxt
     finally:
+        if stale is not None:
+            stale.unpersist(blocking=False)
         prev.unpersist(blocking=False)
     return spark.createDataFrame(
         merges, "merge_idx INT, pair STRING, pair_count LONG"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-SPAN removal (round 10 — the surgical counterpart of
+# document-level dedup: Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better", EXACTSUBSTR)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 5  # span order: a K-token window repeated across docs is cut
+
+
+_SPAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS s,
+         ('0x' || substr(md5(array_to_string(t[u.i:u.i + {SPAN_K - 1}], ' ')),
+                         1, 15))::BIGINT AS h
+  FROM toks, UNNEST(range(1, len(t) - {SPAN_K} + 2)) AS u(i)
+  WHERE len(t) >= {SPAN_K}
+),
+dup AS (
+  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+  WHERE nd >= 2
+),
+covg AS (
+  SELECT DISTINCT g.doc_id, CAST(r.p AS BIGINT) AS p
+  FROM g JOIN dup USING (h), UNNEST(range(g.s, g.s + {SPAN_K})) AS r(p)
+),
+cov AS (SELECT doc_id, list(p) AS ps FROM covg GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(c.ps), 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(len(c.ps), 0) AS DOUBLE) / len(t.t) AS removed_frac,
+       -- array_to_string([]) is NULL in DuckDB (Spark's concat_ws gives
+       -- ''), so a fully-removed doc needs the COALESCE to fingerprint
+       -- the empty retained text identically on both engines
+       md5(COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(1, len(t.t) + 1),
+                       i -> NOT list_contains(COALESCE(c.ps, []), i)),
+           i -> t.t[i]), ' '), '')) AS retained_fp
+FROM toks t LEFT JOIN cov c USING (doc_id)
+WHERE len(t.t) >= 1
+"""
+
+
+def _span_occurrences(toks):
+    """(doc_id, s, h) for every SPAN_K-token window: 1-based start and
+    60-bit md5 prefix of the space-joined gram. Factored out so plan
+    tests can inspect the LAZY pipeline (the public query returns a
+    localCheckpoint, which collapses explain to Scan ExistingRDD)."""
+    g = toks.filter(F.size("t") >= SPAN_K).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {SPAN_K - 1}), "
+                f"i -> concat_ws(' ', slice(t, i, {SPAN_K})))"
+            )
+        ).alias("p0", "ng"),
+    )
+    return g.select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("s"),
+        F.conv(F.substring(F.md5("ng"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+
+
+def _span_removal_lazy(spark, sf_dir, occ=None):
+    """The full span-removal plan, UN-persisted and UN-checkpointed —
+    the query wraps this with persist(occ) + localCheckpoint; plan
+    tests read it directly."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _spark_toks(F.col("text")).alias("t")).filter(
+        F.size("t") >= 1
+    )
+    if occ is None:
+        occ = _span_occurrences(toks)
+    dup = (
+        occ.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    # shuffle duplicated span STARTS per doc; expand to covered
+    # positions post-shuffle in one array expression
+    cov = (
+        occ.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("ss"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(flatten(transform(ss, "
+                f"s -> sequence(s, s + {SPAN_K - 1}))))"
+            ).alias("ps"),
+        )
+    )
+    joined = toks.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        F.coalesce(
+            F.col("ps"), F.expr("cast(array() as array<bigint>)")
+        ).alias("ps"),
+    )
+    retained = F.expr(
+        "transform(filter(sequence(1, size(t)), "
+        "i -> NOT array_contains(ps, cast(i as bigint))), "
+        "i -> element_at(t, i))"
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size("ps").cast("long").alias("n_removed"),
+        (F.size("ps").cast("double") / F.size("t")).alias("removed_frac"),
+        F.md5(F.concat_ws(" ", retained)).alias("retained_fp"),
+    )
+
+
+@register("dedup_span_removal", oracle=_SPAN_ORACLE)
+def dedup_span_removal(spark, sf_dir):
+    """Exact duplicated-span REMOVAL (Lee et al. 2022's EXACTSUBSTR,
+    k-gram-hash-shaped): any {SPAN_K}-token window whose exact text
+    occurs in >= 2 distinct documents is cut from every document that
+    contains it; overlapping duplicated windows merge into one removed
+    span. Output per document: token count, removed-token count and
+    fraction, and the md5 fingerprint of the RETAINED token sequence
+    (the cleaned text, hash-compared instead of shipped).
+
+    This is the surgical counterpart of the catalog's document-level
+    dedups (dedup_exact_content drops whole docs;
+    dup_ngram_doc_fraction only MEASURES cross-doc n-gram sharing) —
+    boilerplate headers/footers are excised while the unique remainder
+    of each document survives, which is what the published pipeline
+    does to news/web corpora.
+
+    Scale shape (suffix arrays do not distribute; k-gram hashing does):
+      1. spans are hashed to 60-bit md5 prefixes BEFORE any shuffle —
+         both shuffles (dup-gram min/max, coverage groupBy) move 8-byte
+         keys;
+      2. the exploded occurrence table is PERSISTED across its two
+         consumers (dup-gram detection and the coverage join) — the
+         tokenize+hash of the whole corpus is paid once, not three
+         times (measured 3×44 s of the original 262 s at sf10);
+      3. "occurs in >= 2 distinct docs" is min(doc_id) != max(doc_id) —
+         one fully map-side-combinable aggregation, no COUNT(DISTINCT)
+         expand;
+      4. coverage shuffles span STARTS (one row per duplicated
+         occurrence) and expands start -> K covered positions AFTER the
+         groupBy as a per-row array expression — the K× blow-up never
+         crosses the wire;
+      5. retained-text reassembly is pure JVM array algebra
+         (sequence/filter/element_at) on each doc's own row — no
+         per-row Python, no window, no driver materialization.
+    Hash collisions (~2^-60 per pair) are identical on both engines, so
+    parity is exact."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _spark_toks(F.col("text")).alias("t")).filter(
+        F.size("t") >= 1
+    )
+    occ = _span_occurrences(toks).persist()
+    try:
+        out = _span_removal_lazy(spark, sf_dir, occ=occ)
+        # materialize through the persisted occurrence table before the
+        # finally releases it (the returned frame must not silently
+        # re-derive the 25M-gram explode uncached)
+        return out.localCheckpoint()
+    finally:
+        occ.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
+# BPE corpus ENCODING (round 10 — closes the tokenizer loop: train K
+# merges, then apply the learned tokenizer to every document)
+# ---------------------------------------------------------------------------
+
+BPE_ENCODE_ROUNDS = 5
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Unrolled replay of training (identical argmax + greedy fold,
+    carrying the word key through every round) followed by the encode
+    join: per document, words joined to their final symbolization and
+    the BPE token count summed. Same MATERIALIZED discipline as
+    _bpe_train_oracle."""
+    parts = [
+        f"""WITH dtoks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+words AS (SELECT unnest(t) AS w FROM dtoks),
+vocab AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+syms0 AS MATERIALIZED (
+  SELECT w, cnt,
+         list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)) AS s
+  FROM vocab
+)"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"syms{i - 1}"
+        parts.append(f""",
+b{i} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT unnest(list_transform(range(1, len(s)),
+                                     j -> s[j] || ' ' || s[j+1])) AS pair,
+               cnt
+        FROM {prev} WHERE len(s) >= 2)
+  GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 1
+),
+syms{i} AS MATERIALIZED (
+  SELECT w, cnt, string_split(list_reduce(s, (acc, x) ->
+    CASE WHEN x = mr AND (acc = ml OR acc LIKE '% ' || ml)
+         THEN acc || x ELSE acc || ' ' || x END), ' ') AS s
+  FROM (SELECT p.w, p.cnt, p.s,
+               split_part(b.pair, ' ', 1) AS ml,
+               split_part(b.pair, ' ', 2) AS mr
+        FROM {prev} p, b{i} b)
+)""")
+    parts.append(f""",
+perdoc AS (SELECT doc_id, unnest(t) AS w FROM dtoks)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(e.s)) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(len(e.s)) AS DOUBLE) / COUNT(*) AS bpe_per_word
+FROM perdoc p JOIN syms{k} e USING (w)
+GROUP BY p.doc_id""")
+    return "".join(parts)
+
+
+@register("bpe_encode_corpus", oracle=_bpe_encode_oracle(BPE_ENCODE_ROUNDS))
+def bpe_encode_corpus(spark, sf_dir):
+    """Apply a just-trained BPE tokenizer to the corpus: train
+    BPE_ENCODE_ROUNDS merges exactly as `bpe_train_merges` does (same
+    argmax rule, same greedy left-to-right fold), then ENCODE every
+    document — each word replaced by its merged symbol sequence — and
+    report per-document word count, BPE token count, and tokens/word.
+    Together with `bpe_train_merges` this is the full tokenizer
+    lifecycle a pretraining pipeline runs: train on the corpus, encode
+    the corpus.
+
+    Scale shape: training cost tracks |vocab| (corpus collapses to the
+    word-frequency dictionary once — the classic corpus->dict
+    reduction); the ENCODE is one equi-join of the exploded corpus
+    against the |vocab|-row symbol table (AQE broadcasts it when it
+    fits; at open-web vocab sizes a shuffle hash join on the word key
+    is what Catalyst picks and exactly right) followed by one partial-
+    aggregated groupBy(doc_id). Per-round persist + unpersist keeps the
+    K-round loop O(K) as in bpe_train_merges; no Python in any per-row
+    path."""
+    d = load(spark, sf_dir, "documents")
+    wtok = d.select("doc_id", F.explode(_spark_toks(F.col("text"))).alias("w"))
+    vocab = wtok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    prev = vocab.select(
+        "w",
+        "cnt",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("s"),
+    ).persist()
+    # One action per round (the bpe_train_merges discipline): round k's
+    # argmax collect materializes round k-1's persisted symbolization,
+    # so the parent cache is dropped one round late instead of paying a
+    # dedicated count() job. The final round's fold IS read here (by
+    # the encode join), so its materialization happens inside the
+    # localCheckpoint below, still through a cache.
+    stale = None
+    try:
+        for _ in range(BPE_ENCODE_ROUNDS):
+            pairs = prev.filter(F.size("s") >= 2).select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> concat_ws(' ', element_at(s, i), element_at(s, i + 1)))"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            best = (
+                pairs.groupBy("pair")
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(F.col("pair_count").desc(), F.col("pair"))
+                .limit(1)
+                .collect()
+            )
+            if stale is not None:
+                stale.unpersist(blocking=False)
+                stale = None
+            if not best:
+                break
+            a, b = best[0]["pair"].split(" ")
+            folded = F.aggregate(
+                F.slice(F.col("s"), 2, F.size("s")),
+                F.element_at(F.col("s"), 1),
+                lambda acc, x: F.when(
+                    (x == F.lit(b))
+                    & ((acc == F.lit(a)) | F.endswith(acc, F.lit(" " + a))),
+                    F.concat(acc, x),
+                ).otherwise(F.concat(acc, F.lit(" "), x)),
+            )
+            nxt = prev.select("w", "cnt", F.split(folded, " ").alias("s")).persist()
+            stale, prev = prev, nxt
+        encoded = prev.select("w", F.size("s").cast("long").alias("n_sym"))
+        out = (
+            wtok.join(encoded, "w")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_sym").alias("n_bpe_tokens"),
+                (F.sum("n_sym").cast("double") / F.count(F.lit(1))).alias(
+                    "bpe_per_word"
+                ),
+            )
+        )
+        # materialize THROUGH the cached symbol chain before releasing it
+        # (the finally below unpersists; an un-executed lazy plan would
+        # otherwise replay the whole K-round fold chain uncached)
+        return out.localCheckpoint()
+    finally:
+        if stale is not None:
+            stale.unpersist(blocking=False)
+        prev.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (round 10 — Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling": hashed
+# n-gram features, target/source likelihood-ratio weights, top-k keep)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256   # hashed unigram feature space
+DSIR_KEEP_FRAC = 10  # keep top 1/10 of source docs
+
+
+_DSIR_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bk
+  FROM toks
+),
+src AS (SELECT * FROM b WHERE doc_id % 29 <> 0),
+tgt AS (SELECT * FROM b WHERE doc_id % 29 = 0),
+sc AS (SELECT bk, COUNT(*) AS cs FROM src GROUP BY bk),
+tc AS (SELECT bk, COUNT(*) AS ct FROM tgt GROUP BY bk),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM src) AS ts, (SELECT COUNT(*) FROM tgt) AS tt
+),
+model AS (
+  SELECT sc.bk,
+         CAST(ROUND(ROUND(ln(
+           (CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) / (tt + {DSIR_BUCKETS})) /
+           (CAST(sc.cs + 1 AS DOUBLE) / (ts + {DSIR_BUCKETS}))
+         ), 6) * 1e6, 0) AS BIGINT) AS lr_micro
+  FROM sc LEFT JOIN tc USING (bk), tot
+),
+scored AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(m.lr_micro) AS BIGINT) AS score_micro
+  FROM src s JOIN model m USING (bk)
+  GROUP BY s.doc_id
+),
+n AS (SELECT COUNT(*) AS nd FROM scored)
+SELECT doc_id, n_tokens, score_micro
+FROM scored, n
+QUALIFY ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+        <= nd // {DSIR_KEEP_FRAC}
+"""
+
+
+@register("dsir_importance_select", oracle=_DSIR_ORACLE)
+def dsir_importance_select(spark, sf_dir):
+    """DSIR-style importance selection (Xie et al. 2023): score every
+    SOURCE document (doc_id % 29 != 0) by the log likelihood ratio of a
+    hashed-unigram model of the TARGET set (doc_id % 29 == 0 — the
+    same held-out convention decontaminate_ngram_overlap and the
+    curation funnel use) over a model of the source itself, add-one
+    smoothed over {DSIR_BUCKETS} md5 buckets, and keep the top
+    1/{DSIR_KEEP_FRAC} by score. This is the published
+    pick-data-that-looks-like-the-target selection step, with the
+    external tokenizer/feature artifacts replaced by the repo's parity
+    tokenization.
+
+    Cross-engine determinism: per-BUCKET log-ratios are round(6)-ed and
+    carried as exact BIGINT micro-units (the lm_unigram_doc_score
+    discipline) so each doc's score is an order-independent integer
+    sum; selection ties break on doc_id.
+
+    Scale shape: bucket counts are two partial-aggregated groupBys on a
+    {DSIR_BUCKETS}-value key; the {DSIR_BUCKETS}-row model is broadcast
+    onto the token stream (never shuffles the corpus); the final top-k
+    is TakeOrderedAndProject at gate SFs. At 100 TB, where k = n/10 no
+    longer fits one driver, the same integer scores feed the
+    w1_dense_ids machinery instead: repartitionByRange(score_micro,
+    doc_id) + per-partition counts gives the exact global rank cutoff
+    with no global sort — semantics identical, plan swap only."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_spark_toks(F.col("text"))).alias("tok")
+    )
+    b = toks.select("doc_id", md5_int(F.col("tok"), DSIR_BUCKETS).alias("bk"))
+    src = b.filter(F.col("doc_id") % 29 != 0)
+    tgt = b.filter(F.col("doc_id") % 29 == 0)
+    sc = src.groupBy("bk").agg(F.count(F.lit(1)).alias("cs"))
+    tc = tgt.groupBy("bk").agg(F.count(F.lit(1)).alias("ct"))
+    tot = src.agg(F.count(F.lit(1)).alias("ts")).crossJoin(
+        tgt.agg(F.count(F.lit(1)).alias("tt"))
+    )
+    model = (
+        sc.join(tc, "bk", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bk",
+            F.round(
+                F.round(
+                    F.log(
+                        ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                         / (F.col("tt") + DSIR_BUCKETS))
+                        / ((F.col("cs") + 1).cast("double")
+                           / (F.col("ts") + DSIR_BUCKETS))
+                    ),
+                    6,
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    scored = (
+        src.join(F.broadcast(model), "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micro").alias("score_micro"),
+        )
+    )
+    # sanctioned scalar pull (the watermark pattern): k must be a
+    # literal for TakeOrdered. Counting source docs with >=1 token is
+    # one scan-and-count — far cheaper than materializing `scored`.
+    n_docs = (
+        d.filter(
+            (F.col("doc_id") % 29 != 0) & (F.size(_spark_toks(F.col("text"))) >= 1)
+        ).count()
+    )
+    return scored.orderBy(F.col("score_micro").desc(), "doc_id").limit(
+        n_docs // DSIR_KEEP_FRAC
     )

@@ -488,3 +488,42 @@ def test_semdedup_broadcasts_centroids(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semdedup_centroid_prune")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_model_broadcasts_not_corpus(spark, sf_dir):
+    """dsir_importance_select: the 256-row bucket model (and the 1-row
+    totals) must broadcast onto the token stream — the corpus is never
+    shuffled for scoring — and selection is TakeOrdered, not a global
+    Sort."""
+    plan = _plan(spark, sf_dir, "dsir_importance_select")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_removal_no_cartesian_and_hash_keys(spark, sf_dir):
+    """dedup_span_removal: the dup-gram join is an equi-join on the
+    60-bit hash (no cartesian anywhere), and the per-doc coverage
+    aggregation partially aggregates map-side. Inspect the LAZY plan —
+    the public query returns a localCheckpoint, which collapses
+    explain to Scan ExistingRDD."""
+    from lakehouse_v3_spark.plans.llm_pipeline_extras import _span_removal_lazy
+
+    df = _span_removal_lazy(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_bpe_encode_leaves_no_lingering_cache(spark, sf_dir):
+    """The K-round deferred-unpersist loop (one action per round) must
+    still release every per-round cache by return time. The ONE
+    allowed survivor is the returned frame's own localCheckpoint RDD —
+    it lives exactly as long as the result is referenced."""
+    spark.catalog.clearCache()
+    df = load_all()["bpe_encode_corpus"].fn(spark, sf_dir)
+    df.count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= 1
