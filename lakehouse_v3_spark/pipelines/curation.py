@@ -21,6 +21,9 @@ curation order:
                                   r9 verdict item #2)
       >> gold summary            (per-(lang, split) docs + tokens, plus
                                   the stage-survivorship funnel)
+      >> pack                    (fixed-budget token bins per
+                                  (split, lang) — the shard assignment
+                                  a sequence writer consumes)
 
 Every stage is a pure ``DataFrame -> DataFrame`` function here, so the
 same logic runs two ways:
@@ -53,7 +56,7 @@ Scale shape (the 100 TB argument, stage by stage):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, tokens
@@ -76,6 +79,7 @@ MAX_TOKENS = 1000
 MAX_STOPWORD_RATIO = 0.5
 NEAR_DUP_JACCARD = 0.85   # near-dup drop threshold (stage N)
 LEAK_JACCARD = 0.5        # looser cross-split leakage threshold (stage L)
+PACK_BUDGET = 256         # tokens per packed training sequence (stage P)
 EVAL_MOD = 29             # doc_id % EVAL_MOD == 0 → held-out eval set
 NGRAM_EVAL = 8            # decontamination n-gram order
 
@@ -236,6 +240,30 @@ def gold_summary(final_docs: DataFrame) -> DataFrame:
     )
 
 
+def pack_corpus(final_docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Stage P — the funnel's LAST step: pack the surviving corpus into
+    fixed ``budget``-token training bins per (split, lang), in
+    deterministic doc_id order (pack_sequences_greedy's exact cumsum
+    rule: bin = tokens-before-this-doc DIV budget). Output is the
+    per-document shard assignment a sequence writer consumes —
+    (doc_id, split, lang, n_tok, bin) — reproducible across engines,
+    re-runs and partitionings because it is a pure window cumsum, not
+    an order-dependent first-fit heuristic. One shuffle on the
+    (split, lang) key; bins never cross a split boundary so no packed
+    sequence can mix train with val/test tokens."""
+    w = (
+        Window.partitionBy("split", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = final_docs.select(
+        "doc_id", "split", "lang", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    return toks.withColumn(
+        "bin", ((F.sum("n_tok").over(w) - F.col("n_tok")) / budget).cast("long")
+    )
+
+
 def run_funnel(
     docs: DataFrame, materialize_pairs: bool = False
 ) -> dict[str, DataFrame]:
@@ -267,6 +295,7 @@ def run_funnel(
         "split": s,
         "leakage": l,
         "gold": gold_summary(l),
+        "packed": pack_corpus(l),
     }
 
 
@@ -356,6 +385,12 @@ def curation_dag(
         pairs = tm.read("curation.near_dup_pairs")
         tm.overwrite(leakage_drop(s, pairs), "curation.gold_corpus")
 
+    def pack(ctx):
+        tm.overwrite(
+            pack_corpus(tm.read("curation.gold_corpus")),
+            "curation.gold_packed",
+        )
+
     def summarize(ctx):
         final = tm.read("curation.gold_corpus")
         tm.overwrite(gold_summary(final), "curation.gold_summary")
@@ -389,6 +424,8 @@ def curation_dag(
     dag.task("split_assign", split, upstream=("decontaminate",),
              retries=retries, retry_delay=retry_delay)
     dag.task("leakage_drop", leakage, upstream=("split_assign",),
+             retries=retries, retry_delay=retry_delay)
+    dag.task("pack", pack, upstream=("leakage_drop",),
              retries=retries, retry_delay=retry_delay)
     dag.task("gold_summary", summarize, upstream=("leakage_drop",),
              retries=retries, retry_delay=retry_delay)

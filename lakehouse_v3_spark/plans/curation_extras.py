@@ -367,3 +367,86 @@ def drift_decile_train_val(spark, sf_dir):
         .cast("long")
         .alias("n_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic output sharding (round 10 — the step after packing:
+# assign every document to one of N training shards, audit balance)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 32
+
+_SHARD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {N_SHARDS} AS shard,
+         len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '')) AS n_tok,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT AS th
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM t)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(th) AS BIGINT) AS content_fp,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+       CAST(COUNT(*) AS DOUBLE) / (CAST(n AS DOUBLE) / {N_SHARDS})
+         AS balance_ratio
+FROM t, tot
+GROUP BY shard, n
+"""
+
+
+@register("shard_assign_deterministic", oracle=_SHARD_ORACLE)
+def shard_assign_deterministic(spark, sf_dir):
+    """Deterministic output sharding — the final write step of a
+    training-data pipeline: every document goes to shard
+    md5(doc_id) % {N_SHARDS}, a pure per-row function, so shard
+    membership is stable under retries, re-runs, engines and
+    partitionings (a writer can produce shard files independently on
+    every executor with no coordination). Output is the shard
+    manifest: per-shard doc/token counts, an ORDER-INDEPENDENT content
+    fingerprint (BIGINT sum of per-doc text hashes — verifiable
+    shard-by-shard after any reshuffle), id range, and the balance
+    ratio vs the uniform ideal (md5 is uniform, so ratios concentrate
+    near 1 — the audit a skew-sensitive trainer reads before
+    consuming). One partial-aggregated groupBy on a {N_SHARDS}-value
+    key; the 1-row total is broadcast. No data movement beyond the
+    {N_SHARDS}-key shuffle.""".format(N_SHARDS=N_SHARDS)
+    from ..operators.dedup import md5_int
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        md5_int(F.col("doc_id").cast("string"), N_SHARDS).alias("shard"),
+        F.size(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+        ).alias("n_tok"),
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long").alias("th"),
+    )
+    tot = t.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        t.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("th").alias("content_fp"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "content_fp",
+            "min_doc",
+            "max_doc",
+            (F.col("n_docs").cast("double") / (F.col("n") / N_SHARDS)).alias(
+                "balance_ratio"
+            ),
+        )
+    )

@@ -94,16 +94,16 @@ ck AS (  -- stage E: exact dedup by normalized-content sha256
                                     ' +', ' ', 'g'))) AS _ck
   FROM q
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT ck.doc_id, ck.lang, ck.text, ck.t
   FROM ck
   JOIN (SELECT _ck, MIN(doc_id) AS doc_id FROM ck GROUP BY _ck) k
     USING (_ck, doc_id)
 ),
-sets AS (  -- MinHash machinery (dedup_minhash_lsh's exact fragments)
+sets AS MATERIALIZED (  -- MinHash machinery (dedup_minhash_lsh's exact fragments)
   SELECT DISTINCT doc_id, unnest(list_distinct({shingles2})) AS shingle FROM e
 ),
-sigs AS (
+sigs AS MATERIALIZED (
   SELECT doc_id,
     {sig_lines}
   FROM sets GROUP BY doc_id
@@ -113,21 +113,21 @@ bands AS (
      {band_items}]) AS band_key
   FROM sigs
 ),
-cands AS (
+cands AS MATERIALIZED (
   SELECT DISTINCT h.id_a, b.doc_id AS id_b
   FROM bands b
   JOIN (SELECT band_key, MIN(doc_id) AS id_a FROM bands GROUP BY band_key) h
     ON b.band_key = h.band_key AND h.id_a < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
-inter AS (
+inter AS MATERIALIZED (
   SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
   FROM cands c
   JOIN sets sa ON sa.doc_id = c.id_a
   JOIN sets sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
   GROUP BY c.id_a, c.id_b
 ),
-pairs AS (  -- verified pairs at the looser LEAK threshold, reused twice
+pairs AS MATERIALIZED (  -- verified pairs at the looser LEAK threshold, reused twice
   SELECT c.id_a, c.id_b,
          CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
            / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) AS jaccard
@@ -157,7 +157,7 @@ d AS (
   SELECT * FROM corpus
   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ),
-s AS (  -- stage S: deterministic md5 80/10/10 split
+s AS MATERIALIZED (  -- stage S: deterministic md5 80/10/10 split
   SELECT *, {split_case} AS split FROM d
 ),
 lp AS (  -- stage L: cross-split verified pairs among live docs
@@ -171,7 +171,7 @@ leak_drops AS (
   SELECT DISTINCT CASE WHEN sa = 'train' THEN id_a ELSE id_b END AS doc_id
   FROM lp WHERE sa = 'train' OR sb = 'train'
 ),
-l AS (
+l AS MATERIALIZED (
   SELECT * FROM s WHERE doc_id NOT IN (SELECT doc_id FROM leak_drops)
 )"""
 

@@ -1207,3 +1207,138 @@ def dsir_importance_select(spark, sf_dir):
     return scored.orderBy(F.col("score_micro").desc(), "doc_id").limit(
         n_docs // DSIR_KEEP_FRAC
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality RULE STACK (round 10 — the Gopher/RefinedWeb-style composite
+# gate: every heuristic evaluated in one pass, keep flag + reason mask)
+# ---------------------------------------------------------------------------
+
+_RULES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         len(list_filter(toks, x -> x IN
+           ('a','an','the','is','are','was','were','to','of','and','in',
+            'on','for','with'))) AS n_stop,
+         len(list_distinct(toks)) AS n_uniq,
+         list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+         CASE WHEN len(toks) >= 3 THEN
+           len(list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+         END AS n_uniq_tri,
+         CASE WHEN len(toks) >= 3 THEN len(toks) - 2 END AS n_tri
+  FROM t
+),
+flags AS (
+  SELECT doc_id, n_tok,
+         (n_tok >= 10 AND n_tok <= 1000) AS ok_len,
+         (n_tok > 0 AND CAST(n_stop AS DOUBLE) / n_tok < 0.5) AS ok_stop,
+         (n_tok > 0 AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.3) AS ok_uniq,
+         (n_tri IS NULL
+          OR 1.0 - CAST(n_uniq_tri AS DOUBLE) / n_tri <= 0.5) AS ok_tri,
+         (n_tok > 0 AND CAST(sum_len AS DOUBLE) / n_tok >= 2.0
+                    AND CAST(sum_len AS DOUBLE) / n_tok <= 12.0) AS ok_wlen
+  FROM sig
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       ok_len, ok_stop, ok_uniq, ok_tri, ok_wlen,
+       (ok_len AND ok_stop AND ok_uniq AND ok_tri AND ok_wlen) AS keep,
+       CAST((CASE WHEN ok_len  THEN 0 ELSE 1 END)
+          + (CASE WHEN ok_stop THEN 0 ELSE 2 END)
+          + (CASE WHEN ok_uniq THEN 0 ELSE 4 END)
+          + (CASE WHEN ok_tri  THEN 0 ELSE 8 END)
+          + (CASE WHEN ok_wlen THEN 0 ELSE 16 END) AS BIGINT) AS fail_mask
+FROM flags
+"""
+
+
+@register("quality_rule_stack", oracle=_RULES_ORACLE)
+def quality_rule_stack(spark, sf_dir):
+    """The composite quality GATE a production curation pipeline runs
+    (Gopher rules / RefinedWeb / C4 style): five heuristics evaluated
+    in ONE pass over the corpus — length window, stopword ratio,
+    unique-token ratio, duplicate-trigram fraction, mean word length —
+    with a combined keep flag and a per-rule failure BITMASK (the audit
+    column that tells you WHICH rule killed a doc, what the published
+    pipelines log for ablation). Complements the single-signal queries
+    (text_quality_score, text_repetition_ratio) by composing the full
+    rule stack the way the funnel's quality stage would consume it.
+
+    Determinism: every ratio is an IEEE division of exact integers —
+    identical on both engines, no rounding anywhere. Scale shape: one
+    codegen'd projection over the scan, ZERO shuffles (explain shows a
+    single WholeStageCodegen span); the stopword membership list is a
+    literal, the trigram distinct-count is per-row array algebra."""
+    d = load(spark, sf_dir, "documents")
+    stop_lits = (
+        "'a','an','the','is','are','was','were','to','of','and','in',"
+        "'on','for','with'"
+    )
+    sig = d.select(
+        "doc_id",
+        _spark_toks(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.size(
+            F.expr(f"filter(toks, x -> x IN ({stop_lits}))")
+        ).alias("n_stop"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.expr(
+            "aggregate(toks, 0L, (acc, x) -> acc + length(x))"
+        ).alias("sum_len"),
+        F.expr(
+            "CASE WHEN size(toks) >= 3 THEN "
+            "size(array_distinct(transform(sequence(1, size(toks) - 2), "
+            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+            "element_at(toks, i + 2))))) END"
+        ).alias("n_uniq_tri"),
+        F.expr("CASE WHEN size(toks) >= 3 THEN size(toks) - 2 END").alias("n_tri"),
+    )
+    nt = F.col("n_tok").cast("double")
+    ok_len = (F.col("n_tok") >= 10) & (F.col("n_tok") <= 1000)
+    ok_stop = (F.col("n_tok") > 0) & (F.col("n_stop").cast("double") / nt < 0.5)
+    ok_uniq = (F.col("n_tok") > 0) & (F.col("n_uniq").cast("double") / nt >= 0.3)
+    ok_tri = F.col("n_tri").isNull() | (
+        F.lit(1.0) - F.col("n_uniq_tri").cast("double") / F.col("n_tri") <= 0.5
+    )
+    wlen = F.col("sum_len").cast("double") / nt
+    ok_wlen = (F.col("n_tok") > 0) & (wlen >= 2.0) & (wlen <= 12.0)
+    flags = sig.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        ok_len.alias("ok_len"),
+        ok_stop.alias("ok_stop"),
+        ok_uniq.alias("ok_uniq"),
+        ok_tri.alias("ok_tri"),
+        ok_wlen.alias("ok_wlen"),
+    )
+    return flags.select(
+        "doc_id",
+        "n_tok",
+        "ok_len",
+        "ok_stop",
+        "ok_uniq",
+        "ok_tri",
+        "ok_wlen",
+        (
+            F.col("ok_len")
+            & F.col("ok_stop")
+            & F.col("ok_uniq")
+            & F.col("ok_tri")
+            & F.col("ok_wlen")
+        ).alias("keep"),
+        (
+            F.when(F.col("ok_len"), 0).otherwise(1)
+            + F.when(F.col("ok_stop"), 0).otherwise(2)
+            + F.when(F.col("ok_uniq"), 0).otherwise(4)
+            + F.when(F.col("ok_tri"), 0).otherwise(8)
+            + F.when(F.col("ok_wlen"), 0).otherwise(16)
+        )
+        .cast("long")
+        .alias("fail_mask"),
+    )

@@ -147,7 +147,8 @@ def test_curation_dag_end_to_end_skip_and_incremental(spark):
         "ingest": "success", "quality_filter": "success",
         "exact_dedup": "success", "near_dup_dedup": "success",
         "decontaminate": "success", "split_assign": "success",
-        "leakage_drop": "success", "gold_summary": "success",
+        "leakage_drop": "success", "pack": "success",
+        "gold_summary": "success",
     }
     assert rep.tasks["ingest"].result == {"new_files": 2}
 
@@ -175,6 +176,32 @@ def test_curation_dag_end_to_end_skip_and_incremental(spark):
     assert final.filter(~F.col("split").isin("train", "val", "test")).count() == 0
     residual = C.leakage_drop(final, tm.read("curation.near_dup_pairs"))
     assert residual.count() == final.count()
+
+    # pack stage: DAG table == pure composition, bins respect splits,
+    # and per-(split, lang) packed token totals equal the gold summary
+    packed_tbl = {
+        r.doc_id: (r.split, r.lang, r.n_tok, r.bin)
+        for r in tm.read("curation.gold_packed").collect()
+    }
+    packed_fn = {
+        r.doc_id: (r.split, r.lang, r.n_tok, r.bin)
+        for r in C.run_funnel(
+            tm.read("curation.bronze_docs"), materialize_pairs=True
+        )["packed"].collect()
+    }
+    assert packed_tbl == packed_fn
+    import collections
+    tot = collections.Counter()
+    for split, lang, n_tok, _bin in packed_tbl.values():
+        tot[(lang, split)] += n_tok
+    assert dict(tot) == {k: v[1] for k, v in gold_tbl.items()}
+    # within every (split, lang): bins are the contiguous cumsum
+    # assignment (non-decreasing in doc_id order, starting at 0)
+    bins = collections.defaultdict(list)
+    for doc_id, (split, lang, n_tok, b) in sorted(packed_tbl.items()):
+        bins[(split, lang)].append(b)
+    for seq in bins.values():
+        assert seq[0] == 0 and all(a <= b for a, b in zip(seq, seq[1:]))
 
     # idempotent re-run: ingest SKIPS on the file log, downstream
     # upstream-skips, tables untouched

@@ -30,7 +30,8 @@ if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
 
-def run_oracle_with_timeout(oracle, sf_dir: str, timeout: float):
+def run_oracle_with_timeout(oracle, sf_dir: str, timeout: float,
+                            max_temp: str | None = None):
     """DuckDB oracle with a watchdog: returns (df, timed_out).
 
     ``oracle`` is either a SQL string or a QueryDef.sf_oracle callable
@@ -40,6 +41,11 @@ def run_oracle_with_timeout(oracle, sf_dir: str, timeout: float):
     import duckdb
 
     con = duckdb.connect()
+    if max_temp:
+        # cap DuckDB spill so an intractable oracle errors cleanly
+        # instead of filling the shared disk (observed: the sf5
+        # full-funnel chain exhausted the device before its timeout)
+        con.execute(f"SET max_temp_directory_size='{max_temp}'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
@@ -90,6 +96,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--oracle-timeout", type=float, default=180.0)
+    ap.add_argument(
+        "--max-temp-size", default="",
+        help="cap DuckDB temp spill (e.g. 40GiB); oracle errors cleanly "
+             "past it instead of exhausting the disk",
+    )
     ap.add_argument("--only", default="")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     args = ap.parse_args()
@@ -141,7 +152,8 @@ def main() -> None:
                 t1 = time.monotonic()
                 try:
                     odf, timed_out = run_oracle_with_timeout(
-                        oracle, args.sf_dir, args.oracle_timeout
+                        oracle, args.sf_dir, args.oracle_timeout,
+                        max_temp=args.max_temp_size or None,
                     )
                 except Exception as exc:
                     rec["error"] = f"oracle: {str(exc)[:300]}"
