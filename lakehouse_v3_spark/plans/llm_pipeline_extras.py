@@ -1128,37 +1128,20 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
 """
 
 
-@register("dsir_importance_select", oracle=_DSIR_ORACLE)
-def dsir_importance_select(spark, sf_dir):
-    """DSIR-style importance selection (Xie et al. 2023): score every
-    SOURCE document (doc_id % 29 != 0) by the log likelihood ratio of a
-    hashed-unigram model of the TARGET set (doc_id % 29 == 0 — the
-    same held-out convention decontaminate_ngram_overlap and the
-    curation funnel use) over a model of the source itself, add-one
-    smoothed over {DSIR_BUCKETS} md5 buckets, and keep the top
-    1/{DSIR_KEEP_FRAC} by score. This is the published
-    pick-data-that-looks-like-the-target selection step, with the
-    external tokenizer/feature artifacts replaced by the repo's parity
-    tokenization.
-
-    Cross-engine determinism: per-BUCKET log-ratios are round(6)-ed and
-    carried as exact BIGINT micro-units (the lm_unigram_doc_score
-    discipline) so each doc's score is an order-independent integer
-    sum; selection ties break on doc_id.
-
-    Scale shape: bucket counts are two partial-aggregated groupBys on a
-    {DSIR_BUCKETS}-value key; the {DSIR_BUCKETS}-row model is broadcast
-    onto the token stream (never shuffles the corpus); the final top-k
-    is TakeOrderedAndProject at gate SFs. At 100 TB, where k = n/10 no
-    longer fits one driver, the same integer scores feed the
-    w1_dense_ids machinery instead: repartitionByRange(score_micro,
-    doc_id) + per-partition counts gives the exact global rank cutoff
-    with no global sort — semantics identical, plan swap only."""
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(_spark_toks(F.col("text"))).alias("tok")
-    )
-    b = toks.select("doc_id", md5_int(F.col("tok"), DSIR_BUCKETS).alias("bk"))
+def _dsir_lazy(spark, sf_dir, k: int, b=None):
+    """The full DSIR plan, UN-persisted and UN-checkpointed, with the
+    keep count ``k`` as a literal — the query wraps this with the
+    persisted token-bucket frame and a localCheckpoint; plan tests read
+    it directly (the public query's returned checkpoint collapses
+    explain to Scan ExistingRDD)."""
+    if b is None:
+        d = load(spark, sf_dir, "documents")
+        toks = d.select(
+            "doc_id", F.explode(_spark_toks(F.col("text"))).alias("tok")
+        )
+        b = toks.select(
+            "doc_id", md5_int(F.col("tok"), DSIR_BUCKETS).alias("bk")
+        )
     src = b.filter(F.col("doc_id") % 29 != 0)
     tgt = b.filter(F.col("doc_id") % 29 == 0)
     sc = src.groupBy("bk").agg(F.count(F.lit(1)).alias("cs"))
@@ -1196,17 +1179,58 @@ def dsir_importance_select(spark, sf_dir):
             F.sum("lr_micro").alias("score_micro"),
         )
     )
-    # sanctioned scalar pull (the watermark pattern): k must be a
-    # literal for TakeOrdered. Counting source docs with >=1 token is
-    # one scan-and-count — far cheaper than materializing `scored`.
-    n_docs = (
-        d.filter(
-            (F.col("doc_id") % 29 != 0) & (F.size(_spark_toks(F.col("text"))) >= 1)
-        ).count()
+    return scored.orderBy(F.col("score_micro").desc(), "doc_id").limit(k)
+
+
+@register("dsir_importance_select", oracle=_DSIR_ORACLE)
+def dsir_importance_select(spark, sf_dir):
+    """DSIR-style importance selection (Xie et al. 2023): score every
+    SOURCE document (doc_id % 29 != 0) by the log likelihood ratio of a
+    hashed-unigram model of the TARGET set (doc_id % 29 == 0 — the
+    same held-out convention decontaminate_ngram_overlap and the
+    curation funnel use) over a model of the source itself, add-one
+    smoothed over {DSIR_BUCKETS} md5 buckets, and keep the top
+    1/{DSIR_KEEP_FRAC} by score. This is the published
+    pick-data-that-looks-like-the-target selection step, with the
+    external tokenizer/feature artifacts replaced by the repo's parity
+    tokenization.
+
+    Cross-engine determinism: per-BUCKET log-ratios are round(6)-ed and
+    carried as exact BIGINT micro-units (the lm_unigram_doc_score
+    discipline) so each doc's score is an order-independent integer
+    sum; selection ties break on doc_id.
+
+    Scale shape: bucket counts are two partial-aggregated groupBys on a
+    {DSIR_BUCKETS}-value key; the {DSIR_BUCKETS}-row model is broadcast
+    onto the token stream (never shuffles the corpus); the final top-k
+    is TakeOrderedAndProject at gate SFs. The token-bucket stream is
+    PERSISTED across its consumers — without it the plan tokenizes the
+    corpus SIX times (source/target bucket counts, the two totals,
+    scoring, and the k count; the six-scan plan measured 91 s at
+    sf10). At 100 TB, where k = n/10 no longer fits one driver, the
+    same integer scores feed the w1_dense_ids machinery instead:
+    repartitionByRange(score_micro, doc_id) + per-partition counts
+    gives the exact global rank cutoff with no global sort — semantics
+    identical, plan swap only."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_spark_toks(F.col("text"))).alias("tok")
     )
-    return scored.orderBy(F.col("score_micro").desc(), "doc_id").limit(
-        n_docs // DSIR_KEEP_FRAC
-    )
+    b = toks.select(
+        "doc_id", md5_int(F.col("tok"), DSIR_BUCKETS).alias("bk")
+    ).persist()
+    try:
+        src = b.filter(F.col("doc_id") % 29 != 0)
+        # sanctioned scalar pull (the watermark pattern): k must be a
+        # literal for TakeOrdered. This count is ALSO the action that
+        # materializes the shared token-bucket cache; "source docs with
+        # >= 1 token" == distinct doc_id in the source token stream.
+        n_docs = src.select("doc_id").distinct().count()
+        out = _dsir_lazy(spark, sf_dir, n_docs // DSIR_KEEP_FRAC, b=b)
+        # materialize through the cache before the finally releases it
+        return out.localCheckpoint()
+    finally:
+        b.unpersist(blocking=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1342,3 +1366,154 @@ def quality_rule_stack(spark, sf_dir):
         .cast("long")
         .alias("fail_mask"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (round 10 — Schleimer/Wilkerson/Aiken 2003,
+# the MOSS local document fingerprinting algorithm)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # k-gram order
+WINNOW_W = 4  # winnowing window (guarantee: matches of >= w+k-1 tokens hit)
+
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - {WINNOW_K} + 2), i ->
+           ('0x' || substr(md5(array_to_string(t[i:i + {WINNOW_K} - 1], ' ')),
+                           1, 15))::BIGINT) AS gh
+  FROM toks WHERE len(t) >= {WINNOW_K}
+),
+fp AS (
+  SELECT doc_id,
+         len(gh) AS n_grams,
+         list_distinct(list_transform(range(1, len(gh) - {WINNOW_W} + 2), i ->
+           list_aggregate(gh[i:i + {WINNOW_W} - 1], 'min'))) AS fps
+  FROM h WHERE len(gh) >= {WINNOW_W}
+),
+posting AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+dup AS (
+  SELECT f FROM (SELECT f, MIN(doc_id) AS lo, MAX(doc_id) AS hi
+                 FROM posting GROUP BY f)
+  WHERE lo <> hi
+),
+shared AS (
+  SELECT p.doc_id, COUNT(*) AS n_shared
+  FROM posting p JOIN dup USING (f) GROUP BY p.doc_id
+)
+SELECT fp.doc_id,
+       CAST(fp.n_grams AS BIGINT) AS n_grams,
+       CAST(len(fp.fps) AS BIGINT) AS n_fps,
+       CAST(len(fp.fps) AS DOUBLE) / (fp.n_grams - {WINNOW_W} + 1)
+         AS fp_density,
+       CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared_fps,
+       CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / len(fp.fps) AS shared_frac
+FROM fp LEFT JOIN shared s USING (doc_id)
+"""
+
+
+@register("winnow_fingerprint_overlap", oracle=_WINNOW_ORACLE)
+def winnow_fingerprint_overlap(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every {WINNOW_K}-gram, slide a
+    {WINNOW_W}-hash window, keep each window's MINIMUM hash; the
+    distinct selected hashes are the document's fingerprint set. Then
+    count, per document, its fingerprints that also occur in another
+    document — the winnowed version of dup_ngram_doc_fraction's
+    cross-doc overlap signal.
+
+    Why winnowing at 100 TB: the posting list shrinks to fingerprint
+    density ~2/(w+1) of the full k-gram explode — ~{DENS}× fewer rows
+    through the shuffle here — while the algorithm GUARANTEES any
+    shared run of >= w+k-1 tokens still produces at least one common
+    fingerprint (the published detection bound; no false negatives for
+    long matches, unlike uniform sampling). Selection is pure per-row
+    array algebra (transform + slice + array_min) inside codegen; the
+    only shuffles move the winnowed 8-byte fingerprint postings
+    (min/max dup test — no COUNT(DISTINCT) expand).
+
+    Determinism: plain min over 60-bit md5 prefixes ties only on
+    identical grams, so both engines select identical fingerprint
+    sets; all ratios are IEEE divisions of exact integers.""".format(
+        WINNOW_K=WINNOW_K, WINNOW_W=WINNOW_W,
+        DENS=round((WINNOW_W + 1) / 2, 1),
+    )
+    d = load(spark, sf_dir, "documents")
+    # the md5-per-gram + window-min work runs in the SCAN projection,
+    # so its parallelism would otherwise equal the file-split count —
+    # one ~35 MB parquet file at sf1 = ONE core for the whole corpus
+    # (measured 225 s; 32-way: ~20 s). The round-robin repartition of
+    # the raw (doc_id, text) rows is a cheap shuffle that decouples
+    # CPU parallelism from file count; on a production lake the scan
+    # has natural splits and this exchange is ~free relative to the
+    # hashing it parallelizes.
+    toks = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", _spark_toks(F.col("text")).alias("t"))
+        .filter(F.size("t") >= WINNOW_K)
+    )
+    # gh (the gram-hash array) MUST be re-bound to a lambda variable
+    # (the word_shingles 1-element-array trick) before the window
+    # transform references it: CollapseProject otherwise inlines the
+    # whole md5-transform expression INSIDE the per-window lambda, so
+    # every window re-hashes the entire document -> O(n^2) md5 calls
+    # per row (observed: 80 s at sf0.001, 20+ min single-core at sf1;
+    # linear form: sub-second / 6 s)
+    stage = F.expr(
+        f"""element_at(transform(array(
+          transform(sequence(1, size(t) - {WINNOW_K - 1}), i ->
+            cast(conv(substring(md5(concat_ws(' ', slice(t, i, {WINNOW_K}))),
+                      1, 15), 16, 10) as bigint))),
+        gh -> struct(
+          size(gh) AS n_grams,
+          CASE WHEN size(gh) >= {WINNOW_W} THEN
+            array_distinct(transform(sequence(1, size(gh) - {WINNOW_W - 1}),
+              i -> array_min(slice(gh, i, {WINNOW_W}))))
+          ELSE cast(array() as array<bigint>) END AS fps)), 1)"""
+    )
+    # the winnowed fingerprint table feeds THREE consumers (posting
+    # explode for the dup test, the posting probe side, and the final
+    # per-doc stats) — persist it so the hash+window stage runs once,
+    # not once per branch (the span-removal discipline)
+    fp = (
+        toks.select("doc_id", stage.alias("st"))
+        .filter(F.col("st.n_grams") >= WINNOW_W)
+        .select(
+            "doc_id",
+            F.col("st.n_grams").alias("n_grams"),
+            F.col("st.fps").alias("fps"),
+        )
+        .persist()
+    )
+    try:
+        posting = fp.select("doc_id", F.explode("fps").alias("f"))
+        dup = (
+            posting.groupBy("f")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .select("f")
+        )
+        shared = (
+            posting.join(dup, "f")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        out = fp.join(shared, "doc_id", "left").select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.size("fps").cast("long").alias("n_fps"),
+            (
+                F.size("fps").cast("double")
+                / (F.col("n_grams") - WINNOW_W + 1)
+            ).alias("fp_density"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared_fps"),
+            (
+                F.coalesce("n_shared", F.lit(0)).cast("double") / F.size("fps")
+            ).alias("shared_frac"),
+        )
+        # materialize through the cache before the finally releases it
+        return out.localCheckpoint()
+    finally:
+        fp.unpersist(blocking=False)

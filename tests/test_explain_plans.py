@@ -495,7 +495,13 @@ def test_dsir_model_broadcasts_not_corpus(spark, sf_dir):
     totals) must broadcast onto the token stream — the corpus is never
     shuffled for scoring — and selection is TakeOrdered, not a global
     Sort."""
-    plan = _plan(spark, sf_dir, "dsir_importance_select")
+    from lakehouse_v3_spark.plans.llm_pipeline_extras import _dsir_lazy
+
+    df = _dsir_lazy(spark, sf_dir, 10)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
