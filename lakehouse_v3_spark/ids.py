@@ -105,6 +105,10 @@ def with_dense_id(
         )
         if not materialize:
             keep_pinned = True
+            # hand the caller the pinned frame so it can release JUST
+            # this entry (r10 ADVICE: tests were clearCache()-ing the
+            # whole shared session to clean up after lazy mode)
+            out._lh_pinned = part
             return out
         return out.localCheckpoint(eager=True)
     finally:

@@ -400,9 +400,11 @@ GROUP BY shard, n
 """
 
 
-@register("shard_assign_deterministic", oracle=_SHARD_ORACLE)
-def shard_assign_deterministic(spark, sf_dir):
-    """Deterministic output sharding — the final write step of a
+# NOTE: formatted OUTSIDE the function and passed via register(doc=...)
+# — a bare """...""".format(...) as the first statement is an
+# expression, not a docstring, so __doc__ and the catalog doc would
+# both silently end up empty (r10 ADVICE).
+_SHARD_DOC = """Deterministic output sharding — the final write step of a
     training-data pipeline: every document goes to shard
     md5(doc_id) % {N_SHARDS}, a pure per-row function, so shard
     membership is stable under retries, re-runs, engines and
@@ -416,7 +418,12 @@ def shard_assign_deterministic(spark, sf_dir):
     consuming). One partial-aggregated groupBy on a {N_SHARDS}-value
     key; the 1-row total is broadcast. No data movement beyond the
     {N_SHARDS}-key shuffle.""".format(N_SHARDS=N_SHARDS)
+
+
+@register("shard_assign_deterministic", oracle=_SHARD_ORACLE, doc=_SHARD_DOC)
+def shard_assign_deterministic(spark, sf_dir):
     from ..operators.dedup import md5_int
+    # (docstring: _SHARD_DOC, assigned below — see the register(doc=) note)
 
     d = load(spark, sf_dir, "documents")
     t = d.select(
@@ -450,3 +457,6 @@ def shard_assign_deterministic(spark, sf_dir):
             ),
         )
     )
+
+
+shard_assign_deterministic.__doc__ = _SHARD_DOC

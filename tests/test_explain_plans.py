@@ -65,7 +65,9 @@ def test_dense_ids_have_no_global_window(spark, sf_dir):
         # range partitioning present instead
         assert "rangepartitioning" in plan.replace(" ", "").lower() or "RangePartitioning" in plan
     finally:
-        spark.catalog.clearCache()  # materialize=False pins the cache
+        # release ONLY the entry lazy mode pinned — clearCache() would
+        # drop caches other tests/fixtures still hold (r10 ADVICE)
+        df._lh_pinned.unpersist(blocking=False)
 
 
 def test_dense_ids_leave_no_lingering_cache(spark, sf_dir):
@@ -74,7 +76,10 @@ def test_dense_ids_leave_no_lingering_cache(spark, sf_dir):
     plan outlives the call."""
     from lakehouse_v3_spark.ids import with_dense_id
 
-    spark.catalog.clearCache()
+    # snapshot, don't clearCache(): other tests/fixtures may hold
+    # caches in the shared session (r10 ADVICE pattern)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before = cm.cachedData().size()
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     out = with_dense_id(o, ["o_orderkey"], id_col="cd_id")
     n = out.count()
@@ -85,7 +90,7 @@ def test_dense_ids_leave_no_lingering_cache(spark, sf_dir):
         F.countDistinct("cd_id").alias("d"),
     ).collect()[0]
     assert (agg["lo"], agg["hi"], agg["d"]) == (1, n, n)
-    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+    assert cm.cachedData().size() == before, (
         "with_dense_id left a persisted plan behind"
     )
 
@@ -531,11 +536,14 @@ def test_bpe_encode_leaves_no_lingering_cache(spark, sf_dir):
     the loop creates), not getPersistentRDDs(): the returned frame's
     own localCheckpoint RDD plus other tests' checkpoint RDDs live at
     the RDD level for as long as they're referenced, which made a
-    global RDD count flaky in the shared suite session."""
-    spark.catalog.clearCache()
+    global RDD count flaky in the shared suite session. Snapshot the
+    entry count instead of clearCache()-ing the shared session (r10
+    ADVICE: the clear silently dropped caches other tests held)."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before = cm.cachedData().size()
     df = load_all()["bpe_encode_corpus"].fn(spark, sf_dir)
     df.count()
-    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+    assert cm.cachedData().size() == before, (
         "bpe_encode_corpus left a persisted frame behind"
     )
 
