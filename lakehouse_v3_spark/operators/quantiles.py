@@ -43,6 +43,15 @@ expressions: float rounding in ``(v - vlo)/width`` can place a row one
 ulp outside its recomputed child bounds, and an unclamped floor of -1
 would alias into the previous range's top bucket and corrupt the rank
 bookkeeping.
+
+Round 11 adds :func:`exact_group_percentiles` — per-GROUP exact order
+statistics through the SAME shared-job engine: every group's active
+range rides the same histogram job (range filters carry the group
+predicate), so the job count stays O(log n) regardless of group count
+— replacing the two full per-key window sorts in mad_robust_outliers
+(r10 verdict item #6). Rank keys are (group_id, rank) tuples; the
+engine compares only the trailing int against its per-range cumulative
+counts, so group ranges that OVERLAP in value space can never collide.
 """
 
 from __future__ import annotations
@@ -71,10 +80,17 @@ def _bucket_expr(vlo: float, width: float, n_buckets: int) -> Column:
     )
 
 
+# A "range" is (filter_expr, vlo, vhi, start_rank, row_count, ranks):
+# filter_expr exactly reproduces the bucket chain that defined it;
+# ranks is a set of OPAQUE keys whose LAST element is the 0-indexed
+# order statistic within the range's own ordering domain (its group).
+_Range = "tuple[Column, float, float, int, int, set]"
+
+
 def _resolve_underflowed(
     base: DataFrame,
-    underflowed: list[tuple[Column, float, float, int, int, set[int]]],
-    resolved: dict[int, float],
+    underflowed: "list[_Range]",
+    resolved: dict,
 ) -> None:
     """Exactly resolve ranks in width-underflowed ranges.
 
@@ -102,7 +118,7 @@ def _resolve_underflowed(
         cum = start
         pending = set(ranks)
         for v, cnt in sorted(per_range.get(i, [])):
-            hit = {k for k in pending if cum <= k < cum + cnt}
+            hit = {k for k in pending if cum <= k[-1] < cum + cnt}
             for k in hit:
                 resolved[k] = v
             pending -= hit
@@ -121,52 +137,20 @@ def _interp(lo_val: float, hi_val: float, frac: float) -> float:
     return (1.0 - frac) * lo_val + frac * hi_val
 
 
-def exact_percentiles(
-    df: DataFrame,
-    col: str,
-    percentages: list[float],
-    n_buckets: int = 4096,
-    collect_threshold: int = 1_000_000,
-    max_levels: int = 8,
-    return_count: bool = False,
-) -> "list[float] | tuple[list[float], int]":
-    """Exact ``percentile(col, percentages)`` values, distributed.
-
-    Returns the same numbers as Spark's ``percentile`` / DuckDB's
-    ``quantile_cont`` (continuous interpolation over doubles) using
-    O(log n) scan jobs and O(ranges·n_buckets) driver memory.
-
-    ``return_count=True`` → ``(values, n_non_null)``: the non-null row
-    count already computed by the first (min, max, count) pass, so
-    callers that also report n never pay a second full scan for it.
-    """
-    c = F.col(col).cast("double")
-    base = df.select(c.alias("_v")).filter(F.col("_v").isNotNull())
-    stats = base.agg(
-        F.min("_v").alias("mn"), F.max("_v").alias("mx"), F.count("_v").alias("n")
-    ).collect()[0]
-    n, gmin, gmax = stats["n"], stats["mn"], stats["mx"]
-    if n == 0:
-        vals = [None] * len(percentages)
-        return (vals, 0) if return_count else vals
-    if gmin == gmax:
-        vals = [gmin] * len(percentages)
-        return (vals, int(n)) if return_count else vals
-
-    # Wanted 0-indexed order statistics: floor/ceil of p*(n-1) per p.
-    wanted: set[int] = set()
-    for p in percentages:
-        pos = p * (n - 1)
-        wanted.add(int(math.floor(pos)))
-        wanted.add(int(math.ceil(pos)))
-
-    # Active ranges: (filter_expr, vlo, vhi, start_rank, row_count,
-    # ranks_inside). filter_expr exactly reproduces the parent bucket.
-    ranges: list[tuple[Column, float, float, int, int, set[int]]] = [
-        (F.lit(True), float(gmin), float(gmax), 0, int(n), set(wanted))
-    ]
-    resolved: dict[int, float] = {}
-
+def _refine(
+    base: DataFrame,
+    ranges: "list[_Range]",
+    resolved: dict,
+    n_buckets: int,
+    collect_threshold: int,
+    max_levels: int,
+) -> None:
+    """The shared refinement engine: narrow every active range until
+    the survivors fit ``collect_threshold``, then read the exact order
+    statistics off each surviving range's own sorted values. Fills
+    ``resolved`` (rank key → value). ``base`` must expose ``_v``; the
+    range filters may reference any other column of ``base`` (the
+    grouped variant's ``_g`` predicate rides along untouched)."""
     for _level in range(max_levels):
         live = [r for r in ranges if r[5]]
         if not live:
@@ -177,7 +161,7 @@ def exact_percentiles(
         # Ranges whose width underflowed cannot be subdivided by the
         # histogram, but may still span ~n_buckets adjacent doubles —
         # resolve them exactly via one distinct-value job.
-        nxt: list[tuple[Column, float, float, int, int, set[int]]] = []
+        nxt: "list[_Range]" = []
         hist_ranges = []
         underflowed = []
         for rng in live:
@@ -219,7 +203,7 @@ def exact_percentiles(
                 cnt = counts.get(i * n_buckets + j, 0)
                 if cnt == 0:
                     continue
-                inside = {k for k in ranks if cum <= k < cum + cnt}
+                inside = {k for k in ranks if cum <= k[-1] < cum + cnt}
                 if inside:
                     sub_b = _bucket_expr(vlo, width, n_buckets)
                     nxt.append(
@@ -235,30 +219,142 @@ def exact_percentiles(
                 cum += cnt
         ranges = nxt
 
-    # Final exact pass: collect the few surviving rows per range.
+    # Final exact pass: collect the few surviving rows PER RANGE (a
+    # range-id when-chain, not a global sort — ranges from different
+    # GROUPS may overlap in value space, so only a per-range segment
+    # sort is rank-correct; for the single-group case this is the same
+    # numbers as the former global sort, ranges being value-disjoint).
     live = [r for r in ranges if r[5]]
     if live:
         filt = live[0][0]
-        for rng in live[1:]:
+        rid = F.when(live[0][0], F.lit(0))
+        for i, rng in enumerate(live[1:], start=1):
             filt = filt | rng[0]
-        rows = base.filter(filt).collect()
-        vals = sorted(r["_v"] for r in rows)
-        # Global ranks inside the union of live ranges are contiguous
-        # per range; map each wanted rank to its offset.
-        live_sorted = sorted(live, key=lambda r: r[3])
-        offset = 0
-        rank_to_val: dict[int, float] = {}
-        for _, _, _, start, cnt, ranks in live_sorted:
-            seg = vals[offset : offset + cnt]
+            rid = rid.when(rng[0], F.lit(i))
+        rows = base.filter(filt).select(rid.alias("_r"), F.col("_v")).collect()
+        per_range: dict[int, list[float]] = {}
+        for r in rows:
+            per_range.setdefault(r["_r"], []).append(r["_v"])
+        for i, (_, _, _, start, cnt, ranks) in enumerate(live):
+            seg = sorted(per_range.get(i, []))
             for k in ranks:
-                rank_to_val[k] = seg[k - start]
-            offset += cnt
-        resolved.update(rank_to_val)
+                resolved[k] = seg[k[-1] - start]
 
+
+def _wanted_ranks(percentages: list[float], n: int) -> set[int]:
+    """0-indexed order statistics needed: floor/ceil of p*(n-1) per p."""
+    wanted: set[int] = set()
+    for p in percentages:
+        pos = p * (n - 1)
+        wanted.add(int(math.floor(pos)))
+        wanted.add(int(math.ceil(pos)))
+    return wanted
+
+
+def _assemble(percentages: list[float], n: int, lookup) -> list[float]:
+    """Interpolated percentile values from resolved order statistics
+    (``lookup(rank) -> value``)."""
     out = []
     for p in percentages:
         pos = p * (n - 1)
         lo, hi = int(math.floor(pos)), int(math.ceil(pos))
-        a, b = resolved[lo], resolved[hi]
+        a, b = lookup(lo), lookup(hi)
         out.append(a if lo == hi or a == b else _interp(a, b, pos - lo))
+    return out
+
+
+def exact_percentiles(
+    df: DataFrame,
+    col: str,
+    percentages: list[float],
+    n_buckets: int = 4096,
+    collect_threshold: int = 1_000_000,
+    max_levels: int = 8,
+    return_count: bool = False,
+) -> "list[float] | tuple[list[float], int]":
+    """Exact ``percentile(col, percentages)`` values, distributed.
+
+    Returns the same numbers as Spark's ``percentile`` / DuckDB's
+    ``quantile_cont`` (continuous interpolation over doubles) using
+    O(log n) scan jobs and O(ranges·n_buckets) driver memory.
+
+    ``return_count=True`` → ``(values, n_non_null)``: the non-null row
+    count already computed by the first (min, max, count) pass, so
+    callers that also report n never pay a second full scan for it.
+    """
+    c = F.col(col).cast("double")
+    base = df.select(c.alias("_v")).filter(F.col("_v").isNotNull())
+    stats = base.agg(
+        F.min("_v").alias("mn"), F.max("_v").alias("mx"), F.count("_v").alias("n")
+    ).collect()[0]
+    n, gmin, gmax = stats["n"], stats["mn"], stats["mx"]
+    if n == 0:
+        vals = [None] * len(percentages)
+        return (vals, 0) if return_count else vals
+    if gmin == gmax:
+        vals = [gmin] * len(percentages)
+        return (vals, int(n)) if return_count else vals
+
+    # Rank keys are (0, rank) — the engine reads key[-1]; the constant
+    # head keeps single- and grouped-column calls on one code path.
+    wanted = {(0, k) for k in _wanted_ranks(percentages, n)}
+    ranges: "list[_Range]" = [
+        (F.lit(True), float(gmin), float(gmax), 0, int(n), wanted)
+    ]
+    resolved: dict = {}
+    _refine(base, ranges, resolved, n_buckets, collect_threshold, max_levels)
+    out = _assemble(percentages, int(n), lambda k: resolved[(0, k)])
     return (out, int(n)) if return_count else out
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    percentages: list[float],
+    n_buckets: int = 4096,
+    collect_threshold: int = 1_000_000,
+    max_levels: int = 8,
+) -> "dict[object, tuple[list[float], int]]":
+    """Per-GROUP exact percentiles, distributed — ONE shared histogram
+    job per level for ALL groups (each group's active ranges carry its
+    ``group_col = value`` predicate into the shared when-chain), so the
+    full-scan count stays O(log n) no matter how many groups exist.
+
+    Returns ``{group_value: (values, n_non_null)}`` with the exact
+    numbers of ``percentile(col, ps) ... GROUP BY group_col`` /
+    DuckDB's grouped ``quantile_cont`` — the scalable replacement for
+    a per-key ``Window.orderBy`` sort (r10 verdict item #6: at 100 TB
+    a per-key global sort is the price this module exists to retire).
+
+    NULL groups are excluded (the driver-side range filters are plain
+    equality). Driver memory: O(groups × buckets) longs per level —
+    intended for the reference's grouped-audit shape (≤ thousands of
+    groups), not for per-key cardinalities in the millions (there, the
+    t-digest sketch path approx_percentile_tdigest is the tool).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(col).cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    stats = base.groupBy("_g").agg(
+        F.min("_v").alias("mn"), F.max("_v").alias("mx"), F.count("_v").alias("n")
+    ).collect()
+    ranges: "list[_Range]" = []
+    resolved: dict = {}
+    counts: dict[object, int] = {}
+    for gi, row in enumerate(sorted(stats, key=lambda r: str(r["_g"]))):
+        g, gmin, gmax, n = row["_g"], row["mn"], row["mx"], int(row["n"])
+        counts[g] = n
+        if gmin == gmax:
+            for k in _wanted_ranks(percentages, n):
+                resolved[(g, k)] = gmin
+            continue
+        wanted = {(g, k) for k in _wanted_ranks(percentages, n)}
+        ranges.append(
+            (F.col("_g") == F.lit(g), float(gmin), float(gmax), 0, n, wanted)
+        )
+    _refine(base, ranges, resolved, n_buckets, collect_threshold, max_levels)
+    return {
+        g: (_assemble(percentages, n, lambda k, _g=g: resolved[(_g, k)]), n)
+        for g, n in counts.items()
+    }

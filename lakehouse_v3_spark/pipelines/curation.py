@@ -56,10 +56,11 @@ Scale shape (the 100 TB argument, stage by stage):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, tokens
+from ..ids import with_grouped_cumsum
 from ..incremental import FileLogCheckpoint, list_files
 from ..operators.dedup import (
     doc_shingle_sets,
@@ -240,28 +241,49 @@ def gold_summary(final_docs: DataFrame) -> DataFrame:
     )
 
 
-def pack_corpus(final_docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+def pack_corpus(
+    final_docs: DataFrame, budget: int = PACK_BUDGET, materialize: bool = True
+) -> DataFrame:
     """Stage P — the funnel's LAST step: pack the surviving corpus into
     fixed ``budget``-token training bins per (split, lang), in
     deterministic doc_id order (pack_sequences_greedy's exact cumsum
     rule: bin = tokens-before-this-doc DIV budget). Output is the
     per-document shard assignment a sequence writer consumes —
     (doc_id, split, lang, n_tok, bin) — reproducible across engines,
-    re-runs and partitionings because it is a pure window cumsum, not
-    an order-dependent first-fit heuristic. One shuffle on the
-    (split, lang) key; bins never cross a split boundary so no packed
-    sequence can mix train with val/test tokens."""
-    w = (
-        Window.partitionBy("split", "lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    re-runs and partitionings because it is a pure cumsum in a total
+    per-group order, not an order-dependent first-fit heuristic. Bins
+    never cross a split boundary so no packed sequence can mix train
+    with val/test tokens.
+
+    Scale shape (r10 verdict item #1): the running sum is
+    :func:`~..ids.with_grouped_cumsum`'s two-phase range-partition
+    cumsum — range-partition on (split, lang, doc_id), per-partition
+    partial sums, broadcast offsets — NOT a
+    ``Window.partitionBy(split, lang)`` cumsum, which would put ~all
+    of train/en in ONE window task at 100 TB (split × lang is
+    single-digit cardinality; SURVEY §4 anti-pattern #1). Identical
+    bin arithmetic, identical output.
+
+    ``materialize=False`` returns the lazy plan (plan-guard seam,
+    with_grouped_cumsum's contract: caller unpersists
+    ``._lh_pinned``)."""
     toks = final_docs.select(
         "doc_id", "split", "lang", F.size(tokens(F.col("text"))).alias("n_tok")
     )
-    return toks.withColumn(
-        "bin", ((F.sum("n_tok").over(w) - F.col("n_tok")) / budget).cast("long")
+    packed = with_grouped_cumsum(
+        toks,
+        ["split", "lang"],
+        ["doc_id"],
+        "n_tok",
+        out_col="_cum",
+        materialize=materialize,
     )
+    out = packed.withColumn(
+        "bin", ((F.col("_cum") - F.col("n_tok")) / budget).cast("long")
+    ).drop("_cum")
+    if not materialize:
+        out._lh_pinned = packed._lh_pinned
+    return out
 
 
 def run_funnel(

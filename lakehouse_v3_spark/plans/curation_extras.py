@@ -96,18 +96,32 @@ FROM packed GROUP BY lang, bin
 """
 
 
-@register("pack_sequences_greedy", oracle=_PACK_ORACLE)
-def pack_sequences_greedy(spark, sf_dir):
-    """Sequence packing: assign documents (in deterministic doc_id
+# formatted OUTSIDE the function and passed via register(doc=...) —
+# the bare """...""".format(...) first-statement form voids __doc__
+# and the catalog doc (r10 ADVICE)
+_PACK_DOC = """Sequence packing: assign documents (in deterministic doc_id
     order, per language) to consecutive {b}-token training bins by
     running token count — the step that turns a curated corpus into
     fixed-budget training sequences with minimal padding. bin =
-    tokens-before-this-doc DIV budget, a pure window cumsum: one
-    shuffle on the language key, deterministic under any partitioning
-    (vs the order-dependent first-fit heuristics that can't be
-    reproduced across engines). Output audits per-bin fill.""".format(
-        b=_PACK_BUDGET
-    )
+    tokens-before-this-doc DIV budget, deterministic under any
+    partitioning (vs the order-dependent first-fit heuristics that
+    can't be reproduced across engines). Output audits per-bin fill.
+
+    Scale shape (r10 verdict item #1): the running sum is
+    ids.with_grouped_cumsum's two-phase range-partition cumsum —
+    range-partition on (lang, doc_id), per-partition partial sums,
+    broadcast (partition, lang) offsets — NOT a
+    Window.partitionBy(lang) cumsum: lang is single-digit cardinality,
+    so the per-group window would sort ~an entire language's corpus in
+    ONE task at 100 TB (SURVEY §4 anti-pattern #1, the same hazard
+    with_dense_id retires for global row_number). Identical bin
+    arithmetic; the DuckDB oracle is unchanged.""".format(b=_PACK_BUDGET)
+
+
+@register("pack_sequences_greedy", oracle=_PACK_ORACLE, doc=_PACK_DOC)
+def pack_sequences_greedy(spark, sf_dir):
+    from ..ids import with_grouped_cumsum
+
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -116,18 +130,16 @@ def pack_sequences_greedy(spark, sf_dir):
             "n_tok"
         ),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    packed = toks.withColumn(
-        "bin", ((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET).cast("long")
-    )
+    packed = with_grouped_cumsum(
+        toks, ["lang"], ["doc_id"], "n_tok", out_col="_cum"
+    ).withColumn("bin", ((F.col("_cum") - F.col("n_tok")) / _PACK_BUDGET).cast("long"))
     return packed.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
+
+
+pack_sequences_greedy.__doc__ = _PACK_DOC
 
 
 # ---------------------------------------------------------------------------

@@ -345,52 +345,43 @@ def mad_robust_outliers(spark, sf_dir):
     clipping rule winsorize_clip_outliers's percentile variant can't
     express when the tails themselves are contaminated.
 
-    Exactness is deterministic by construction: the median is picked by
-    (value, event_id)-ordered row_number (avg of the two middle rows —
-    IEEE addition of two values is commutative, so Spark and DuckDB
-    agree bit-for-bit), never by an interpolating percentile whose
-    libm arithmetic could drift. Both passes window on the same key, so
-    Spark reuses one exchange on event_type; the median tables join
-    back as broadcasts. At 100 TB a full per-key sort is the price of
-    exactness — the documented scale fallback is approx_percentile
-    (t-digest, see approx_percentile_tdigest) once tolerances allow."""
+    Exactness WITHOUT the per-key sort (r10 verdict item #6 — the old
+    formulation, kept verbatim as the DuckDB oracle, ranks every group
+    twice with (value, event_id) windows: two full per-key sorts, the
+    documented watch item at 100 TB). Both medians now come from
+    operators/quantiles.exact_group_percentiles — iterative histogram
+    refinement, every group's ranges sharing ONE scan job per level,
+    O(log n) jobs total, nothing sorted anywhere. Bit-equality with
+    the sort-based oracle holds by construction: the engine resolves
+    the two middle ORDER STATISTICS exactly, and at the even-n
+    midpoint frac is exactly 0.5, where the weighted interpolation
+    0.5·lo + 0.5·hi and the oracle's SUM/2 round identically (halving
+    is exact; one rounding each at the add). The per-group medians
+    (≤ |event_type| scalars) return as a literal map onto the scan —
+    the corpus pays ONE final partial-aggregated groupBy, no window,
+    no join."""
+    from ..operators.quantiles import exact_group_percentiles
+
     e = load(spark, sf_dir, "events")
-    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
-    w_all = Window.partitionBy("event_type")
-    r = e.select(
+    meds = exact_group_percentiles(e, "event_type", "value", [0.5])
+    med_map = F.create_map(
+        *[F.lit(x) for g, (vals, _n) in sorted(meds.items()) for x in (g, vals[0])]
+    )
+    dev = e.select(
         "event_type",
-        "event_id",
-        "value",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.abs(F.col("value") - med_map[F.col("event_type")]).alias("adev"),
     )
-    mid = F.expr("rn IN ((n + 1) div 2, (n + 2) div 2)")
-    med = (
-        r.filter(mid)
-        .groupBy("event_type")
-        .agg((F.sum("value") / F.count(F.lit(1))).alias("med"))
-    )
-    w_rank2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
-    dev = r.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "event_id",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("adev"),
-    ).withColumn("rn", F.row_number().over(w_rank2)).withColumn(
-        "n", F.count(F.lit(1)).over(w_all)
-    )
-    mad = (
-        dev.filter(mid)
-        .groupBy("event_type")
-        .agg((F.sum("adev") / F.count(F.lit(1))).alias("mad"))
+    mads = exact_group_percentiles(dev, "event_type", "adev", [0.5])
+    mad_map = F.create_map(
+        *[F.lit(x) for g, (vals, _n) in sorted(mads.items()) for x in (g, vals[0])]
     )
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        dev.withColumn("mad", mad_map[F.col("event_type")])
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.first("med"), 6).alias("med"),
-            F.round(F.first("mad"), 6).alias("mad"),
+            F.first(F.round(med_map[F.col("event_type")], 6)).alias("med"),
+            F.first(F.round(F.col("mad"), 6)).alias("mad"),
             F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias("n_outliers"),
         )
     )

@@ -362,6 +362,53 @@ def test_exact_percentiles_bitexact_vs_builtin(spark, vals, ps):
     assert got == want, (got, want, sorted(vals), ps)
 
 
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.one_of(
+                st.integers(min_value=-10_000, max_value=10_000).map(
+                    lambda c: c / 100
+                ),
+                st.sampled_from([0.0, 1.5, 1.5, -3.25]),  # duplicate mass
+            ),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    ps=st.lists(
+        st.integers(min_value=0, max_value=100).map(lambda i: i / 100),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_exact_group_percentiles_bitexact_vs_builtin(spark, rows, ps):
+    """The grouped refinement engine (one shared histogram job per
+    level for ALL groups — r10 verdict item #6) returns the SAME
+    doubles as the per-group builtin percentile aggregate, even when
+    group value ranges overlap (the per-range final segmentation the
+    single-column path never exercised)."""
+    from lakehouse_v3_spark.operators.quantiles import exact_group_percentiles
+
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = exact_group_percentiles(
+        df, "g", "x", ps, n_buckets=4, collect_threshold=3, max_levels=12
+    )
+    want_rows = (
+        df.groupBy("g")
+        .agg(
+            F.expr(
+                f"percentile(x, array({','.join(str(p) for p in ps)}))"
+            ).alias("b"),
+            F.count("x").alias("n"),
+        )
+        .collect()
+    )
+    want = {r["g"]: (list(r["b"]), r["n"]) for r in want_rows}
+    assert got == want, (got, want, sorted(rows), ps)
+
+
 def test_exact_percentiles_empty_and_constant(spark):
     from lakehouse_v3_spark.operators.quantiles import exact_percentiles
 
