@@ -65,6 +65,7 @@ from ..incremental import FileLogCheckpoint, list_files
 from ..operators.dedup import (
     doc_shingle_sets,
     jaccard_verify,
+    lsh_bands,
     lsh_candidate_pairs,
     md5_int,
     minhash_signatures,
@@ -101,17 +102,23 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     )
 
 
+def content_key(col=None):
+    """The exact-dedup normalized-content sha256 expression (the
+    dedup_exact_content rule) — ONE definition shared by the batch
+    stage and the incremental hash-ledger update."""
+    c = col if col is not None else F.col("text")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return F.sha2(norm, 256)
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Stage E — exact dedup by normalized-content sha256 (the
     dedup_exact_content rule): one keeper (min doc_id) per hash.
     Single shuffle on the hash key."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
-        )
-    )
     keepers = (
-        docs.select(F.sha2(norm, 256).alias("_ck"), "doc_id")
+        docs.select(content_key().alias("_ck"), "doc_id")
         .groupBy("_ck")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
@@ -153,6 +160,16 @@ def near_dup_drop(
     return docs.join(drops, "doc_id", "left_anti")
 
 
+def ngrams8(df: DataFrame) -> DataFrame:
+    """(doc_id, ng) rows: every decontamination 8-gram of every doc —
+    shared by the batch stage, the incremental eval-set ledger and the
+    doc-ngram index."""
+    return df.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), NGRAM_EVAL)).alias("ng"),
+    )
+
+
 def decontaminate(docs: DataFrame, all_docs: DataFrame) -> DataFrame:
     """Stage D — benchmark decontamination (decontaminate_ngram_overlap's
     rule): docs with doc_id % EVAL_MOD == 0 stand in for the held-out
@@ -161,13 +178,7 @@ def decontaminate(docs: DataFrame, all_docs: DataFrame) -> DataFrame:
     The eval n-gram set comes from ``all_docs`` (the eval benchmark is
     external — earlier funnel stages don't shrink it); it is tiny and
     broadcast, so the corpus is never shuffled."""
-    def ngrams_of(df):
-        return df.select(
-            "doc_id",
-            F.explode(
-                word_shingles(tokens(F.col("text")), NGRAM_EVAL)
-            ).alias("ng"),
-        )
+    ngrams_of = ngrams8
 
     ev = (
         ngrams_of(all_docs.filter(F.col("doc_id") % EVAL_MOD == 0))
@@ -322,8 +333,167 @@ def run_funnel(
 
 
 # ---------------------------------------------------------------------------
-# The orchestrated DAG (warehouse tables, incremental, idempotent)
+# The orchestrated DAG — incremental per tick (r10 verdict item #2)
 # ---------------------------------------------------------------------------
+#
+# Through round 10 every stage below bronze recomputed over the FULL
+# corpus each tick — including a fresh MinHash pair job over all of
+# silver_exact, the one cost that cannot ship at 100 TB (a daily tick
+# must not re-pair the corpus). Round 11 makes every heavy stage
+# BATCH-SCOPED against persisted index state, under the reference's own
+# monotone-watermark contract (P7 max-id: arriving doc_ids exceed every
+# ingested id — the same discipline uber/news ingest keys on):
+#
+#   state tables (all append-only while the contract holds)
+#     curation.state_watermark   1 row: max ingested doc_id
+#     curation.exact_hashes      (_ck, doc_id)   content-hash → keeper
+#     curation.lsh_hubs          (band_key, id_a) LSH bucket → hub id
+#     curation.lsh_shingles      (doc_id, shingle) shingle sets of
+#                                silver_exact members (verify fetch)
+#     curation.eval_ngrams       (ng)             held-out 8-gram set
+#     curation.doc_ngrams        (doc_id, ng)     decontam inverted index
+#   per-tick delta tables (overwritten each tick)
+#     curation.bronze_delta / quality_delta / exact_delta / neardup_delta
+#
+# Under monotone ids every funnel invariant is append-only BY PROOF:
+#   - exact keeper = min(doc_id) per hash → an arriving (higher) id can
+#     never displace a stored keeper; new hashes keep their batch min;
+#   - an LSH bucket's hub = min member id → stable once created, so the
+#     star pair set grows by exactly (hub, new_member) + new-bucket
+#     pairs — the batch probes `lsh_hubs`, shingles/minhashes/verifies
+#     ONLY ITSELF (plus the hub docs' stored shingle sets), and appends;
+#   - every new pair has id_b = the arriving doc (id_a is a hub, always
+#     smaller), so near-dup drops only ever remove BATCH docs:
+#     silver_neardup is append-only;
+#   - the eval n-gram set only grows, so decontamination never
+#     un-contaminates: silver_clean = previous ∖ (docs hit by the grown
+#     eval set, read off the `doc_ngrams` INDEX — no corpus re-explode)
+#     ∪ (batch survivors checked against the full eval set).
+# Stage L (leakage) intentionally recomputes from the FULL pair table —
+# it is pair-set-sized, not corpus-sized, and recomputing it handles
+# drop-set shrinkage (a contaminated partner leaving the corpus must
+# resurrect the train doc it was blocking) with zero extra machinery.
+#
+# A tick that VIOLATES the watermark contract (an id at or below the
+# stored max) cannot be patched incrementally — the ingest task detects
+# it, drops all state + silver tables, and sets bronze_delta = full
+# bronze, after which the SAME incremental task bodies replay the whole
+# corpus against empty state (one code path; rebuild ≡ first-tick
+# bootstrap). tests/test_curation.py pins incremental-ticks ≡
+# one-shot run_funnel table-for-table, batch-scoped job evidence on
+# tick 2+, and the rebuild path.
+#
+# Every task stays IDEMPOTENT under crash-retry: state appends are
+# guarded by left-anti joins on their natural keys (re-resolved against
+# the CURRENT table at action time, so a retry after a partial commit
+# appends nothing twice), batch-derived frames are localCheckpointed
+# BEFORE any append they feed, and derived tables are deterministic
+# overwrites (atomic swap).
+
+_STATE_TABLES = (
+    "curation.state_watermark",
+    "curation.exact_hashes",
+    "curation.lsh_hubs",
+    "curation.lsh_shingles",
+    "curation.eval_ngrams",
+    "curation.doc_ngrams",
+    "curation.silver_quality",
+    "curation.silver_exact",
+    "curation.near_dup_pairs",
+    "curation.silver_neardup",
+    "curation.silver_clean",
+)
+
+
+def _read_or_empty(spark, tm: TableManager, table: str, schema: str) -> DataFrame:
+    """Stored state table, or an empty frame with its schema — the
+    first tick (and the rebuild replay) runs against empty state."""
+    if tm.exists(table):
+        return tm.read(table)
+    return spark.createDataFrame([], schema)
+
+
+def incremental_pair_update(
+    batch_docs: DataFrame,
+    stored_hubs: DataFrame,
+    stored_shingles: DataFrame,
+    materialize: bool = True,
+):
+    """Batch-scoped star-pair update: shingle/minhash/band ONLY the
+    batch, probe the persisted hub index, verify candidates against
+    batch shingles ∪ the hub docs' stored sets.
+
+    Returns ``(verified, hub_new, sets_b)``:
+      - ``verified`` — new (id_a, id_b, jaccard ≥ LEAK_JACCARD) pairs,
+        eagerly localCheckpointed (stable across the state appends the
+        caller performs next);
+      - ``hub_new`` — (band_key, id_a) rows for buckets the batch
+        creates (hub = batch-min member), localCheckpointed;
+      - ``sets_b`` — the batch's (doc_id, shingle) sets,
+        localCheckpointed (the caller appends them to the index).
+
+    Equivalence to the full-corpus star rule under monotone ids: a
+    bucket's hub is its min member id, which arriving (higher) ids
+    never change, so the full recompute's pair set is exactly the
+    union over ticks of these batch updates. The probe is naturally
+    retry-idempotent: if a crashed attempt already appended hub_new,
+    the re-run finds those buckets in ``stored_hubs`` and regenerates
+    the SAME pairs through the existing-bucket branch (hub < member
+    filters the hub's self-row).
+
+    Scale shape: candidates = Σ over batch bands of 1 (existing
+    bucket) or |new bucket|−1 — ∝ batch, never corpus; the stored
+    shingle fetch is a semi-join on the candidate hub ids against an
+    index table repartitioned on doc_id at write."""
+    def _mat(df):
+        # materialize=False returns LAZY plans (the plan-guard seam:
+        # tests assert the verified-pair lineage scans only the batch
+        # delta and the two index tables, which an eager checkpoint
+        # would collapse to ExistingRDD)
+        return df.localCheckpoint() if materialize else df
+
+    sets_b = _mat(
+        doc_shingle_sets(
+            batch_docs.select("doc_id", "text"),
+            "doc_id",
+            word_shingles(tokens(F.col("text")), k=2),
+        )
+    )
+    bands_b = _mat(lsh_bands(minhash_signatures(sets_b, "doc_id"), "doc_id"))
+
+    # existing buckets: each batch member pairs with the stored hub
+    cand_old = (
+        bands_b.join(stored_hubs, "band_key")
+        .filter(F.col("id_a") < F.col("doc_id"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
+    )
+    # new buckets: hub = batch-min member; other members pair with it
+    nb = bands_b.join(stored_hubs, "band_key", "left_anti")
+    hub_new = _mat(nb.groupBy("band_key").agg(F.min("doc_id").alias("id_a")))
+    cand_new = (
+        nb.join(hub_new, "band_key")
+        .filter(F.col("id_a") < F.col("doc_id"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
+    )
+    cands = cand_old.unionByName(cand_new).distinct()
+
+    # shingle sets for verification: the batch's own + the stored sets
+    # of candidate hubs. Stored rows for batch ids are excluded
+    # defensively (a retried attempt may have appended sets_b already).
+    batch_ids = sets_b.select("doc_id").distinct()
+    hub_ids = cands.select(F.col("id_a").alias("doc_id")).distinct()
+    stored_subset = (
+        stored_shingles.join(hub_ids, "doc_id", "left_semi")
+        .join(batch_ids, "doc_id", "left_anti")
+    )
+    sets_all = sets_b.unionByName(stored_subset)
+    verified = _mat(
+        jaccard_verify(cands, sets_all, "doc_id").filter(
+            F.col("jaccard") >= LEAK_JACCARD
+        )
+    )
+    return verified, hub_new, sets_b
+
 
 def curation_dag(
     spark,
@@ -332,23 +502,29 @@ def curation_dag(
     retries: int = 2,
     retry_delay: float = 0.0,
 ) -> Dag:
-    """Build the curation medallion DAG. ``landing_dir`` holds landing
-    parquet document files (doc_id, text, lang, ...); tables land as
-    ``curation.bronze_docs`` → ``curation.silver_*`` →
-    ``curation.gold_*``.
+    """Build the INCREMENTAL curation medallion DAG. ``landing_dir``
+    holds landing parquet document files (doc_id, text, lang, ...);
+    tables land as ``curation.bronze_docs`` → ``curation.silver_*`` →
+    ``curation.gold_*``, with the index/state tables documented in the
+    section header above.
 
-    Contract (the uber/news engineering, applied here):
+    Contract (the uber/news engineering, extended to per-stage state):
     - **incremental**: ingest anti-joins the landing listing against a
-      processed-file log and Skips when nothing is new — zero Spark
-      jobs on the steady-state empty tick, and downstream tasks
-      upstream-skip;
-    - **idempotent**: bronze append is guarded by the file log; every
-      later layer is a deterministic overwrite of a derived table, so
-      re-running the DAG (or replaying a crashed run) converges to the
-      same tables byte-for-byte;
+      processed-file log and Skips when nothing is new (zero Spark
+      jobs on the steady-state empty tick); every heavy stage below
+      processes ONLY the tick's batch against persisted index tables —
+      no full-corpus shingle, minhash, pair or n-gram job on any tick
+      that honors the max-id watermark contract;
+    - **idempotent**: bronze append is guarded by the file log; state
+      appends are guarded by natural-key anti-joins; derived layers
+      are deterministic overwrites — re-running the DAG (or replaying
+      a crashed run) converges to the same tables;
     - tasks communicate ONLY through tables (each re-reads its
       upstream layer), like the reference's spark-submit jobs through
-      Delta tables.
+      Delta tables;
+    - a non-monotone batch triggers the REBUILD path: state is
+      dropped and the same task bodies replay the full corpus (the
+      escape hatch is loud — ingest reports mode="rebuild").
     """
 
     def ingest(ctx):
@@ -359,40 +535,206 @@ def curation_dag(
         if not paths:
             raise Skip("no new landing files under " + landing_dir)
         raw = spark.read.parquet(*paths)
+        stats = raw.agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        wm = None
+        if tm.exists("curation.state_watermark"):
+            wm = tm.read("curation.state_watermark").collect()[0]["max_doc_id"]
+        mode = "incremental" if wm is None or stats["lo"] > wm else "rebuild"
         tm.append(raw, "curation.bronze_docs")
         log.record(new)
-        return {"new_files": len(paths)}
+        new_wm = stats["hi"] if wm is None else max(wm, stats["hi"])
+        if mode == "rebuild":
+            # the watermark contract broke: incremental state cannot be
+            # patched (a low id can displace keepers and hubs). Drop
+            # ALL state + silver layers and replay the whole corpus
+            # through the same incremental bodies (empty state ≡ the
+            # first-tick bootstrap).
+            for t in _STATE_TABLES:
+                tm.drop(t)
+            tm.overwrite(tm.read("curation.bronze_docs"), "curation.bronze_delta")
+        else:
+            tm.overwrite(raw, "curation.bronze_delta")
+        tm.overwrite(
+            spark.createDataFrame([(int(new_wm),)], "max_doc_id LONG"),
+            "curation.state_watermark",
+        )
+        return {"new_files": len(paths), "mode": mode,
+                "batch_rows": int(stats["n"])}
 
     def quality(ctx):
-        tm.overwrite(
-            quality_filter(tm.read("curation.bronze_docs")),
+        batch = tm.read("curation.bronze_delta")
+        q = quality_filter(batch).localCheckpoint()
+        tm.overwrite(q, "curation.quality_delta")
+        stored = _read_or_empty(
+            spark, tm, "curation.silver_quality", batch.schema
+        )
+        tm.append(
+            q.join(stored.select("doc_id"), "doc_id", "left_anti"),
             "curation.silver_quality",
         )
+        return {"batch_docs": q.count()}
 
     def exact(ctx):
-        tm.overwrite(
-            exact_dedup(tm.read("curation.silver_quality")),
+        batch_q = tm.read("curation.quality_delta")
+        hashed = batch_q.select("doc_id", content_key().alias("_ck"))
+        stored = _read_or_empty(
+            spark, tm, "curation.exact_hashes", "_ck STRING, doc_id LONG"
+        )
+        # new content hashes keep their batch-min doc as keeper; hashes
+        # already in the ledger drop the whole batch group (their
+        # stored keeper has a smaller id by the watermark contract)
+        new_hashes = (
+            hashed.join(stored.select("_ck"), "_ck", "left_anti")
+            .groupBy("_ck")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .localCheckpoint()
+        )
+        tm.append(
+            new_hashes.join(
+                tm.read("curation.exact_hashes").select("_ck"), "_ck", "left_anti"
+            )
+            if tm.exists("curation.exact_hashes")
+            else new_hashes,
+            "curation.exact_hashes",
+        )
+        # derive the delta from the LEDGER (not from new_hashes): after
+        # a crash-retry the ledger already names this batch's keepers,
+        # so the delta is reproduced instead of emptied
+        keepers = batch_q.join(
+            tm.read("curation.exact_hashes").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).localCheckpoint()
+        tm.overwrite(keepers, "curation.exact_delta")
+        stored_e = _read_or_empty(
+            spark, tm, "curation.silver_exact", batch_q.schema
+        )
+        tm.append(
+            keepers.join(stored_e.select("doc_id"), "doc_id", "left_anti"),
             "curation.silver_exact",
         )
+        return {"batch_docs": keepers.count()}
 
     def near_dup(ctx):
-        e = tm.read("curation.silver_exact")
-        pairs = verified_pairs(e.select("doc_id", "text"), LEAK_JACCARD)
-        # the pair set is persisted as a TABLE so the leakage task
-        # reuses it instead of recomputing the minhash job (and so the
-        # audit trail of WHY a doc was dropped is queryable)
-        tm.overwrite(pairs, "curation.near_dup_pairs")
-        tm.overwrite(
-            near_dup_drop(e, tm.read("curation.near_dup_pairs")),
+        batch_e = tm.read("curation.exact_delta")
+        n_batch = batch_e.count()
+        stored_hubs = _read_or_empty(
+            spark, tm, "curation.lsh_hubs", "band_key STRING, id_a LONG"
+        )
+        stored_sets = _read_or_empty(
+            spark, tm, "curation.lsh_shingles", "doc_id LONG, shingle STRING"
+        )
+        verified, hub_new, sets_b = incremental_pair_update(
+            batch_e, stored_hubs, stored_sets
+        )
+        stored_pairs = _read_or_empty(
+            spark, tm, "curation.near_dup_pairs",
+            "id_a LONG, id_b LONG, jaccard DOUBLE",
+        )
+        tm.append(
+            verified.join(
+                stored_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+            ),
+            "curation.near_dup_pairs",
+        )
+        tm.append(
+            hub_new.join(
+                _read_or_empty(
+                    spark, tm, "curation.lsh_hubs", "band_key STRING, id_a LONG"
+                ).select("band_key"),
+                "band_key",
+                "left_anti",
+            ).repartition(8, "band_key"),
+            "curation.lsh_hubs",
+        )
+        tm.append(
+            sets_b.join(
+                _read_or_empty(
+                    spark, tm, "curation.lsh_shingles",
+                    "doc_id LONG, shingle STRING",
+                ).select("doc_id").distinct(),
+                "doc_id",
+                "left_anti",
+            ).repartition(8, "doc_id"),
+            "curation.lsh_shingles",
+        )
+        # every new pair has id_b = an arriving doc, so drops only ever
+        # remove batch docs: silver_neardup is append-only
+        drops = (
+            verified.filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        nd_delta = batch_e.join(drops, "doc_id", "left_anti").localCheckpoint()
+        tm.overwrite(nd_delta, "curation.neardup_delta")
+        stored_nd = _read_or_empty(
+            spark, tm, "curation.silver_neardup", batch_e.schema
+        )
+        tm.append(
+            nd_delta.join(stored_nd.select("doc_id"), "doc_id", "left_anti"),
             "curation.silver_neardup",
         )
+        return {
+            "batch_docs": int(n_batch),
+            "new_pairs": verified.count(),
+            "survivors": nd_delta.count(),
+        }
 
     def decontam(ctx):
-        tm.overwrite(
-            decontaminate(
-                tm.read("curation.silver_neardup"),
-                tm.read("curation.bronze_docs"),
+        batch_bronze = tm.read("curation.bronze_delta")
+        nd_delta = tm.read("curation.neardup_delta")
+        # 1. grow the eval n-gram ledger with the batch's eval docs
+        ng_new = (
+            ngrams8(batch_bronze.filter(F.col("doc_id") % EVAL_MOD == 0))
+            .select("ng")
+            .distinct()
+        )
+        stored_eval = _read_or_empty(
+            spark, tm, "curation.eval_ngrams", "ng STRING"
+        )
+        tm.append(ng_new.join(stored_eval, "ng", "left_anti"),
+                  "curation.eval_ngrams")
+        full_eval = tm.read("curation.eval_ngrams")
+        # 2. index the batch survivors' n-grams (decontam inverted index)
+        ng_batch = ngrams8(nd_delta).distinct()
+        stored_idx = _read_or_empty(
+            spark, tm, "curation.doc_ngrams", "doc_id LONG, ng STRING"
+        )
+        tm.append(
+            ng_batch.join(
+                stored_idx.select("doc_id").distinct(), "doc_id", "left_anti"
             ),
+            "curation.doc_ngrams",
+        )
+        # 3. removals: previously-clean docs hit by the (grown) eval
+        # set — read off the INDEX with a broadcast join; no corpus
+        # re-explode. Checking against the FULL eval set (not just the
+        # tick's new n-grams) is what makes a crash-retry idempotent:
+        # docs already passed the older set, so the full check computes
+        # the identical removal set no matter when the ledger landed.
+        contaminated = (
+            tm.read("curation.doc_ngrams")
+            .join(F.broadcast(full_eval), "ng")
+            .select("doc_id")
+            .distinct()
+        )
+        prev_clean = _read_or_empty(
+            spark, tm, "curation.silver_clean", nd_delta.schema
+        )
+        kept_old = prev_clean.join(contaminated, "doc_id", "left_anti")
+        # 4. additions: batch survivors, outside the eval slice, with no
+        # overlap against the full eval set
+        additions = (
+            nd_delta.filter(F.col("doc_id") % EVAL_MOD != 0)
+            .join(contaminated, "doc_id", "left_anti")
+            .join(prev_clean.select("doc_id"), "doc_id", "left_anti")
+        )
+        tm.overwrite(
+            kept_old.unionByName(additions).localCheckpoint(),
             "curation.silver_clean",
         )
 
@@ -403,6 +745,11 @@ def curation_dag(
         )
 
     def leakage(ctx):
+        # recomputed from the FULL pair table every tick ON PURPOSE:
+        # the pair set is bounded (verified near-dups), and a full
+        # re-derivation handles resurrection — a train doc dropped for
+        # a partner that decontamination later removed must come back,
+        # which no incremental drop ledger expresses as simply.
         s = tm.read("curation.gold_split")
         pairs = tm.read("curation.near_dup_pairs")
         tm.overwrite(leakage_drop(s, pairs), "curation.gold_corpus")

@@ -549,6 +549,16 @@ class TableManager:
         self.overwrite(df.repartition(n_files), table)
         return n_files
 
+    def drop(self, table: str) -> None:
+        """DROP TABLE: remove the table directory and invalidate plan/
+        stats caches. No-op when the table doesn't exist — the state
+        reset in incremental pipelines (pipelines/curation.py rebuild
+        mode) drops a fixed list without probing first."""
+        p = self.path(table)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        self._invalidate(table)
+
     def vacuum(self, table: str) -> None:
         """S15 VACUUM: drop unreferenced files (reference:
         uber/drop_dup.py:96-101 RETAIN 0 HOURS). Parquet overwrites

@@ -150,7 +150,8 @@ def test_curation_dag_end_to_end_skip_and_incremental(spark):
         "leakage_drop": "success", "pack": "success",
         "gold_summary": "success",
     }
-    assert rep.tasks["ingest"].result == {"new_files": 2}
+    ing = rep.tasks["ingest"].result
+    assert ing["new_files"] == 2 and ing["mode"] == "incremental"
 
     # DAG ≡ pure composition: the warehouse funnel equals run_funnel
     # over the same bronze rows, stage by stage
@@ -219,7 +220,166 @@ def test_curation_dag_end_to_end_skip_and_incremental(spark):
     _land(spark, landing, "batch3", extra)
     rep3 = C.curation_dag(spark, landing, tm, retries=0).run()
     assert rep3.ok, rep3.states()
-    assert rep3.tasks["ingest"].result == {"new_files": 1}
+    assert rep3.tasks["ingest"].result["new_files"] == 1
+    # the +1_000_000 ids honor the watermark contract → the tick is
+    # INCREMENTAL, and the heavy stages were batch-scoped: the near-dup
+    # task shingled exactly the tick's exact-dedup delta, not the corpus
+    assert rep3.tasks["ingest"].result["mode"] == "incremental"
+    nd3 = rep3.tasks["near_dup_dedup"].result
+    assert nd3["batch_docs"] == tm.read("curation.exact_delta").count()
+    assert nd3["batch_docs"] < tm.read("curation.silver_exact").count()
     funnel3 = _funnel_table(tm)
     assert funnel3["ingest"] == funnel1["ingest"] + extra.count()
     assert funnel3 == _expected_counts(tm.read("curation.bronze_docs"))
+
+
+# ---------------------------------------------------------------------------
+# r10 verdict item #2: incremental ticks ≡ full recompute, batch-scoped
+# heavy stages, and the non-monotone rebuild escape hatch
+# ---------------------------------------------------------------------------
+
+def _ids(tm, table):
+    return {r.doc_id for r in tm.read(table).select("doc_id").collect()}
+
+
+def _funnel_tables_equal_full(spark, tm):
+    """Assert every silver/gold table equals the pure run_funnel
+    composition over the full bronze — the incremental ≡ full-recompute
+    property (frame-level, not just counts)."""
+    f = C.run_funnel(tm.read("curation.bronze_docs"), materialize_pairs=True)
+    for table, stage in (
+        ("curation.silver_quality", "quality"),
+        ("curation.silver_exact", "exact_dedup"),
+        ("curation.silver_neardup", "near_dup"),
+        ("curation.silver_clean", "decontaminate"),
+    ):
+        assert _ids(tm, table) == {
+            r.doc_id for r in f[stage].select("doc_id").collect()
+        }, f"{table} diverged from run_funnel[{stage}]"
+    # the maintained pair set must equal the full-corpus star pair job
+    got_pairs = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in tm.read("curation.near_dup_pairs").collect()
+    }
+    want_pairs = {
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in f["pairs"].collect()
+    }
+    assert got_pairs == want_pairs
+    # gold layers: full-row equality
+    assert {
+        (r.doc_id, r.split) for r in tm.read("curation.gold_split").collect()
+    } == {(r.doc_id, r.split) for r in f["split"].collect()}
+    assert _ids(tm, "curation.gold_corpus") == {
+        r.doc_id for r in f["leakage"].collect()
+    }
+    assert {
+        r.doc_id: (r.split, r.lang, r.n_tok, r.bin)
+        for r in tm.read("curation.gold_packed").collect()
+    } == {
+        r.doc_id: (r.split, r.lang, r.n_tok, r.bin)
+        for r in f["packed"].collect()
+    }
+    assert {
+        (r.lang, r.split): (r.n_docs, r.n_tokens)
+        for r in tm.read("curation.gold_summary").collect()
+    } == {
+        (r.lang, r.split): (r.n_docs, r.n_tokens)
+        for r in f["gold"].collect()
+    }
+
+
+def test_incremental_ticks_equal_full_recompute(spark):
+    """Three monotone ticks through the incremental DAG converge to the
+    EXACT tables one run_funnel over the union corpus produces — the §5
+    property-gate pattern (like test_schedule's backfill ≡ batch), at
+    frame level for every silver/gold table including the pair set."""
+    landing = tempfile.mkdtemp(prefix="cur_inc_land_")
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="cur_inc_wh_"), backend="parquet"
+    )
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    hi = src.agg(F.max("doc_id")).collect()[0][0]
+    a, b = hi // 3, 2 * hi // 3
+    slices = [
+        src.filter(F.col("doc_id") <= a),
+        src.filter((F.col("doc_id") > a) & (F.col("doc_id") <= b)),
+        src.filter(F.col("doc_id") > b),
+    ]
+    for i, sl in enumerate(slices):
+        _land(spark, landing, f"tick{i}", sl)
+        rep = C.curation_dag(spark, landing, tm, retries=0).run()
+        assert rep.ok, rep.states()
+        assert rep.tasks["ingest"].result["mode"] == "incremental"
+        if i > 0:
+            # the heavy stages were batch-scoped: near-dup shingled
+            # exactly this tick's exact-delta, a strict subset of the
+            # accumulated corpus
+            nd = rep.tasks["near_dup_dedup"].result
+            assert nd["batch_docs"] == tm.read("curation.exact_delta").count()
+            assert nd["batch_docs"] < tm.read("curation.silver_exact").count()
+        # equality holds after EVERY tick, not just the last
+        _funnel_tables_equal_full(spark, tm)
+
+
+def test_rebuild_on_nonmonotone_batch(spark):
+    """A tick violating the max-id watermark contract (arriving ids at
+    or below the stored max) cannot be patched incrementally — ingest
+    must detect it, report mode='rebuild', and replay the corpus; the
+    tables still end exactly equal to the full recompute."""
+    landing = tempfile.mkdtemp(prefix="cur_rb_land_")
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="cur_rb_wh_"), backend="parquet"
+    )
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    hi = src.agg(F.max("doc_id")).collect()[0][0]
+    # HIGH ids land first, LOW ids second → tick 2 is non-monotone
+    _land(spark, landing, "high", src.filter(F.col("doc_id") > hi // 2))
+    rep1 = C.curation_dag(spark, landing, tm, retries=0).run()
+    assert rep1.ok and rep1.tasks["ingest"].result["mode"] == "incremental"
+    _land(spark, landing, "low", src.filter(F.col("doc_id") <= hi // 2))
+    rep2 = C.curation_dag(spark, landing, tm, retries=0).run()
+    assert rep2.ok, rep2.states()
+    assert rep2.tasks["ingest"].result["mode"] == "rebuild"
+    _funnel_tables_equal_full(spark, tm)
+
+
+def test_incremental_pair_update_plan_is_batch_scoped(spark):
+    """The verified-pair lineage on an incremental tick must scan ONLY
+    the batch delta and the two index tables — never bronze_docs /
+    silver_exact / the documents fixture (the r10 scale finding: a
+    tick must not re-pair the corpus). Checked on the LAZY plan
+    (materialize=False seam)."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    wh = tempfile.mkdtemp(prefix="cur_plan_wh_")
+    tm = TableManager(spark, wh, backend="parquet")
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    tm.overwrite(src.limit(50), "curation.exact_delta")
+    tm.overwrite(
+        spark.createDataFrame([], "band_key STRING, id_a LONG"),
+        "curation.lsh_hubs",
+    )
+    tm.overwrite(
+        spark.createDataFrame([], "doc_id LONG, shingle STRING"),
+        "curation.lsh_shingles",
+    )
+    verified, _, _ = C.incremental_pair_update(
+        tm.read("curation.exact_delta"),
+        tm.read("curation.lsh_hubs"),
+        tm.read("curation.lsh_shingles"),
+        materialize=False,
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        verified.explain("formatted")
+    plan = buf.getvalue()
+    assert "exact_delta" in plan and "lsh_hubs" in plan
+    for forbidden in ("bronze_docs", "silver_exact", "documents.parquet"):
+        assert forbidden not in plan, f"full-corpus scan leaked: {forbidden}"
