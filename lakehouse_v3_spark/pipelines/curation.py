@@ -204,19 +204,16 @@ def assign_split(docs: DataFrame) -> DataFrame:
     )
 
 
-def leakage_drop(
-    docs_split: DataFrame, pairs: DataFrame, threshold: float = LEAK_JACCARD
-) -> DataFrame:
-    """Stage L — close split_leakage_audit's loop (r9 verdict item #2):
-    for every verified pair with jaccard ≥ ``threshold`` whose two
-    LIVE endpoints land in different splits, drop the TRAIN side and
-    keep val/test (the published remediation: eval splits stay intact,
-    the contaminating train doc goes). val↔test pairs are counted by
-    the audit but dropped from neither side. ONE aggregation over the
-    bounded pair set; the corpus pays a broadcast-able left_anti."""
+def cross_split_train_drops(pairs: DataFrame, docs_split: DataFrame) -> DataFrame:
+    """Train-side ids of pairs whose two LIVE endpoints land in
+    different splits — the leakage remediation rule shared by the
+    text-jaccard and embedding-cosine leakage stages: eval splits stay
+    intact, the contaminating train doc goes; val↔test pairs drop
+    neither side. ``pairs`` is any (id_a, id_b) frame already above its
+    own threshold. ONE aggregation over the bounded pair set."""
     live = docs_split.select("doc_id", "split")
     p = (
-        pairs.filter(F.col("jaccard") >= threshold)
+        pairs.select("id_a", "id_b")
         .join(
             live.select(
                 F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
@@ -231,12 +228,171 @@ def leakage_drop(
         )
         .filter(F.col("sa") != F.col("sb"))
     )
-    train_side = p.select(
+    return p.select(
         F.when(F.col("sa") == "train", F.col("id_a"))
         .when(F.col("sb") == "train", F.col("id_b"))
         .alias("doc_id")
     ).filter(F.col("doc_id").isNotNull()).distinct()
+
+
+def leakage_drop(
+    docs_split: DataFrame, pairs: DataFrame, threshold: float = LEAK_JACCARD
+) -> DataFrame:
+    """Stage L — close split_leakage_audit's loop (r9 verdict item #2):
+    for every verified pair with jaccard ≥ ``threshold`` whose two
+    LIVE endpoints land in different splits, drop the TRAIN side and
+    keep val/test (the published remediation: eval splits stay intact,
+    the contaminating train doc goes). val↔test pairs are counted by
+    the audit but dropped from neither side. ONE aggregation over the
+    bounded pair set; the corpus pays a broadcast-able left_anti."""
+    train_side = cross_split_train_drops(
+        pairs.filter(F.col("jaccard") >= threshold), docs_split
+    )
     return docs_split.join(train_side, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-side stages (r10 verdict item #3): SemDeDup pruning and
+# embedding-space split leakage, composed beside their text counterparts
+# ---------------------------------------------------------------------------
+
+EMB_TAU = 0.4   # embedding near-dup cosine threshold (semdedup family)
+EMB_DIM = 64    # fixture vector width (unrolled codegen dot product)
+
+
+def emb_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroids over the FULL embeddings feature table —
+    the clustering model artifact (SemDeDup's k-means centroids; the
+    fixture ``label`` stands in for the cluster assignment, the
+    semdedup_centroid_prune convention). Computed over the EXTERNAL
+    table, not the funnel's survivors, so a document's centroid cosine
+    is a pure per-doc function — stable across incremental ticks,
+    which is what keeps the semantic drop set monotone. Decimal
+    accumulation (the plans.davg contract) makes the means
+    order-independent and bit-identical to the DuckDB oracle."""
+    comp = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    cmeans = comp.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,6)")).cast("double")
+            / F.count("val")
+        ).alias("cmean")
+    )
+    return cmeans.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cmean"))),
+            lambda s: s["cmean"],
+        ).alias("centroid")
+    )
+
+
+def emb_scored(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(doc_id, label, ccos): each vector's cosine to its label
+    centroid — one codegen'd map over the scan after a broadcast of
+    the ≤|labels|-row centroid table."""
+    from ..operators.similarity import dot_product_unrolled, l2_norm
+
+    c_cos = dot_product_unrolled(
+        F.col("embedding"), F.col("centroid"), EMB_DIM
+    ) / (l2_norm(F.col("embedding")) * l2_norm(F.col("centroid")))
+    return embeddings.join(F.broadcast(centroids), "label").select(
+        F.col("vec_id").alias("doc_id"), "label", c_cos.alias("ccos")
+    )
+
+
+def emb_member_vectors(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """(doc_id, label, embedding) for the docs present in ``docs`` —
+    the embeddings feature table keyed back onto funnel survivors
+    (fixture convention: vec_id ≡ doc_id)."""
+    return embeddings.select(
+        F.col("vec_id").alias("doc_id"), "label", "embedding"
+    ).join(docs.select("doc_id"), "doc_id", "left_semi")
+
+
+def emb_pairs_full(members: DataFrame) -> DataFrame:
+    """All embedding near-dup pairs (id_a < id_b, cosine ≥ EMB_TAU)
+    among ``members`` (doc_id, label, embedding), label-blocked — the
+    full-recompute form (run_funnel / the catalog oracle). The SQL
+    strategy keeps the cosine a bit-exact JVM fold, so the incremental
+    batch probe (identical expression) appends bit-identical rows."""
+    from ..operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(
+        members,
+        "doc_id",
+        block_col="label",
+        threshold=EMB_TAU,
+        dim=EMB_DIM,
+        strategy="sql",
+    ).select("id_a", "id_b", "cosine_sim")
+
+
+def emb_pair_probe(batch: DataFrame, stored: DataFrame) -> DataFrame:
+    """Batch-scoped embedding pair update: every near-dup pair with at
+    least one endpoint in ``batch``, against ``stored`` members ∪ the
+    batch itself, label-blocked. Pair existence is PAIRWISE-LOCAL
+    (cos(a,b) ≥ τ, same label) — unlike the text star rule no bucket
+    state is involved, so the union over ticks of these probes is
+    exactly the full pair set (each pair materializes at its newer
+    member's tick). The dot is the same unrolled codegen expression as
+    :func:`emb_pairs_full` — bit-identical cosines.
+
+    Scale: |batch| × |label block| fan-out — ∝ batch, never corpus²."""
+    from ..operators.similarity import dot_product_unrolled, l2_norm
+
+    a = batch.select(
+        F.col("doc_id").alias("id_x"),
+        F.col("label"),
+        F.col("embedding").alias("_va"),
+        l2_norm(F.col("embedding")).alias("_na"),
+    )
+    b = (
+        stored.unionByName(batch)
+        .select(
+            F.col("doc_id").alias("id_y"),
+            F.col("label"),
+            F.col("embedding").alias("_vb"),
+            l2_norm(F.col("embedding")).alias("_nb"),
+        )
+    )
+    dot = dot_product_unrolled(F.col("_va"), F.col("_vb"), EMB_DIM)
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            (dot / (F.col("_na") * F.col("_nb"))).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= EMB_TAU)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def semantic_drops(pairs: DataFrame, scored: DataFrame) -> DataFrame:
+    """SemDeDup drop set (Abbas et al. 2023, the pairwise relaxation
+    semdedup_centroid_prune documents): each near-dup pair drops the
+    member MORE similar to its cluster centroid (keeping the
+    far-from-centroid example preserves diversity); ties drop the
+    higher id. Derived ENTIRELY from the bounded pair table + the
+    per-doc centroid cosines, so the incremental DAG re-derives it per
+    tick at pair-set cost — and because pairs only accumulate and ccos
+    is per-doc stable, the set is MONOTONE (no resurrection)."""
+    sa = scored.select(F.col("doc_id").alias("id_a"), F.col("ccos").alias("ca"))
+    sb = scored.select(F.col("doc_id").alias("id_b"), F.col("ccos").alias("cb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.when(F.col("ca") > F.col("cb"), F.col("id_a"))
+            .when(F.col("cb") > F.col("ca"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
 
 
 def gold_summary(final_docs: DataFrame) -> DataFrame:
@@ -298,7 +454,9 @@ def pack_corpus(
 
 
 def run_funnel(
-    docs: DataFrame, materialize_pairs: bool = False
+    docs: DataFrame,
+    materialize_pairs: bool = False,
+    embeddings: "DataFrame | None" = None,
 ) -> dict[str, DataFrame]:
     """Compose the full funnel lazily; returns every intermediate frame
     keyed by stage name (the catalog queries and the DAG tasks both
@@ -308,28 +466,62 @@ def run_funnel(
     it feeds BOTH the near-dup drop and the leakage drop, and the
     minhash job is the funnel's expensive step; the one-query catalog
     composition uses this (the DAG persists the pairs as a table
-    instead, which serves the same purpose durably)."""
+    instead, which serves the same purpose durably).
+
+    ``embeddings`` (the external (vec_id, embedding, label) feature
+    table, vec_id ≡ doc_id) composes the embedding-side stages beside
+    their text counterparts (r10 verdict item #3):
+
+        ... near_dup (text MinHash)
+          >> semantic  (SemDeDup: embedding near-dup pairs among the
+                        text survivors drop the more-central member)
+          >> decontaminate >> split
+          >> leakage   (text jaccard AND embedding-cosine cross-split
+                        pairs both drop their train side)
+          >> gold/pack
+
+    extra returned stages: ``emb_pairs``, ``semantic``."""
     q = quality_filter(docs)
     e = exact_dedup(q)
     pairs = verified_pairs(e.select("doc_id", "text"), LEAK_JACCARD)
     if materialize_pairs:
         pairs = pairs.localCheckpoint()
     n = near_dup_drop(e, pairs)
-    d = decontaminate(n, docs)
-    s = assign_split(d)
-    l = leakage_drop(s, pairs)
-    return {
+    out = {
         "ingest": docs,
         "quality": q,
         "exact_dedup": e,
         "pairs": pairs,
         "near_dup": n,
-        "decontaminate": d,
-        "split": s,
-        "leakage": l,
-        "gold": gold_summary(l),
-        "packed": pack_corpus(l),
     }
+    if embeddings is not None:
+        members = emb_member_vectors(n, embeddings)
+        epairs = emb_pairs_full(members)
+        if materialize_pairs:
+            epairs = epairs.localCheckpoint()
+        scored = emb_scored(embeddings, emb_centroids(embeddings))
+        m = n.join(semantic_drops(epairs, scored), "doc_id", "left_anti")
+        out["emb_pairs"] = epairs
+        out["semantic"] = m
+    else:
+        m = n
+    d = decontaminate(m, docs)
+    s = assign_split(d)
+    l = leakage_drop(s, pairs)
+    if embeddings is not None:
+        l = l.join(
+            cross_split_train_drops(out["emb_pairs"], s), "doc_id", "left_anti"
+        )
+    out.update(
+        {
+            "decontaminate": d,
+            "split": s,
+            "leakage": l,
+            "gold": gold_summary(l),
+            "packed": pack_corpus(l),
+        }
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -402,6 +594,12 @@ _STATE_TABLES = (
     "curation.near_dup_pairs",
     "curation.silver_neardup",
     "curation.silver_clean",
+    # embedding-side state (present only when the DAG runs with the
+    # embeddings feature table; drop() is a no-op otherwise)
+    "curation.label_centroids",
+    "curation.emb_members",
+    "curation.emb_pairs",
+    "curation.sem_drops",
 )
 
 
@@ -501,12 +699,22 @@ def curation_dag(
     tm: TableManager,
     retries: int = 2,
     retry_delay: float = 0.0,
+    embeddings: "DataFrame | None" = None,
 ) -> Dag:
     """Build the INCREMENTAL curation medallion DAG. ``landing_dir``
     holds landing parquet document files (doc_id, text, lang, ...);
     tables land as ``curation.bronze_docs`` → ``curation.silver_*`` →
     ``curation.gold_*``, with the index/state tables documented in the
     section header above.
+
+    ``embeddings`` (the external (vec_id, embedding, label) feature
+    table) composes the embedding-side stages (r10 verdict item #3): a
+    ``semantic_dedup`` task between near-dup and decontaminate
+    (SemDeDup centroid-policy pruning over incrementally-maintained
+    ``curation.emb_pairs``; centroids persisted once as the clustering
+    model artifact), and the embedding-cosine cross-split drop joined
+    into the leakage stage. Omit it and the DAG is the text-only
+    funnel, task for task.
 
     Contract (the uber/news engineering, extended to per-stage state):
     - **incremental**: ingest anti-joins the landing listing against a
@@ -684,9 +892,72 @@ def curation_dag(
             "survivors": nd_delta.count(),
         }
 
+    def semantic(ctx):
+        # SemDeDup beside the text near-dup (r10 verdict item #3), the
+        # same incremental discipline: pairs accumulate batch-by-batch
+        # (pair existence is pairwise-local — cos ≥ τ within a label —
+        # so the probe union IS the full pair set), the drop set is
+        # re-derived per tick from the bounded pair table, and the
+        # centroids are the persisted clustering model artifact (per-doc
+        # ccos stays stable, which keeps the drop set monotone).
+        nd_delta = tm.read("curation.neardup_delta")
+        if not tm.exists("curation.label_centroids"):
+            tm.overwrite(emb_centroids(embeddings), "curation.label_centroids")
+        cents = tm.read("curation.label_centroids")
+        batch_members = emb_member_vectors(nd_delta, embeddings).localCheckpoint()
+        stored_members = _read_or_empty(
+            spark, tm, "curation.emb_members",
+            "doc_id LONG, label INT, embedding ARRAY<FLOAT>",
+        )
+        new_pairs = emb_pair_probe(batch_members, stored_members).localCheckpoint()
+        stored_pairs = _read_or_empty(
+            spark, tm, "curation.emb_pairs",
+            "id_a LONG, id_b LONG, cosine_sim DOUBLE",
+        )
+        tm.append(
+            new_pairs.join(
+                stored_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+            ),
+            "curation.emb_pairs",
+        )
+        tm.append(
+            batch_members.join(
+                _read_or_empty(
+                    spark, tm, "curation.emb_members",
+                    "doc_id LONG, label INT, embedding ARRAY<FLOAT>",
+                ).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            ),
+            "curation.emb_members",
+        )
+        # drop set: full (bounded) pair table × per-doc centroid cosines
+        # restricted to pair endpoints — pair-set-sized work
+        pair_tbl = tm.read("curation.emb_pairs")
+        endpoint_ids = (
+            pair_tbl.select(F.col("id_a").alias("vec_id"))
+            .unionByName(pair_tbl.select(F.col("id_b").alias("vec_id")))
+            .distinct()
+        )
+        scored = emb_scored(
+            embeddings.join(endpoint_ids, "vec_id", "left_semi"), cents
+        )
+        drops = semantic_drops(pair_tbl, scored).localCheckpoint()
+        tm.overwrite(drops, "curation.sem_drops")
+        return {
+            "batch_docs": batch_members.count(),
+            "new_pairs": new_pairs.count(),
+            "sem_drops": drops.count(),
+        }
+
     def decontam(ctx):
         batch_bronze = tm.read("curation.bronze_delta")
         nd_delta = tm.read("curation.neardup_delta")
+        sem = (
+            tm.read("curation.sem_drops")
+            if embeddings is not None and tm.exists("curation.sem_drops")
+            else None
+        )
         # 1. grow the eval n-gram ledger with the batch's eval docs
         ng_new = (
             ngrams8(batch_bronze.filter(F.col("doc_id") % EVAL_MOD == 0))
@@ -733,6 +1004,12 @@ def curation_dag(
             .join(contaminated, "doc_id", "left_anti")
             .join(prev_clean.select("doc_id"), "doc_id", "left_anti")
         )
+        if sem is not None:
+            # the semantic stage sits between near-dup and decontam:
+            # its (monotone, pair-table-derived) drop set removes both
+            # previously-clean docs and batch additions
+            kept_old = kept_old.join(sem, "doc_id", "left_anti")
+            additions = additions.join(sem, "doc_id", "left_anti")
         tm.overwrite(
             kept_old.unionByName(additions).localCheckpoint(),
             "curation.silver_clean",
@@ -752,7 +1029,16 @@ def curation_dag(
         # which no incremental drop ledger expresses as simply.
         s = tm.read("curation.gold_split")
         pairs = tm.read("curation.near_dup_pairs")
-        tm.overwrite(leakage_drop(s, pairs), "curation.gold_corpus")
+        out = leakage_drop(s, pairs)
+        if embeddings is not None and tm.exists("curation.emb_pairs"):
+            # embedding-cosine leakage beside the text rule: cross-split
+            # emb near-dup pairs also drop their train side
+            out = out.join(
+                cross_split_train_drops(tm.read("curation.emb_pairs"), s),
+                "doc_id",
+                "left_anti",
+            )
+        tm.overwrite(out, "curation.gold_corpus")
 
     def pack(ctx):
         tm.overwrite(
@@ -770,6 +1056,15 @@ def curation_dag(
             ("quality", tm.read("curation.silver_quality").count()),
             ("exact_dedup", tm.read("curation.silver_exact").count()),
             ("near_dup", tm.read("curation.silver_neardup").count()),
+        ]
+        if embeddings is not None:
+            rows.append((
+                "semantic",
+                tm.read("curation.silver_neardup")
+                .join(tm.read("curation.sem_drops"), "doc_id", "left_anti")
+                .count(),
+            ))
+        rows += [
             ("decontaminate", tm.read("curation.silver_clean").count()),
             ("leakage", final.count()),
         ]
@@ -788,7 +1083,12 @@ def curation_dag(
              retries=retries, retry_delay=retry_delay)
     dag.task("near_dup_dedup", near_dup, upstream=("exact_dedup",),
              retries=retries, retry_delay=retry_delay)
-    dag.task("decontaminate", decontam, upstream=("near_dup_dedup",),
+    decontam_upstream = ("near_dup_dedup",)
+    if embeddings is not None:
+        dag.task("semantic_dedup", semantic, upstream=("near_dup_dedup",),
+                 retries=retries, retry_delay=retry_delay)
+        decontam_upstream = ("semantic_dedup",)
+    dag.task("decontaminate", decontam, upstream=decontam_upstream,
              retries=retries, retry_delay=retry_delay)
     dag.task("split_assign", split, upstream=("decontaminate",),
              retries=retries, retry_delay=retry_delay)

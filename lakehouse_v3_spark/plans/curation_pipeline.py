@@ -42,12 +42,24 @@ _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
-def _funnel_ctes() -> str:
+def _funnel_ctes(embed: bool = False, embed_prefilter: bool = False) -> str:
     """The full-funnel CTE chain over the ``documents`` view. Every
     stage mirrors the Spark function in pipelines/curation.py; the
     minhash fragments are generated from the SAME seeds/band constants
     as operators/dedup.py (the dedup_queries oracle-generation
-    pattern)."""
+    pattern).
+
+    ``embed=True`` composes the embedding-side stages (r10 verdict
+    item #3) exactly as ``run_funnel(embeddings=...)`` does: SemDeDup
+    centroid-policy pruning between the text near-dup and
+    decontamination (centroids = per-label decimal-accumulated means
+    over the FULL embeddings table — the clustering model artifact),
+    and the embedding-cosine cross-split drop beside the text leakage
+    rule. ``embed_prefilter=True`` adds the float32 native-cosine
+    prefilter at (τ − 1e-3) to the emb pair CTE for big-SF gates (the
+    _SEMDEDUP_SF_ORACLE margin argument: float32 cosine error for 64
+    dims ≤ ~1e-5, so no true pair is dropped; the exact double fold
+    decides)."""
     md5_8 = f"(('0x' || substr(md5(shingle), 1, 8))::BIGINT % {MINHASH_PRIME})"
     sig_lines = ",\n    ".join(
         f"MIN(({a} * {md5_8} + {b}) % {MINHASH_PRIME}) AS mh{j}"
@@ -77,6 +89,70 @@ def _funnel_ctes() -> str:
         "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val' "
         "ELSE 'test' END"
     )
+    corpus_src = "m" if embed else "n"
+    embed_block = ""
+    eleak_filter = ""
+    if embed:
+        if embed_prefilter:
+            epairs = f"""
+fv AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS FLOAT[64]) AS arr, embedding
+  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM n)
+),
+epairs AS MATERIALIZED (  -- emb near-dup pairs among text survivors
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM fv a JOIN fv b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE array_cosine_similarity(a.arr, b.arr) >= 0.4 - 1e-3
+    AND {_cos('a.embedding', 'b.embedding')} >= 0.4
+),"""
+        else:
+            epairs = f"""
+emem AS MATERIALIZED (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM n)
+),
+epairs AS MATERIALIZED (  -- emb near-dup pairs among text survivors
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM emem a JOIN emem b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
+),"""
+        embed_block = f"""{epairs}
+ecomp AS (  -- centroids over the FULL embeddings table (model artifact)
+  SELECT label, i AS pos, embedding[i]::DOUBLE AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+),
+ecmeans AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(val) AS cmean
+  FROM ecomp GROUP BY label, pos
+),
+ecent AS (
+  SELECT label, list(cmean ORDER BY pos) AS centroid FROM ecmeans GROUP BY label
+),
+escored AS MATERIALIZED (  -- centroid cosines for pair endpoints only
+  SELECT e.vec_id, {_cos('e.embedding', 'c.centroid')} AS ccos
+  FROM embeddings e JOIN ecent c ON e.label = c.label
+  WHERE e.vec_id IN (SELECT id_a FROM epairs UNION SELECT id_b FROM epairs)
+),
+sdrops AS (  -- SemDeDup: drop the more-central member, ties drop hi id
+  SELECT DISTINCT CASE WHEN sa.ccos > sb.ccos THEN p.id_a
+              WHEN sb.ccos > sa.ccos THEN p.id_b
+              ELSE greatest(p.id_a, p.id_b) END AS doc_id
+  FROM epairs p
+  JOIN escored sa ON p.id_a = sa.vec_id
+  JOIN escored sb ON p.id_b = sb.vec_id
+),
+m AS MATERIALIZED (  -- stage M: semantic prune
+  SELECT * FROM n WHERE doc_id NOT IN (SELECT doc_id FROM sdrops)
+),"""
+        eleak_filter = """
+    AND doc_id NOT IN (  -- embedding-cosine leakage: drop train side
+      SELECT DISTINCT CASE WHEN a.split = 'train' THEN p.id_a ELSE p.id_b END
+      FROM epairs p
+      JOIN s a ON a.doc_id = p.id_a
+      JOIN s b ON b.doc_id = p.id_b
+      WHERE a.split <> b.split AND (a.split = 'train' OR b.split = 'train')
+    )"""
     return f"""
 WITH toks0 AS (
   SELECT doc_id, lang, text, {_TOKS} AS t FROM documents
@@ -138,16 +214,16 @@ pairs AS MATERIALIZED (  -- verified pairs at the looser LEAK threshold, reused 
   WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
           / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) >= CAST({LEAK_JACCARD} AS DOUBLE)
 ),
-n AS (  -- stage N: greedy keep-min near-dup drop
+n AS MATERIALIZED (  -- stage N: greedy keep-min near-dup drop
   SELECT * FROM e
   WHERE doc_id NOT IN (
     SELECT DISTINCT id_b FROM pairs WHERE jaccard >= CAST({NEAR_DUP_JACCARD} AS DOUBLE)
   )
-),
+),{embed_block}
 ev AS (  -- stage D: eval 8-gram set from the ORIGINAL documents
   SELECT DISTINCT unnest({ng8}) AS ng FROM toks0 WHERE doc_id % {EVAL_MOD} = 0
 ),
-corpus AS (SELECT * FROM n WHERE doc_id % {EVAL_MOD} <> 0),
+corpus AS (SELECT * FROM {corpus_src} WHERE doc_id % {EVAL_MOD} <> 0),
 contaminated AS (
   SELECT DISTINCT doc_id
   FROM (SELECT doc_id, unnest({ng8}) AS ng FROM corpus) cng
@@ -172,7 +248,7 @@ leak_drops AS (
   FROM lp WHERE sa = 'train' OR sb = 'train'
 ),
 l AS MATERIALIZED (
-  SELECT * FROM s WHERE doc_id NOT IN (SELECT doc_id FROM leak_drops)
+  SELECT * FROM s WHERE doc_id NOT IN (SELECT doc_id FROM leak_drops){eleak_filter}
 )"""
 
 
@@ -354,3 +430,56 @@ def split_leakage_apply(spark, sf_dir):
             (F.count(F.lit(1)) - F.count("_dropped")).alias("n_retained"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_embed_gold: the funnel WITH the embedding-side stages (r11)
+# ---------------------------------------------------------------------------
+
+_EMBED_GOLD_TAIL = """
+SELECT lang, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+FROM l
+GROUP BY lang, split
+"""
+
+_EMBED_GOLD_ORACLE = _funnel_ctes(embed=True) + _EMBED_GOLD_TAIL
+_EMBED_GOLD_SF_ORACLE = (
+    _funnel_ctes(embed=True, embed_prefilter=True) + _EMBED_GOLD_TAIL
+)
+
+# the prefilter variant must actually differ (the _SEMDEDUP_SF_ORACLE
+# drift-assert discipline): a silent generator change would hand the
+# big-SF gates the unfiltered O(pairs) oracle
+assert "array_cosine_similarity" in _EMBED_GOLD_SF_ORACLE
+assert "array_cosine_similarity" not in _EMBED_GOLD_ORACLE
+
+
+@register(
+    "curation_embed_gold",
+    oracle=_EMBED_GOLD_ORACLE,
+    sf_oracle=_EMBED_GOLD_SF_ORACLE,
+)
+def curation_embed_gold(spark, sf_dir):
+    """The end-to-end curation funnel WITH the embedding-side stages
+    composed beside their text counterparts (r10 verdict item #3):
+    quality → exact dedup → text MinHash near-dup → SemDeDup semantic
+    prune (embedding near-dup pairs among the text survivors drop the
+    member closer to its label centroid; centroids are the clustering
+    model artifact over the full embeddings table) → decontaminate →
+    split → leakage where BOTH the text-jaccard and embedding-cosine
+    cross-split pairs drop their train side → per-(lang, split) gold
+    survivorship. One composed query, one DuckDB WITH-chain oracle
+    replaying every stage of both modalities.
+
+    Scale shape: everything the text funnel already argues, plus the
+    embedding stages at their standalone-query cost — the emb pair job
+    is label-blocked (Σ block², semdedup_centroid_prune's path), the
+    centroid table broadcasts, the semantic/leakage drop sets are
+    pair-bounded. The orchestrated warehouse form (incremental emb
+    pair maintenance per tick) is curation_dag(embeddings=...),
+    pinned DAG ≡ this composition by tests/test_curation.py."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    emb = load(spark, sf_dir, "embeddings")
+    return run_funnel(docs, materialize_pairs=True, embeddings=emb)["gold"]

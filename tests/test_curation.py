@@ -383,3 +383,74 @@ def test_incremental_pair_update_plan_is_batch_scoped(spark):
     assert "exact_delta" in plan and "lsh_hubs" in plan
     for forbidden in ("bronze_docs", "silver_exact", "documents.parquet"):
         assert forbidden not in plan, f"full-corpus scan leaked: {forbidden}"
+
+
+# ---------------------------------------------------------------------------
+# r10 verdict item #3: embedding stages composed into the pipeline
+# ---------------------------------------------------------------------------
+
+def test_embedding_stages_dag_equals_funnel(spark):
+    """With the embeddings feature table, the DAG grows a semantic_dedup
+    task (SemDeDup centroid-policy pruning over incrementally-maintained
+    emb pairs) and the embedding-cosine leakage drop — and over two
+    incremental ticks still converges to exactly
+    run_funnel(embeddings=...) on the union corpus."""
+    landing = tempfile.mkdtemp(prefix="cur_emb_land_")
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="cur_emb_wh_"), backend="parquet"
+    )
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    hi = src.agg(F.max("doc_id")).collect()[0][0]
+    slices = [
+        src.filter(F.col("doc_id") <= hi // 2),
+        src.filter(F.col("doc_id") > hi // 2),
+    ]
+    for i, sl in enumerate(slices):
+        _land(spark, landing, f"etick{i}", sl)
+        rep = C.curation_dag(
+            spark, landing, tm, retries=0, embeddings=emb
+        ).run()
+        assert rep.ok, rep.states()
+        assert "semantic_dedup" in rep.states()
+        if i > 0:
+            sem = rep.tasks["semantic_dedup"].result
+            # the emb probe was batch-scoped too
+            assert sem["batch_docs"] == tm.read("curation.neardup_delta").count()
+            assert sem["batch_docs"] < tm.read("curation.silver_neardup").count()
+
+    f = C.run_funnel(
+        tm.read("curation.bronze_docs"), materialize_pairs=True, embeddings=emb
+    )
+    # maintained emb pair set == full label-blocked pair job (bit-exact
+    # cosines: identical unrolled-dot expression on both paths)
+    got_pairs = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in tm.read("curation.emb_pairs").collect()
+    }
+    want_pairs = {
+        (r.id_a, r.id_b, r.cosine_sim) for r in f["emb_pairs"].collect()
+    }
+    assert got_pairs == want_pairs and got_pairs
+    # silver_clean reflects the semantic drop (stage M) exactly
+    assert _ids(tm, "curation.silver_clean") == {
+        r.doc_id for r in f["decontaminate"].collect()
+    }
+    # gold corpus reflects BOTH leakage rules
+    assert _ids(tm, "curation.gold_corpus") == {
+        r.doc_id for r in f["leakage"].collect()
+    }
+    # the funnel table carries the semantic stage row, equal to the
+    # composed stage count
+    funnel = _funnel_table(tm)
+    assert funnel["semantic"] == f["semantic"].count()
+    # packed output equal too (the full downstream re-derivation)
+    assert {
+        r.doc_id: (r.split, r.lang, r.n_tok, r.bin)
+        for r in tm.read("curation.gold_packed").collect()
+    } == {
+        r.doc_id: (r.split, r.lang, r.n_tok, r.bin)
+        for r in f["packed"].collect()
+    }
