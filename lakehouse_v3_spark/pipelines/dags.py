@@ -105,7 +105,7 @@ def uber_dag(
     return dag
 
 
-def _interval_csv_files(raw_dir: str, start, end) -> list[str]:
+def _interval_csv_files(raw_dir: str, start, end, suffix: str = ".csv") -> list[str]:
     """Hive-style landing-zone partition pruning (r8 verdict item #2).
     The reference's collectors land files under ``date=YYYY-MM-DD``
     keys (airflow/tasks/uber/ingestion.py:147-166); ONE shallow
@@ -148,9 +148,9 @@ def _interval_csv_files(raw_dir: str, start, end) -> list[str]:
                 files.extend(
                     f"{e.path}/{fn}"
                     for fn in sorted(_os.listdir(e.path))
-                    if fn.endswith(".csv")
+                    if fn.endswith(suffix)
                 )
-        elif e.name.endswith(".csv"):
+        elif e.name.endswith(suffix):
             files.append(e.path)
     return files
 
@@ -353,3 +353,38 @@ def audit_dag(
              upstream=("004_fact_completeness", "004_fact_validity"),
              retries=retries)
     return dag
+
+
+# ---------------------------------------------------------------------------
+# CURATION: the LLM-curation medallion under the calendar (r10 item #4)
+# ---------------------------------------------------------------------------
+
+def scheduled_curation_dag(
+    spark,
+    landing_dir: str,
+    tm: TableManager,
+    retries: int = 0,
+    retry_delay: float = 0.0,
+    embeddings=None,
+) -> Dag:
+    """Interval-scoped curation DAG for :class:`~..orchestrate.
+    ScheduledDag` — :func:`~.curation.curation_dag` with
+    ``interval_scoped=True``: landing files are partition-pruned to the
+    run's data interval by the ``date=`` dir rule (ONE shallow listing
+    per tick), the file-log anti-join keeps crashed-interval replays
+    idempotent, and every tick below ingest runs the batch-scoped
+    incremental bodies — so a catchup backfill over N closed intervals
+    converges to the same silver/gold tables as one batch run over all
+    the data (tests/test_schedule.py pins the equality and the
+    per-interval files_read discipline)."""
+    from .curation import curation_dag
+
+    return curation_dag(
+        spark,
+        landing_dir,
+        tm,
+        retries=retries,
+        retry_delay=retry_delay,
+        embeddings=embeddings,
+        interval_scoped=True,
+    )

@@ -570,3 +570,103 @@ def test_interval_pruning_is_conservative_on_odd_keys(spark):
     assert "date=whenever" in dirs        # unparseable kept
     assert "date=2024-05-09" not in dirs  # genuinely pruned
     assert any(p.endswith("flat.csv") for p in got)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: ScheduledDag drives the CURATION medallion (r10 item #4);
+# 3-interval catchup ≡ one batch run, per-interval files_read pruned
+# ---------------------------------------------------------------------------
+
+def test_scheduled_curation_backfill_matches_batch_run(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_v3_spark.pipelines import curation as C
+    from lakehouse_v3_spark.pipelines.dags import scheduled_curation_dag
+    from lakehouse_v3_spark.tables import TableManager
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    hi = src.agg(F.max("doc_id")).collect()[0][0]
+    a, b = hi // 3, 2 * hi // 3
+    # collectors land one file per day under date= keys; id ranges are
+    # monotone by day, honoring the watermark contract
+    days = [
+        ("2024-05-01", src.filter(F.col("doc_id") <= a)),
+        ("2024-05-02", src.filter((F.col("doc_id") > a) & (F.col("doc_id") <= b))),
+        ("2024-05-03", src.filter(F.col("doc_id") > b)),
+    ]
+    landing = tempfile.mkdtemp(prefix="cur_sched_land_")
+    for day, df in days:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(landing, f"date={day}", "docs")
+        )
+        # flatten: the date= dir must hold .parquet FILES for the
+        # pruner; move the part file up and name it stably
+        ddir = os.path.join(landing, f"date={day}")
+        part = next(
+            fn for fn in os.listdir(os.path.join(ddir, "docs"))
+            if fn.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(ddir, "docs", part), os.path.join(ddir, "docs.parquet")
+        )
+        import shutil
+        shutil.rmtree(os.path.join(ddir, "docs"))
+
+    # batch reference: one curation_dag pass over a flat landing zone
+    flat = tempfile.mkdtemp(prefix="cur_sched_flat_")
+    for day, _ in days:
+        import shutil
+        shutil.copy(
+            os.path.join(landing, f"date={day}", "docs.parquet"),
+            os.path.join(flat, f"{day}.parquet"),
+        )
+    tm_b = TableManager(
+        spark, tempfile.mkdtemp(prefix="cur_wh_b_"), backend="parquet"
+    )
+    assert C.curation_dag(spark, flat, tm_b, retries=0).run().ok
+
+    # scheduled backfill: daily schedule, catchup over the 3 closed days
+    tm_s = TableManager(
+        spark, tempfile.mkdtemp(prefix="cur_wh_s_"), backend="parquet"
+    )
+    sd = ScheduledDag(
+        scheduled_curation_dag(spark, landing, tm_s),
+        Schedule(start=D(2024, 5, 1), interval=timedelta(days=1)),
+        state_dir=tempfile.mkdtemp(prefix="cur_schedstate_"),
+    )
+    out = sd.tick(D(2024, 5, 4, 6, 0))
+    assert [lg for lg, _ in out] == [D(2024, 5, 1), D(2024, 5, 2), D(2024, 5, 3)]
+    assert all(rep.ok for _, rep in out)
+    # every tick ran the INCREMENTAL path and read ONLY its own day's
+    # landing file (date= pruning + file log)
+    for (lg, rep) in out:
+        r = rep.tasks["ingest"].result
+        day = lg.date().isoformat()
+        assert r["mode"] == "incremental"
+        assert r["files_read"] == [
+            os.path.join(landing, f"date={day}", "docs.parquet")
+        ]
+
+    # catchup ≡ batch: every silver/gold table converges
+    def rows(tm, t):
+        df = tm.read(t)
+        return sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+
+    for t in (
+        "curation.silver_quality", "curation.silver_exact",
+        "curation.silver_neardup", "curation.silver_clean",
+        "curation.gold_split", "curation.gold_corpus",
+        "curation.gold_packed", "curation.gold_summary",
+        "curation.gold_funnel", "curation.near_dup_pairs",
+    ):
+        assert rows(tm_s, t) == rows(tm_b, t), t
+
+    # a later tick over an interval with no landing files: ingest
+    # Skips on the listing alone, downstream upstream-skips
+    out2 = sd.tick(D(2024, 5, 5, 6, 0))
+    assert [lg for lg, _ in out2] == [D(2024, 5, 4)]
+    rep2 = out2[0][1]
+    assert rep2.states()["ingest"] == "skipped"
+    assert set(rep2.states().values()) == {"skipped", "upstream_skipped"}
