@@ -424,15 +424,64 @@ def window_ntile_ranks(spark, sf_dir):
     """Quartile bucketing + dense/percent ranks per market segment.
     The ORDER BY carries a c_custkey tiebreak: ntile() assigns ties at
     bucket boundaries by physical order, so a non-deterministic sort
-    would be engine-dependent — the tiebreak makes it total."""
-    c = load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return c.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.dense_rank().over(w).cast("long").alias("drank"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    would be engine-dependent — the tiebreak makes it total.
+
+    Scale shape (r10 verdict watch item, retired r11): NO per-segment
+    rank window — c_mktsegment has 5 values, so
+    ``Window.partitionBy(c_mktsegment)`` sorts ~n/5 rows in one task at
+    100 TB (SURVEY §4 anti-pattern #1). All three rank functions now
+    derive from ids.with_grouped_cumsum's two-phase range-partition
+    machinery: row_number = grouped cumsum of 1 in (−acctbal, custkey)
+    order (the tiebreak makes rank ≡ row_number, so percent_rank is
+    (rn−1)/(n−1) exactly); dense_rank = the same cumsum over the
+    DISTINCT (segment, balance) table joined back; ntile(4) = the SQL
+    bucket arithmetic over rn with per-segment (n div 4, n mod 4) from
+    a ≤5-row aggregate. Identical output, oracle unchanged."""
+    from ..ids import with_grouped_cumsum
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    staged = c.withColumn("_negbal", -F.col("c_acctbal")).withColumn(
+        "_one", F.lit(1)
+    )
+    rn = with_grouped_cumsum(
+        staged, ["c_mktsegment"], ["_negbal", "c_custkey"], "_one", out_col="rn"
+    )
+    # dense_rank: rank over the DISTINCT per-segment balances
+    dv = (
+        staged.select("c_mktsegment", "_negbal")
+        .distinct()
+        .withColumn("_one", F.lit(1))
+    )
+    dr = with_grouped_cumsum(
+        dv, ["c_mktsegment"], ["_negbal"], "_one", out_col="drank"
+    ).select("c_mktsegment", "_negbal", "drank")
+    # per-segment row counts: a ≤|segments|-row aggregate → literal map
+    counts = {
+        r["c_mktsegment"]: r["n"]
+        for r in c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_map = F.create_map(*[F.lit(x) for kv in counts.items() for x in kv])
+    n = n_map[F.col("c_mktsegment")]
+    rn_c, k = F.col("rn"), F.lit(4)
+    q, r = (n / k).cast("long"), n % k
+    # SQL ntile: the first (n % k) buckets carry (q+1) rows
+    quartile = F.when(
+        rn_c <= r * (q + 1), ((rn_c - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(r + ((rn_c - r * (q + 1) - 1) / q).cast("long") + 1)
+    prank = F.when(n == 1, F.lit(0.0)).otherwise(
+        (rn_c - 1).cast("double") / (n - 1).cast("double")
+    )
+    return (
+        rn.join(dr, ["c_mktsegment", "_negbal"])
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            quartile.cast("long").alias("quartile"),
+            F.col("drank").cast("long").alias("drank"),
+            F.round(prank, 6).alias("prank"),
+        )
     )
 
 

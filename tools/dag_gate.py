@@ -1,0 +1,154 @@
+"""DAG-e2e value gate (r10 verdict item #7): run the INCREMENTAL
+curation DAG over a real SF fixture in N monotone ticks, then value-
+compare every silver/gold/pair table against one run_funnel composition
+over the union corpus — the orchestrated path gets the same scale
+evidence as the catalog path (the toy-scale form of this check lives in
+tests/test_curation.py).
+
+Emits one JSONL row per table: {"table", "rows", "match", "sec"} plus a
+summary row, appended to --out (resumable is unnecessary — one run).
+
+Usage::
+
+    python tools/dag_gate.py --sf-dir /root/repo/testdata/sf1 \
+        --out GATE_dag_sf1.jsonl [--ticks 2] [--embed]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+
+def _value_hash(df, cols=None) -> "tuple[int, str]":
+    """(row_count, order-insensitive md5) over the selected columns —
+    the driver-compare discipline: sort columns by name, canonicalize
+    each row, xor-fold row digests so ordering cannot matter."""
+    cols = sorted(cols or df.columns)
+    rows = df.select(cols).collect()
+    acc = 0
+    for r in rows:
+        h = hashlib.md5(
+            "|".join(repr(x) for x in r).encode("utf-8")
+        ).digest()
+        acc ^= int.from_bytes(h, "big")
+    return len(rows), f"{acc:032x}"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/repo/testdata/sf1")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--ticks", type=int, default=2)
+    ap.add_argument("--embed", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_v3_spark.pipelines import curation as C
+    from lakehouse_v3_spark.session import get_spark
+    from lakehouse_v3_spark.tables import TableManager
+
+    spark = get_spark(app_name="dag-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    emb = (
+        spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+        if args.embed
+        else None
+    )
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    landing = tempfile.mkdtemp(prefix="dag_gate_land_")
+    wh = tempfile.mkdtemp(prefix="dag_gate_wh_")
+    tm = TableManager(spark, wh, backend="parquet")
+
+    t_dag0 = time.monotonic()
+    for i in range(args.ticks):
+        lo = hi * i // args.ticks
+        up = hi * (i + 1) // args.ticks
+        sl = docs.filter(
+            (F.col("doc_id") > lo) & (F.col("doc_id") <= up)
+            if i
+            else (F.col("doc_id") <= up)
+        )
+        sl.write.mode("overwrite").parquet(os.path.join(landing, f"tick{i}"))
+        rep = C.curation_dag(
+            spark, landing, tm, retries=0, embeddings=emb
+        ).run()
+        assert rep.ok, rep.states()
+        assert rep.tasks["ingest"].result["mode"] == "incremental"
+    t_dag = time.monotonic() - t_dag0
+
+    f = C.run_funnel(
+        tm.read("curation.bronze_docs"), materialize_pairs=True, embeddings=emb
+    )
+    checks = [
+        ("curation.silver_quality", f["quality"], ["doc_id"]),
+        ("curation.silver_exact", f["exact_dedup"], ["doc_id"]),
+        ("curation.near_dup_pairs", f["pairs"], None),
+        ("curation.silver_neardup", f["near_dup"], ["doc_id"]),
+        ("curation.silver_clean", f["decontaminate"], ["doc_id"]),
+        ("curation.gold_split", f["split"], ["doc_id", "split"]),
+        ("curation.gold_corpus", f["leakage"], ["doc_id", "split"]),
+        ("curation.gold_packed", f["packed"], None),
+        ("curation.gold_summary", f["gold"], None),
+    ]
+    if args.embed:
+        checks.insert(3, ("curation.emb_pairs", f["emb_pairs"], None))
+
+    n_match = 0
+    with open(args.out, "a") as out:
+        for table, frame, cols in checks:
+            t0 = time.monotonic()
+            # round the float pair scores identically on both sides
+            # (same lineage, but collect() canonicalization is repr-
+            # based — keep the check strict yet representation-safe)
+            got = _value_hash(tm.read(table), cols)
+            want = _value_hash(frame, cols)
+            ok = got == want
+            n_match += ok
+            row = {
+                "table": table,
+                "rows": got[0],
+                "expected_rows": want[0],
+                "match": ok,
+                "sec": round(time.monotonic() - t0, 2),
+            }
+            out.write(json.dumps(row) + "\n")
+            out.flush()
+            print(row, file=sys.stderr)
+        out.write(
+            json.dumps(
+                {
+                    "table": "_summary",
+                    "sf": args.sf_dir,
+                    "ticks": args.ticks,
+                    "embed": bool(args.embed),
+                    "dag_wall_sec": round(t_dag, 1),
+                    "n_tables": len(checks),
+                    "n_match": n_match,
+                }
+            )
+            + "\n"
+        )
+    shutil.rmtree(landing, ignore_errors=True)
+    shutil.rmtree(wh, ignore_errors=True)
+    print(f"# {n_match}/{len(checks)} tables match", file=sys.stderr)
+    sys.exit(0 if n_match == len(checks) else 1)
+
+
+if __name__ == "__main__":
+    main()
