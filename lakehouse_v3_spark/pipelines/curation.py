@@ -338,15 +338,23 @@ def emb_pair_probe(batch: DataFrame, stored: DataFrame) -> DataFrame:
     member's tick). The dot is the same unrolled codegen expression as
     :func:`emb_pairs_full` — bit-identical cosines.
 
-    Scale: |batch| × |label block| fan-out — ∝ batch, never corpus²."""
+    Scale: |batch| × |label block| fan-out — ∝ batch, never corpus².
+    The join is SALTED exactly like operators.similarity.near_dup_pairs'
+    SQL path: label cardinality is small (the fixture has ~10), so an
+    unsalted (label) join caps parallelism at |labels| tasks — measured
+    at sf1 as a 10-task straggler wall; salting the batch side and
+    replicating the member side restores full-width parallelism for
+    the same bit-exact expressions."""
     from ..operators.similarity import dot_product_unrolled, l2_norm
 
+    sc = batch.sparkSession.sparkContext
+    n_salt = max(1, sc.defaultParallelism)
     a = batch.select(
         F.col("doc_id").alias("id_x"),
         F.col("label"),
         F.col("embedding").alias("_va"),
         l2_norm(F.col("embedding")).alias("_na"),
-    )
+    ).withColumn("_salt", F.pmod(F.hash(F.col("id_x")), F.lit(n_salt)))
     b = (
         stored.unionByName(batch)
         .select(
@@ -355,10 +363,14 @@ def emb_pair_probe(batch: DataFrame, stored: DataFrame) -> DataFrame:
             F.col("embedding").alias("_vb"),
             l2_norm(F.col("embedding")).alias("_nb"),
         )
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     )
+    n_parts = max(sc.defaultParallelism, n_salt)
+    a = a.repartition(n_parts, "label", "_salt")
+    b = b.repartition(n_parts, "label", "_salt")
     dot = dot_product_unrolled(F.col("_va"), F.col("_vb"), EMB_DIM)
     return (
-        a.join(b, "label")
+        a.join(b, ["label", "_salt"])
         .filter(F.col("id_x") != F.col("id_y"))
         .select(
             F.least("id_x", "id_y").alias("id_a"),

@@ -412,19 +412,24 @@ def window_range_frame_avg(spark, sf_dir):
 _NTILE_ORACLE = """
 SELECT c_custkey, c_mktsegment,
        CAST(ntile(4)      OVER w AS BIGINT) AS quartile,
-       CAST(dense_rank()  OVER w AS BIGINT) AS drank,
+       CAST(dense_rank()  OVER w2 AS BIGINT) AS drank,
        ROUND(percent_rank() OVER w, 6)      AS prank
 FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+WINDOW w  AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+       w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
 """
 
 
 @register("window_ntile_ranks", oracle=_NTILE_ORACLE)
 def window_ntile_ranks(spark, sf_dir):
     """Quartile bucketing + dense/percent ranks per market segment.
-    The ORDER BY carries a c_custkey tiebreak: ntile() assigns ties at
-    bucket boundaries by physical order, so a non-deterministic sort
-    would be engine-dependent — the tiebreak makes it total.
+    ntile/percent_rank order carries a c_custkey tiebreak (ntile
+    assigns ties at bucket boundaries by physical order, so a
+    non-deterministic sort would be engine-dependent — the tiebreak
+    makes it total); dense_rank orders by the BALANCE alone (r11: with
+    the unique tiebreak inside its ORDER BY, dense_rank degenerates to
+    row_number — ranking the bare balance is the honest tied-values
+    demonstration, and sf1's quantized balances do tie).
 
     Scale shape (r10 verdict watch item, retired r11): NO per-segment
     rank window — c_mktsegment has 5 values, so
