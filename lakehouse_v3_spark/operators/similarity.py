@@ -283,3 +283,80 @@ def _near_dup_pairs_gemm(
         )
 
     return src.groupBy("_block").applyInPandas(block_pairs, schema=out_schema)
+
+
+def near_dup_pairs_probe(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Batch-probe form of :func:`near_dup_pairs`'s blocked GEMM: every
+    pair (id_a < id_b, cosine ≥ threshold) with AT LEAST ONE endpoint
+    in ``batch``, scored against ``corpus`` (pass corpus ∪ batch to
+    surface new↔new pairs). The incremental-ingest shape: per block the
+    kernel computes the |batch∩block| × |block| RECTANGLE — chunked
+    ``newV @ V.T`` — so compute is ∝ batch, never corpus², while the
+    full-recompute form stays ``near_dup_pairs`` (pair existence is
+    pairwise-local, so the union of batch probes over monotone ticks
+    IS the full pair set).
+
+    A pair between two batch members is found from both sides (and a
+    retried append may duplicate batch rows in ``corpus``); callers
+    take ``.dropDuplicates(["id_a","id_b"])`` — scores for the
+    duplicate findings are the same BLAS dot either way."""
+    from pyspark.sql import types as T
+
+    id_type = batch.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def tagged(df, new):
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            (F.col(block_col) if block_col else F.lit(0)).alias("_block"),
+            F.lit(new).alias("_new"),
+        )
+
+    src = tagged(corpus, False).unionByName(tagged(batch, True))
+    thr = float(threshold)
+
+    def probe_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        new_idx = np.nonzero(pdf["_new"].to_numpy(dtype=bool))[0]
+        out_a, out_b, out_s = [], [], []
+        chunk = 2048
+        for s in range(0, len(new_idx), chunk):
+            sel = new_idx[s : s + chunk]
+            scores = (V[sel] @ V.T) / np.outer(norms[sel], norms)
+            mask = (scores >= thr) & (ids[None, :] != ids[sel, None])
+            r, c = np.nonzero(mask)
+            if r.size:
+                xa, xb = ids[sel][r], ids[c]
+                out_a.append(np.minimum(xa, xb))
+                out_b.append(np.maximum(xa, xb))
+                out_s.append(scores[r, c])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine_sim": np.concatenate(out_s),
+            }
+        )
+
+    return src.groupBy("_block").applyInPandas(probe_pairs, schema=out_schema)

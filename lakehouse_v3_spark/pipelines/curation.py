@@ -313,18 +313,21 @@ def emb_member_vectors(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
 def emb_pairs_full(members: DataFrame) -> DataFrame:
     """All embedding near-dup pairs (id_a < id_b, cosine ≥ EMB_TAU)
     among ``members`` (doc_id, label, embedding), label-blocked — the
-    full-recompute form (run_funnel / the catalog oracle). The SQL
-    strategy keeps the cosine a bit-exact JVM fold, so the incremental
-    batch probe (identical expression) appends bit-identical rows."""
+    full-recompute form (run_funnel / the catalog oracle), through
+    near_dup_pairs' blocked GEMM (Arrow batch → chunked ``V @ V.T``):
+    the repo's documented scale path for dense pair scoring (the SQL
+    expression path was measured 15 µs/pair at sf5 — 3×10⁹
+    label-blocked pairs made it a 40-minute stage; BLAS does the block
+    in seconds). Downstream consumes pair MEMBERSHIP only (semantic
+    drop picks by centroid cosine, leakage by split), so the GEMM's
+    ulp-level cosine drift vs the SQL fold is immaterial — a
+    membership flip would need a cosine within ~1e-12 of τ, the same
+    tolerance argument semdedup_centroid_prune's strict oracle has
+    held at every SF."""
     from ..operators.similarity import near_dup_pairs
 
     return near_dup_pairs(
-        members,
-        "doc_id",
-        block_col="label",
-        threshold=EMB_TAU,
-        dim=EMB_DIM,
-        strategy="sql",
+        members, "doc_id", block_col="label", threshold=EMB_TAU
     ).select("id_a", "id_b", "cosine_sim")
 
 
@@ -335,51 +338,25 @@ def emb_pair_probe(batch: DataFrame, stored: DataFrame) -> DataFrame:
     (cos(a,b) ≥ τ, same label) — unlike the text star rule no bucket
     state is involved, so the union over ticks of these probes is
     exactly the full pair set (each pair materializes at its newer
-    member's tick). The dot is the same unrolled codegen expression as
-    :func:`emb_pairs_full` — bit-identical cosines.
+    member's tick).
 
-    Scale: |batch| × |label block| fan-out — ∝ batch, never corpus².
-    The join is SALTED exactly like operators.similarity.near_dup_pairs'
-    SQL path: label cardinality is small (the fixture has ~10), so an
-    unsalted (label) join caps parallelism at |labels| tasks — measured
-    at sf1 as a 10-task straggler wall; salting the batch side and
-    replicating the member side restores full-width parallelism for
-    the same bit-exact expressions."""
-    from ..operators.similarity import dot_product_unrolled, l2_norm
+    Scale: near_dup_pairs_probe's rectangle GEMM — per label block a
+    chunked |batch∩block| × |block| BLAS multiply, compute ∝ batch,
+    never corpus². Membership (ids) is what downstream consumes; the
+    per-pair BLAS dot is the same arithmetic as emb_pairs_full's
+    full-matrix form, so scores agree to the ulp and the pair SET
+    agrees exactly unless a cosine sits within ~1e-12 of τ (the
+    semdedup tolerance argument; the equivalence tests compare ids
+    exactly and scores to 1e-9)."""
+    from ..operators.similarity import near_dup_pairs_probe
 
-    sc = batch.sparkSession.sparkContext
-    n_salt = max(1, sc.defaultParallelism)
-    a = batch.select(
-        F.col("doc_id").alias("id_x"),
-        F.col("label"),
-        F.col("embedding").alias("_va"),
-        l2_norm(F.col("embedding")).alias("_na"),
-    ).withColumn("_salt", F.pmod(F.hash(F.col("id_x")), F.lit(n_salt)))
-    b = (
-        stored.unionByName(batch)
-        .select(
-            F.col("doc_id").alias("id_y"),
-            F.col("label"),
-            F.col("embedding").alias("_vb"),
-            l2_norm(F.col("embedding")).alias("_nb"),
-        )
-        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
-    )
-    n_parts = max(sc.defaultParallelism, n_salt)
-    a = a.repartition(n_parts, "label", "_salt")
-    b = b.repartition(n_parts, "label", "_salt")
-    dot = dot_product_unrolled(F.col("_va"), F.col("_vb"), EMB_DIM)
-    return (
-        a.join(b, ["label", "_salt"])
-        .filter(F.col("id_x") != F.col("id_y"))
-        .select(
-            F.least("id_x", "id_y").alias("id_a"),
-            F.greatest("id_x", "id_y").alias("id_b"),
-            (dot / (F.col("_na") * F.col("_nb"))).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= EMB_TAU)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return near_dup_pairs_probe(
+        batch,
+        stored.unionByName(batch),
+        "doc_id",
+        block_col="label",
+        threshold=EMB_TAU,
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def semantic_drops(pairs: DataFrame, scored: DataFrame) -> DataFrame:

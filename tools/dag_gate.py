@@ -107,7 +107,9 @@ def main() -> None:
         ("curation.gold_summary", f["gold"], None),
     ]
     if args.embed:
-        checks.insert(3, ("curation.emb_pairs", f["emb_pairs"], None))
+        # ids only: the rectangle-probe vs full-matrix BLAS dots can
+        # differ in low bits; membership is what downstream consumes
+        checks.insert(3, ("curation.emb_pairs", f["emb_pairs"], ["id_a", "id_b"]))
 
     n_match = 0
     with open(args.out, "a") as out:
