@@ -51,6 +51,19 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--ticks", type=int, default=2)
     ap.add_argument("--embed", action="store_true")
+    ap.add_argument(
+        "--plant-near-dups",
+        type=int,
+        default=0,
+        help="append N mutated near-duplicates (first token dropped, "
+        "fresh monotone ids) of tick-1 docs to the LAST tick's landing "
+        "slice — the gen_sf corpus' duplicates are exact copies that "
+        "die at the exact-dedup stage, so without planting the sf1 "
+        "near-dup PAIR path would be exercised on an empty set; both "
+        "the DAG and the run_funnel reference see the planted docs, so "
+        "every table comparison stays meaningful and the pair table is "
+        "provably non-empty through the incremental probe",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -76,6 +89,7 @@ def main() -> None:
     tm = TableManager(spark, wh, backend="parquet")
 
     t_dag0 = time.monotonic()
+    n_pairs_expected = 0
     for i in range(args.ticks):
         lo = hi * i // args.ticks
         up = hi * (i + 1) // args.ticks
@@ -84,6 +98,21 @@ def main() -> None:
             if i
             else (F.col("doc_id") <= up)
         )
+        if args.plant_near_dups and i == args.ticks - 1:
+            seeds = docs.filter(F.col("doc_id") <= hi // args.ticks).limit(
+                args.plant_near_dups
+            )
+            mutated = seeds.select(
+                (F.col("doc_id") + F.lit(hi + 1_000_000)).alias("doc_id"),
+                # drop the first token: high-but-not-exact jaccard, so
+                # the copy SURVIVES exact dedup and hits the pair path
+                F.expr(
+                    "array_join(slice(split(text, ' '), 2, 100000), ' ')"
+                ).alias("text"),
+                "lang",
+            )
+            n_pairs_expected = args.plant_near_dups
+            sl = sl.unionByName(mutated)
         sl.write.mode("overwrite").parquet(os.path.join(landing, f"tick{i}"))
         rep = C.curation_dag(
             spark, landing, tm, retries=0, embeddings=emb
@@ -132,6 +161,7 @@ def main() -> None:
             out.write(json.dumps(row) + "\n")
             out.flush()
             print(row, file=sys.stderr)
+        n_pairs = tm.read("curation.near_dup_pairs").count()
         out.write(
             json.dumps(
                 {
@@ -139,6 +169,8 @@ def main() -> None:
                     "sf": args.sf_dir,
                     "ticks": args.ticks,
                     "embed": bool(args.embed),
+                    "planted_near_dups": args.plant_near_dups,
+                    "n_near_dup_pairs": n_pairs,
                     "dag_wall_sec": round(t_dag, 1),
                     "n_tables": len(checks),
                     "n_match": n_match,
@@ -146,6 +178,11 @@ def main() -> None:
             )
             + "\n"
         )
+        if args.plant_near_dups:
+            assert n_pairs >= n_pairs_expected, (
+                f"planted {n_pairs_expected} near-dups but the pair "
+                f"table holds {n_pairs}"
+            )
     shutil.rmtree(landing, ignore_errors=True)
     shutil.rmtree(wh, ignore_errors=True)
     print(f"# {n_match}/{len(checks)} tables match", file=sys.stderr)
