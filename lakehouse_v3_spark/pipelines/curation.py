@@ -25,17 +25,38 @@ curation order:
                                   (split, lang) — the shard assignment
                                   a sequence writer consumes)
 
+Round 11 adds two axes:
+
+- **embedding-side stages** (:func:`run_funnel` ``embeddings=`` /
+  ``curation_dag(embeddings=...)``): a SemDeDup semantic prune between
+  the text near-dup and decontamination, and an embedding-cosine
+  cross-split drop beside the text leakage rule — similarity search
+  and dedup as first-class pipeline citizens, not just standalone
+  queries;
+- **per-stage incrementality** (the section header above
+  ``_STATE_TABLES`` carries the full design + proofs): under the
+  reference's max-id watermark contract every heavy stage is
+  BATCH-scoped against persisted index tables — no full-corpus
+  shingle/minhash/pair/n-gram job on a steady-state tick; a
+  non-monotone batch triggers a loud full rebuild through the same
+  task bodies.
+
 Every stage is a pure ``DataFrame -> DataFrame`` function here, so the
-same logic runs two ways:
+same logic runs three ways:
 
 - :func:`curation_dag` wires them into a :class:`~..orchestrate.Dag`
-  over warehouse tables (``curation.*``) — incremental via
+  over warehouse tables (``curation.*``) — incremental at ingest via
   :class:`~..incremental.FileLogCheckpoint` (a re-run with no new
-  landing files Skips; downstream layers then skip too), idempotent
-  (every layer below bronze is a deterministic overwrite of a derived
-  table, the uber/news contract).
+  landing files Skips; downstream layers then skip too) AND per stage
+  via the state tables, idempotent under crash-retry (guarded appends
+  + deterministic overwrites, the uber/news contract);
+- ``interval_scoped=True`` (:func:`~.dags.scheduled_curation_dag`)
+  runs the same DAG under :class:`~..orchestrate.ScheduledDag` with
+  ``date=`` landing-zone partition pruning per data interval;
 - ``plans/curation_pipeline.py`` composes them into single catalog
-  queries with full DuckDB WITH-chain oracles (the driver contract).
+  queries with full DuckDB WITH-chain oracles (the driver contract:
+  ``curation_pipeline_gold``, ``curation_funnel_counts``, and the
+  two-modality ``curation_embed_gold``).
 
 Cross-engine determinism: every stage rule is md5/sha2-derived or
 integer arithmetic — no RNG, no float thresholds on accumulated sums —

@@ -309,3 +309,21 @@ def test_metastore_uri_seam_and_mutual_exclusion(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "URI_SEAM_OK" in out.stdout
+
+
+def test_drop_table(spark, tmp_path):
+    """DROP TABLE (r11, the rebuild-path primitive): removes the table
+    dir and invalidates plan/stats caches; a no-op when absent (the
+    curation rebuild drops a fixed list without probing)."""
+    from lakehouse_v3_spark.tables import TableManager
+
+    tm = TableManager(spark, str(tmp_path / "wh"), backend="parquet")
+    tm.overwrite(spark.range(5).toDF("x"), "d.t")
+    assert tm.exists("d.t")
+    tm.drop("d.t")
+    assert not tm.exists("d.t")
+    tm.drop("d.t")  # idempotent no-op
+    tm.drop("d.never_existed")
+    # the path is reusable after a drop
+    tm.overwrite(spark.range(3).toDF("x"), "d.t")
+    assert tm.read("d.t").count() == 3
