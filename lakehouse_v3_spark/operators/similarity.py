@@ -256,7 +256,14 @@ def _near_dup_pairs_gemm(
 
         ids = pdf["_id"].to_numpy()
         V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        # zero-norm guard (r11 ADVICE): a zero vector would make the
+        # quotient 0/0 = NaN — silently unpairable AND a RuntimeWarning
+        # per chunk on executors. Clamping the norm to tiny gives the
+        # zero vector cosine 0.0 < threshold: never pairs, exactly the
+        # SQL path's behavior (0/0 is NULL there, which fails >= thr).
+        norms = np.maximum(
+            np.sqrt(np.einsum("ij,ij->i", V, V)), np.finfo(np.float64).tiny
+        )
         n = len(ids)
         out_a, out_b, out_s = [], [], []
         chunk = 2048
@@ -335,7 +342,10 @@ def near_dup_pairs_probe(
 
         ids = pdf["_id"].to_numpy()
         V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        # zero-norm guard — see block_pairs in _near_dup_pairs_gemm
+        norms = np.maximum(
+            np.sqrt(np.einsum("ij,ij->i", V, V)), np.finfo(np.float64).tiny
+        )
         new_idx = np.nonzero(pdf["_new"].to_numpy(dtype=bool))[0]
         out_a, out_b, out_s = [], [], []
         chunk = 2048

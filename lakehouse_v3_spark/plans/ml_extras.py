@@ -311,7 +311,7 @@ WITH r AS (
   SELECT event_type, event_id, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 med AS (
   SELECT event_type, SUM(value) / COUNT(*) AS med
@@ -359,10 +359,19 @@ def mad_robust_outliers(spark, sf_dir):
     is exact; one rounding each at the add). The per-group medians
     (≤ |event_type| scalars) return as a literal map onto the scan —
     the corpus pays ONE final partial-aggregated groupBy, no window,
-    no join."""
+    no join.
+
+    NULL semantics (r11 ADVICE): NULL values are EXCLUDED on both
+    engines — the Spark side filters them before the histogram
+    refinement (exact_group_percentiles already ignores NULLs), and
+    the oracle's rank CTE carries the matching ``WHERE value IS NOT
+    NULL``. The previous oracle ranked NULLs into n (DuckDB sorts
+    NULLs last), which would have silently shifted the median pick on
+    any NULL-bearing group; a median over present values is the
+    statistic the operator means."""
     from ..operators.quantiles import exact_group_percentiles
 
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     meds = exact_group_percentiles(e, "event_type", "value", [0.5])
     med_map = F.create_map(
         *[F.lit(x) for g, (vals, _n) in sorted(meds.items()) for x in (g, vals[0])]
