@@ -463,14 +463,46 @@ def pack_corpus(
     return out
 
 
+class FunnelStages(dict):
+    """:func:`run_funnel`'s return value — a plain dict of stage
+    DataFrames, except that EAGER-at-construction stages (``packed``:
+    pack_corpus's grouped cumsum runs a driver partials job plus an
+    eager localCheckpoint the moment it is BUILT) are stored as
+    zero-arg thunks and materialized on first ``[...]`` access (r11
+    ADVICE #2 — every run_funnel caller used to execute the whole
+    funnel through pack even when only ``gold``/counts were consumed,
+    roughly doubling each catalog query's cost)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._thunks: dict = {}
+
+    def put_lazy(self, key, thunk) -> None:
+        self._thunks[key] = thunk
+
+    def __getitem__(self, key):
+        if not super().__contains__(key) and key in self._thunks:
+            self[key] = self._thunks.pop(key)()
+        return super().__getitem__(key)
+
+    def __contains__(self, key) -> bool:
+        return super().__contains__(key) or key in self._thunks
+
+    def keys(self):
+        return list(super().keys()) + list(self._thunks)
+
+
 def run_funnel(
     docs: DataFrame,
     materialize_pairs: bool = False,
     embeddings: "DataFrame | None" = None,
-) -> dict[str, DataFrame]:
+) -> "FunnelStages":
     """Compose the full funnel lazily; returns every intermediate frame
     keyed by stage name (the catalog queries and the DAG tasks both
     build from this single definition, so they can never drift).
+    ``packed`` is a LAZY entry (see :class:`FunnelStages`): building
+    it costs a driver partials job + localCheckpoint, so it runs only
+    when a caller actually indexes it.
 
     ``materialize_pairs=True`` localCheckpoints the verified pair set —
     it feeds BOTH the near-dup drop and the leakage drop, and the
@@ -497,13 +529,13 @@ def run_funnel(
     if materialize_pairs:
         pairs = pairs.localCheckpoint()
     n = near_dup_drop(e, pairs)
-    out = {
-        "ingest": docs,
-        "quality": q,
-        "exact_dedup": e,
-        "pairs": pairs,
-        "near_dup": n,
-    }
+    out = FunnelStages(
+        ingest=docs,
+        quality=q,
+        exact_dedup=e,
+        pairs=pairs,
+        near_dup=n,
+    )
     if embeddings is not None:
         members = emb_member_vectors(n, embeddings)
         epairs = emb_pairs_full(members)
@@ -528,9 +560,9 @@ def run_funnel(
             "split": s,
             "leakage": l,
             "gold": gold_summary(l),
-            "packed": pack_corpus(l),
         }
     )
+    out.put_lazy("packed", lambda: pack_corpus(l))
     return out
 
 

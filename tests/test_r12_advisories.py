@@ -120,3 +120,27 @@ def test_mad_null_values_excluded_on_both_engines(spark, tmp_path):
         con.close()
     assert got == want
     assert got["a"][0] == 3  # NULL row excluded from n on both sides
+
+
+def test_run_funnel_packed_is_lazy(spark, monkeypatch):
+    """r11 ADVICE #2: constructing the funnel must NOT execute the pack
+    stage (pack_corpus runs a driver partials job + localCheckpoint at
+    build time); it runs only when a caller indexes 'packed'."""
+    from lakehouse_v3_spark.pipelines import curation as C
+
+    docs = spark.createDataFrame(
+        [(i, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+         for i in range(1, 6)],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    calls = []
+    real = C.pack_corpus
+    monkeypatch.setattr(C, "pack_corpus", lambda *a, **k: calls.append(1) or real(*a, **k))
+    f = C.run_funnel(docs, materialize_pairs=True)
+    assert "packed" in f and not calls
+    assert f["gold"].count() >= 0 and not calls
+    packed = f["packed"]
+    assert calls == [1]
+    assert "bin" in packed.columns
+    assert f["packed"] is packed  # cached, not rebuilt
+    assert calls == [1]
