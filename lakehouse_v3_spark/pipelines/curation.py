@@ -766,16 +766,42 @@ def curation_dag(
       processes ONLY the tick's batch against persisted index tables —
       no full-corpus shingle, minhash, pair or n-gram job on any tick
       that honors the max-id watermark contract;
-    - **idempotent**: bronze append is guarded by the file log; state
+    - **idempotent**: the bronze append is guarded by a doc_id
+      anti-join against bronze itself (scoped to ``doc_id >= batch
+      min`` so parquet row-group stats prune every pre-batch file —
+      monotone appends give disjoint per-file id ranges); state
       appends are guarded by natural-key anti-joins; derived layers
       are deterministic overwrites — re-running the DAG (or replaying
       a crashed run) converges to the same tables;
+    - **crash-recoverable** (r11 ADVICE high): the file log is
+      committed LAST inside ingest (after bronze, the delta and the
+      watermark), and batch consumption is tracked PER STAGE — ingest
+      stamps a monotone ``tick`` counter on the delta's properties
+      sidecar, each downstream task self-skips iff its own
+      ``consumed_<stage>`` marker equals the current tick (driver-side
+      JSON reads, zero Spark jobs) and stamps the marker only AFTER
+      its body committed. Tasks run under ``trigger_rule=
+      "none_failed"``, so an ingest Skip no longer swallows an
+      unconsumed delta: a run that crashed after ingest (or anywhere
+      down the chain) is healed by simply re-running the DAG — ingest
+      reports mode="resume" and exactly the unconsumed stages execute.
+      The steady-state empty tick still short-circuits to all-skipped
+      with zero Spark jobs. One disclosed corner: a crash between the
+      watermark write and the file-log commit makes the RETRY replay
+      the batch as a rebuild (its ids now sit at/below the stored
+      max) — convergent (rebuild ≡ bootstrap over deduped bronze),
+      just not incremental; the safe direction, since the opposite
+      ordering could silently regress the watermark;
     - tasks communicate ONLY through tables (each re-reads its
       upstream layer), like the reference's spark-submit jobs through
       Delta tables;
     - a non-monotone batch triggers the REBUILD path: state is
       dropped and the same task bodies replay the full corpus (the
-      escape hatch is loud — ingest reports mode="rebuild").
+      escape hatch is loud — ingest reports mode="rebuild"); the
+      replay delta is ``bronze.dropDuplicates(doc_id)`` (r11 ADVICE
+      #3 — re-delivery of an already-ingested id is the most likely
+      real-world watermark violation, and the guarded append plus the
+      dedup keep one deterministic row per doc_id).
 
     ``interval_scoped=True`` builds the :class:`~..orchestrate.
     ScheduledDag` form (r10 verdict item #4, the scheduled_uber_dag
@@ -791,6 +817,26 @@ def curation_dag(
     same tables as one batch run — pinned by tests/test_schedule.py.
     """
 
+    _DELTA = "curation.bronze_delta"
+    stage_names = ["quality_filter", "exact_dedup", "near_dup_dedup"]
+    if embeddings is not None:
+        stage_names.append("semantic_dedup")
+    stage_names += [
+        "decontaminate", "split_assign", "leakage_drop", "pack", "gold_summary",
+    ]
+
+    def _tick() -> "str | None":
+        return tm.properties(_DELTA).get("tick")
+
+    def _unconsumed() -> list[str]:
+        """Stages whose consumed-marker lags the current delta tick —
+        pure driver-side sidecar reads, zero Spark jobs."""
+        t = _tick()
+        if t is None:
+            return []
+        props = tm.properties(_DELTA)
+        return [s for s in stage_names if props.get("consumed_" + s) != t]
+
     def ingest(ctx):
         log = FileLogCheckpoint(tm, "curation_docs")
         if interval_scoped:
@@ -802,6 +848,10 @@ def curation_dag(
                 landing_dir, start, end, suffix=".parquet"
             )
             if not pruned:
+                pending = _unconsumed()
+                if pending:
+                    return {"new_files": 0, "mode": "resume",
+                            "pending": pending}
                 raise Skip(f"no landing files for interval [{start}, {end})")
             listing = spark.createDataFrame(
                 [(p,) for p in pruned], "path STRING"
@@ -811,6 +861,13 @@ def curation_dag(
         new = log.new_files(listing).select("path")
         paths = sorted(r.path for r in new.collect())  # file NAMES, not data
         if not paths:
+            # crash recovery (r11 ADVICE high): the last batch was fully
+            # ingested (file log committed) but some downstream stage
+            # never consumed it — succeed WITHOUT re-ingesting so the
+            # none_failed stages below run and fold the pending delta.
+            pending = _unconsumed()
+            if pending:
+                return {"new_files": 0, "mode": "resume", "pending": pending}
             raise Skip("no new landing files under " + landing_dir)
         raw = spark.read.parquet(*paths)
         stats = raw.agg(
@@ -822,24 +879,53 @@ def curation_dag(
         if tm.exists("curation.state_watermark"):
             wm = tm.read("curation.state_watermark").collect()[0]["max_doc_id"]
         mode = "incremental" if wm is None or stats["lo"] > wm else "rebuild"
-        tm.append(raw, "curation.bronze_docs")
-        log.record(new)
+        # guarded append: only doc_ids not already in bronze land (a
+        # crashed attempt may have appended this batch before dying; a
+        # non-monotone tick may re-deliver old ids). The doc_id >= lo
+        # prefilter keeps the anti-join's right side tiny under the
+        # monotone contract: every fully-ingested file's id range sits
+        # below lo, so parquet min/max stats prune it from the scan.
+        if tm.exists("curation.bronze_docs"):
+            existing = (
+                tm.read("curation.bronze_docs")
+                .filter(F.col("doc_id") >= stats["lo"])
+                .select("doc_id")
+            )
+            tm.append(
+                raw.join(existing, "doc_id", "left_anti"),
+                "curation.bronze_docs",
+            )
+        else:
+            tm.append(raw, "curation.bronze_docs")
         new_wm = stats["hi"] if wm is None else max(wm, stats["hi"])
         if mode == "rebuild":
             # the watermark contract broke: incremental state cannot be
             # patched (a low id can displace keepers and hubs). Drop
             # ALL state + silver layers and replay the whole corpus
             # through the same incremental bodies (empty state ≡ the
-            # first-tick bootstrap).
+            # first-tick bootstrap). Deduped on doc_id (r11 ADVICE #3):
+            # the guarded append keeps bronze unique going forward, and
+            # the dropDuplicates shields replays of bronze rows written
+            # before the guard existed.
             for t in _STATE_TABLES:
                 tm.drop(t)
-            tm.overwrite(tm.read("curation.bronze_docs"), "curation.bronze_delta")
+            tm.overwrite(
+                tm.read("curation.bronze_docs").dropDuplicates(["doc_id"]),
+                _DELTA,
+            )
         else:
-            tm.overwrite(raw, "curation.bronze_delta")
+            tm.overwrite(raw, _DELTA)
+        tm.set_properties(
+            _DELTA, {"tick": str(int(tm.properties(_DELTA).get("tick", "0")) + 1)}
+        )
         tm.overwrite(
             spark.createDataFrame([(int(new_wm),)], "max_doc_id LONG"),
             "curation.state_watermark",
         )
+        # the file log commits LAST (r11 ADVICE high): a crash anywhere
+        # above re-runs this whole body idempotently; a crash after this
+        # line is healed by the resume path + per-stage markers.
+        log.record(new)
         out = {"new_files": len(paths), "mode": mode,
                "batch_rows": int(stats["n"])}
         if interval_scoped:
@@ -1148,30 +1234,68 @@ def curation_dag(
         tm.overwrite(funnel, "curation.gold_funnel")
         return {name: n for _, (name, n) in zip(rows, rows)}
 
+    def _staged(name: str, body):
+        """Per-stage consumption wrapper (r11 ADVICE high): run iff the
+        current delta tick hasn't been consumed by THIS stage yet, and
+        stamp the marker only after the body committed — so a crash
+        anywhere re-runs exactly the unconsumed suffix of the chain on
+        the next DAG run. The check is two sidecar JSON reads: the
+        steady-state all-consumed tick stays at zero Spark jobs.
+        ``ctx["_fail_tasks"]`` is the crash-injection test seam."""
+
+        def run(ctx):
+            if ctx and name in (ctx.get("_fail_tasks") or ()):
+                raise RuntimeError(f"injected failure in {name} (test seam)")
+            t = _tick()
+            if t is None:
+                raise Skip("no batch has ever landed")
+            if tm.properties(_DELTA).get("consumed_" + name) == t:
+                raise Skip(f"tick {t} already consumed by {name}")
+            out = body(ctx)
+            tm.set_properties(_DELTA, {"consumed_" + name: t})
+            return out
+
+        return run
+
     dag = Dag(
         "curation_scheduled" if interval_scoped else "curation",
         lock_dir=tm.warehouse_dir,
     )
+    bodies = {
+        "quality_filter": quality,
+        "exact_dedup": exact,
+        "near_dup_dedup": near_dup,
+        "semantic_dedup": semantic,
+        "decontaminate": decontam,
+        "split_assign": split,
+        "leakage_drop": leakage,
+        "pack": pack,
+        "gold_summary": summarize,
+    }
+    upstream_of = {
+        "quality_filter": ("ingest",),
+        "exact_dedup": ("quality_filter",),
+        "near_dup_dedup": ("exact_dedup",),
+        "semantic_dedup": ("near_dup_dedup",),
+        "decontaminate": (
+            ("semantic_dedup",) if embeddings is not None else ("near_dup_dedup",)
+        ),
+        "split_assign": ("decontaminate",),
+        "leakage_drop": ("split_assign",),
+        "pack": ("leakage_drop",),
+        "gold_summary": ("leakage_drop",),
+    }
     dag.task("ingest", ingest, retries=retries, retry_delay=retry_delay)
-    dag.task("quality_filter", quality, upstream=("ingest",),
-             retries=retries, retry_delay=retry_delay)
-    dag.task("exact_dedup", exact, upstream=("quality_filter",),
-             retries=retries, retry_delay=retry_delay)
-    dag.task("near_dup_dedup", near_dup, upstream=("exact_dedup",),
-             retries=retries, retry_delay=retry_delay)
-    decontam_upstream = ("near_dup_dedup",)
-    if embeddings is not None:
-        dag.task("semantic_dedup", semantic, upstream=("near_dup_dedup",),
-                 retries=retries, retry_delay=retry_delay)
-        decontam_upstream = ("semantic_dedup",)
-    dag.task("decontaminate", decontam, upstream=decontam_upstream,
-             retries=retries, retry_delay=retry_delay)
-    dag.task("split_assign", split, upstream=("decontaminate",),
-             retries=retries, retry_delay=retry_delay)
-    dag.task("leakage_drop", leakage, upstream=("split_assign",),
-             retries=retries, retry_delay=retry_delay)
-    dag.task("pack", pack, upstream=("leakage_drop",),
-             retries=retries, retry_delay=retry_delay)
-    dag.task("gold_summary", summarize, upstream=("leakage_drop",),
-             retries=retries, retry_delay=retry_delay)
+    for name in stage_names:
+        # none_failed: an ingest/upstream SKIP must not cascade — the
+        # stage itself decides via its consumed-tick marker (the resume
+        # path depends on this); a real upstream FAILURE still blocks.
+        dag.task(
+            name,
+            _staged(name, bodies[name]),
+            upstream=upstream_of[name],
+            retries=retries,
+            retry_delay=retry_delay,
+            trigger_rule="none_failed",
+        )
     return dag

@@ -204,12 +204,14 @@ def test_curation_dag_end_to_end_skip_and_incremental(spark):
     for seq in bins.values():
         assert seq[0] == 0 and all(a <= b for a, b in zip(seq, seq[1:]))
 
-    # idempotent re-run: ingest SKIPS on the file log, downstream
-    # upstream-skips, tables untouched
+    # idempotent re-run: ingest SKIPS on the file log; every stage
+    # self-skips on its consumed-tick marker (r12: none_failed stages
+    # check the sidecar themselves instead of upstream-skipping, so a
+    # crashed run can resume — the empty tick stays zero Spark jobs)
     rep2 = C.curation_dag(spark, landing, tm, retries=0).run()
     assert rep2.ok
     assert rep2.states()["ingest"] == "skipped"
-    assert set(rep2.states().values()) == {"skipped", "upstream_skipped"}
+    assert set(rep2.states().values()) == {"skipped"}
     assert _funnel_table(tm) == funnel1
 
     # incremental: one NEW landing file → only it is ingested, layers
@@ -458,3 +460,106 @@ def test_embedding_stages_dag_equals_funnel(spark):
         r.doc_id: (r.split, r.lang, r.n_tok, r.bin)
         for r in f["packed"].collect()
     }
+
+# ---------------------------------------------------------------------------
+# r11 ADVICE high: crash recovery — a run that dies after ingest (or
+# anywhere down the chain) must fold the batch on the next DAG run
+# ---------------------------------------------------------------------------
+
+def test_crash_after_ingest_resumes_and_converges(spark):
+    """Ingest commits, then the first downstream stage 'crashes'
+    (injected). Before r12 a re-run made ingest Skip and every stage
+    upstream-skip — the batch's delta was never folded (permanent
+    silent divergence). Now the re-run resumes: ingest reports
+    mode='resume' and the unconsumed stages execute."""
+    landing = tempfile.mkdtemp(prefix="cur_crash_land_")
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="cur_crash_wh_"), backend="parquet"
+    )
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    hi = src.agg(F.max("doc_id")).collect()[0][0]
+    _land(spark, landing, "t1", src.filter(F.col("doc_id") <= hi // 2))
+    rep1 = C.curation_dag(spark, landing, tm, retries=0).run()
+    assert rep1.ok, rep1.states()
+
+    # tick 2 lands; the run dies at quality_filter (before any
+    # downstream work) — exactly the ADVICE scenario: the file log is
+    # already committed
+    _land(spark, landing, "t2", src.filter(F.col("doc_id") > hi // 2))
+    rep2 = C.curation_dag(spark, landing, tm, retries=0).run(
+        {"_fail_tasks": {"quality_filter"}}
+    )
+    assert rep2.states()["ingest"] == "success"
+    assert rep2.states()["quality_filter"] == "failed"
+    assert rep2.states()["gold_summary"] == "upstream_failed"
+
+    # plain re-run, no new files: resume path folds the batch
+    rep3 = C.curation_dag(spark, landing, tm, retries=0).run()
+    assert rep3.ok, rep3.states()
+    ing = rep3.tasks["ingest"].result
+    assert ing["mode"] == "resume" and ing["new_files"] == 0
+    assert rep3.states()["quality_filter"] == "success"
+    _funnel_tables_equal_full(spark, tm)
+
+    # steady state afterwards: everything skips, nothing pending
+    rep4 = C.curation_dag(spark, landing, tm, retries=0).run()
+    assert rep4.ok and set(rep4.states().values()) == {"skipped"}
+
+
+def test_crash_mid_chain_resumes_only_unconsumed_suffix(spark):
+    """A crash at leakage_drop: the re-run must SKIP the stages that
+    already consumed the tick (their markers match) and run exactly
+    the unconsumed suffix."""
+    landing = tempfile.mkdtemp(prefix="cur_crash2_land_")
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="cur_crash2_wh_"), backend="parquet"
+    )
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    _land(spark, landing, "t1", src)
+    rep1 = C.curation_dag(spark, landing, tm, retries=0).run(
+        {"_fail_tasks": {"leakage_drop"}}
+    )
+    assert rep1.states()["near_dup_dedup"] == "success"
+    assert rep1.states()["leakage_drop"] == "failed"
+
+    rep2 = C.curation_dag(spark, landing, tm, retries=0).run()
+    assert rep2.ok, rep2.states()
+    assert rep2.tasks["ingest"].result["mode"] == "resume"
+    s = rep2.states()
+    for consumed in ("quality_filter", "exact_dedup", "near_dup_dedup",
+                     "decontaminate", "split_assign"):
+        assert s[consumed] == "skipped", (consumed, s)
+    for pending in ("leakage_drop", "pack", "gold_summary"):
+        assert s[pending] == "success", (pending, s)
+    _funnel_tables_equal_full(spark, tm)
+
+
+def test_redelivery_rebuild_dedupes_bronze(spark):
+    """r11 ADVICE #3: a non-monotone tick that RE-DELIVERS already
+    ingested doc_ids must not leave duplicate rows in bronze, and the
+    rebuild replay must converge to run_funnel over distinct docs."""
+    landing = tempfile.mkdtemp(prefix="cur_redel_land_")
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="cur_redel_wh_"), backend="parquet"
+    )
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    _land(spark, landing, "first", src)
+    rep1 = C.curation_dag(spark, landing, tm, retries=0).run()
+    assert rep1.ok
+
+    # the same docs re-delivered under a NEW landing file name → the
+    # file log treats it as new; the ids violate the watermark
+    _land(spark, landing, "redelivered", src.limit(100))
+    rep2 = C.curation_dag(spark, landing, tm, retries=0).run()
+    assert rep2.ok, rep2.states()
+    assert rep2.tasks["ingest"].result["mode"] == "rebuild"
+    bronze = tm.read("curation.bronze_docs")
+    assert bronze.count() == bronze.select("doc_id").distinct().count()
+    assert bronze.count() == src.count()
+    _funnel_tables_equal_full(spark, tm)

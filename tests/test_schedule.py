@@ -664,9 +664,11 @@ def test_scheduled_curation_backfill_matches_batch_run(spark):
         assert rows(tm_s, t) == rows(tm_b, t), t
 
     # a later tick over an interval with no landing files: ingest
-    # Skips on the listing alone, downstream upstream-skips
+    # Skips on the listing alone; every stage self-skips on its
+    # consumed-tick marker (r12 crash-recovery wiring — none_failed
+    # stages check the sidecar themselves instead of upstream-skipping)
     out2 = sd.tick(D(2024, 5, 5, 6, 0))
     assert [lg for lg, _ in out2] == [D(2024, 5, 4)]
     rep2 = out2[0][1]
     assert rep2.states()["ingest"] == "skipped"
-    assert set(rep2.states().values()) == {"skipped", "upstream_skipped"}
+    assert set(rep2.states().values()) == {"skipped"}
