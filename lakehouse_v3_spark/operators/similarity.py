@@ -122,6 +122,15 @@ def knn_bruteforce(
     )
 
 
+# Per-task row cap for the GEMM kernels: no applyInPandas task ever
+# materializes more than ~2 × cap vectors (left + right chunk). At
+# 64-dim float64 the default caps a task's vector matrices at
+# ~64 MB; blocks above the cap split into rectangle tasks (see
+# _chunked_pair_tasks), so a skewed block can no longer OOM one
+# executor or serialize the stage (r11 verdict item #1b).
+BLOCK_ROW_CAP = 65_536
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -132,6 +141,7 @@ def near_dup_pairs(
     salt_parts: int | None = None,
     dim: int | None = None,
     strategy: str = "gemm",
+    block_row_cap: int = BLOCK_ROW_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b) above a threshold,
     blocked on ``block_col`` (label/LSH bucket) to bound the pair
@@ -149,10 +159,19 @@ def near_dup_pairs(
     finished inside 10 min on 32 cores), while BLAS does the same block
     in ~0.4 s single-threaded. This is the documented Pandas-escape-
     hatch case: a kernel the built-in operators genuinely can't express
-    efficiently. One task per block; the score matrix is built in
-    ≤2048-row chunks so memory stays bounded for large blocks (block
-    sizing itself is the LSH-bucket/band throttle). Cosines are float64
-    with numpy's summation order — equal to the SQL fold within ulps
+    efficiently. Blocks at or under ``block_row_cap`` rows run as ONE
+    task; a bigger block is hash-split into m = ⌈|block|/cap⌉ chunks
+    and its pair space decomposes into the m(m+1)/2 (chunk_i, chunk_j)
+    rectangle tasks (i ≤ j), each materializing at most ~2·cap vectors
+    — so per-task memory is CAPPED and a skewed block gains
+    parallelism instead of becoming one giant task (r11 verdict item
+    #1b: previously only the SCORE matrix was chunked; the block's V
+    itself landed whole on one executor). Pair semantics are identical
+    (every in-block pair falls in exactly one rectangle; the score is
+    the same BLAS dot either way — pinned by the chunked≡unchunked
+    equivalence test). The score matrix is additionally built in
+    ≤2048-row strips inside each task. Cosines are float64 with
+    numpy's summation order — equal to the SQL fold within ulps
     (tolerance-checked vs the oracle, and threshold flips would need a
     cosine within 1e-12 of the threshold).
 
@@ -176,7 +195,9 @@ def near_dup_pairs(
             "explicitly for a small input"
         )
     if strategy == "gemm":
-        return _near_dup_pairs_gemm(df, id_col, vec_col, block_col, threshold)
+        return _near_dup_pairs_gemm(
+            df, id_col, vec_col, block_col, threshold, block_row_cap
+        )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
@@ -222,27 +243,116 @@ def near_dup_pairs(
     )
 
 
+def _with_block_chunks(src: DataFrame, cap: int) -> DataFrame:
+    """Append ``_c`` (this row's chunk within its block, hash-assigned)
+    and ``_m`` (the block's chunk count ⌈|block|/cap⌉) to ``src``
+    ((_id, _v, _block)). One tiny map-side-combined count per block,
+    broadcast back onto the scan."""
+    sizes = src.groupBy("_block").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(float(cap))).cast("int").alias("_m")
+    )
+    return src.join(F.broadcast(sizes), "_block").withColumn(
+        "_c", F.pmod(F.hash(F.col("_id")), F.col("_m"))
+    )
+
+
+def _chunked_pair_tasks(src: DataFrame, cap: int) -> DataFrame:
+    """The rectangle-task decomposition of the blocked self-pair space
+    (r11 verdict item #1b): rows of ``src`` ((_id, _v, _block)) keyed
+    by (_block, _ci, _cj) with a ``_left`` role flag. A row in chunk c
+    serves as the LEFT side of tasks (c, j) for j ≥ c and the RIGHT
+    side of tasks (i, c) for i < c, so every in-block pair lands in
+    EXACTLY one task: same-chunk pairs in the triangular task (c, c),
+    cross-chunk pairs in the one rectangle holding their two chunks.
+    Blocks at/under the cap have m = 1 → the single task (0, 0),
+    degenerating to the unchunked layout. One explode, no second scan
+    of ``src``."""
+    chunked = _with_block_chunks(src, cap)
+    left = F.transform(
+        F.sequence(F.col("_c"), F.col("_m") - 1),
+        lambda j: F.struct(
+            F.col("_c").alias("_ci"), j.alias("_cj"), F.lit(True).alias("_left")
+        ),
+    )
+    right = F.when(
+        F.col("_c") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_c") - 1),
+            lambda i: F.struct(
+                i.alias("_ci"), F.col("_c").alias("_cj"),
+                F.lit(False).alias("_left"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return chunked.select(
+        "_block", "_id", "_v", F.explode(F.concat(left, right)).alias("_t")
+    ).select(
+        "_block",
+        F.col("_t._ci").alias("_ci"),
+        F.col("_t._cj").alias("_cj"),
+        F.col("_t._left").alias("_left"),
+        "_id",
+        "_v",
+    )
+
+
+def _pair_out_schema(df: DataFrame, id_col: str):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("id_a", df.schema[id_col].dataType),
+            T.StructField("id_b", df.schema[id_col].dataType),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+
+def _stack_norm(pdf_slice, vec_field="_v"):
+    """ids, float64 matrix and tiny-clamped norms for a pandas slice.
+    The zero-norm clamp (r11 ADVICE): a zero vector would make the
+    quotient 0/0 = NaN — silently unpairable AND a RuntimeWarning per
+    strip on executors. Clamping the norm to tiny gives the zero
+    vector cosine 0.0 < threshold: never pairs, exactly the SQL path's
+    behavior (0/0 is NULL there, which fails >= thr)."""
+    import numpy as np
+
+    ids = pdf_slice["_id"].to_numpy()
+    V = np.stack(pdf_slice[vec_field].to_numpy()).astype(np.float64)
+    norms = np.maximum(
+        np.sqrt(np.einsum("ij,ij->i", V, V)), np.finfo(np.float64).tiny
+    )
+    return ids, V, norms
+
+
+def _emit_pairs(out_a, out_b, out_s):
+    import numpy as np
+    import pandas as pd
+
+    if not out_a:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+    return pd.DataFrame(
+        {
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cosine_sim": np.concatenate(out_s),
+        }
+    )
+
+
 def _near_dup_pairs_gemm(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     block_col: str | None,
     threshold: float,
+    block_row_cap: int = BLOCK_ROW_CAP,
 ) -> DataFrame:
-    """Per-block pairwise cosine via chunked numpy GEMM (see
-    :func:`near_dup_pairs`). One Arrow batch per block crosses the
-    Python boundary (ids + vectors only); the O(block²) score matrix
-    never exceeds 2048×|block| rows at a time."""
-    from pyspark.sql import types as T
-
-    id_type = df.schema[id_col].dataType
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", id_type),
-            T.StructField("id_b", id_type),
-            T.StructField("cosine_sim", T.DoubleType()),
-        ]
-    )
+    """Blocked pairwise cosine via numpy GEMM over the rectangle-task
+    decomposition (see :func:`near_dup_pairs` and
+    :func:`_chunked_pair_tasks`): per task at most ~2·cap vectors cross
+    the Python boundary, the triangular task reuses one matrix, and the
+    O(pairs) score matrix is built in ≤2048-row strips."""
     src = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -250,46 +360,111 @@ def _near_dup_pairs_gemm(
     )
     thr = float(threshold)
 
-    def block_pairs(pdf):
+    def task_pairs(pdf):
         import numpy as np
-        import pandas as pd
 
-        ids = pdf["_id"].to_numpy()
-        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-        # zero-norm guard (r11 ADVICE): a zero vector would make the
-        # quotient 0/0 = NaN — silently unpairable AND a RuntimeWarning
-        # per chunk on executors. Clamping the norm to tiny gives the
-        # zero vector cosine 0.0 < threshold: never pairs, exactly the
-        # SQL path's behavior (0/0 is NULL there, which fails >= thr).
-        norms = np.maximum(
-            np.sqrt(np.einsum("ij,ij->i", V, V)), np.finfo(np.float64).tiny
-        )
-        n = len(ids)
+        is_left = pdf["_left"].to_numpy(dtype=bool)
         out_a, out_b, out_s = [], [], []
-        chunk = 2048
-        for s in range(0, n, chunk):
-            e = min(s + chunk, n)
-            scores = (V[s:e] @ V.T) / np.outer(norms[s:e], norms)
-            # value comparison (not position) ⇒ id_a < id_b holds for
-            # any input order and silently drops duplicate-id pairs,
-            # matching the SQL path's join predicate exactly
-            mask = (scores >= thr) & (ids[None, :] > ids[s:e, None])
-            r, c = np.nonzero(mask)
-            if r.size:
-                out_a.append(ids[s + r])
-                out_b.append(ids[c])
-                out_s.append(scores[r, c])
-        if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cosine_sim": np.concatenate(out_s),
-            }
-        )
+        strip = 2048
+        # the TASK KEY decides the shape (not the data: a rectangle
+        # task whose right chunk hashed empty must emit nothing, not
+        # re-run the triangle its left chunk already ran in (c, c))
+        if int(pdf["_ci"].iloc[0]) == int(pdf["_cj"].iloc[0]):
+            # triangular task (c, c): all pairs within one chunk
+            ids, V, norms = _stack_norm(pdf)
+            for s in range(0, len(ids), strip):
+                e = min(s + strip, len(ids))
+                scores = (V[s:e] @ V.T) / np.outer(norms[s:e], norms)
+                # value comparison (not position) ⇒ id_a < id_b holds
+                # for any input order and silently drops duplicate-id
+                # pairs, matching the SQL path's join predicate exactly
+                mask = (scores >= thr) & (ids[None, :] > ids[s:e, None])
+                r, c = np.nonzero(mask)
+                if r.size:
+                    out_a.append(ids[s + r])
+                    out_b.append(ids[c])
+                    out_s.append(scores[r, c])
+        elif is_left.any() and not is_left.all():
+            # rectangle task (i, j), i < j: left-chunk × right-chunk
+            ids_l, VL, nl = _stack_norm(pdf[is_left])
+            ids_r, VR, nr = _stack_norm(pdf[~is_left])
+            for s in range(0, len(ids_l), strip):
+                e = min(s + strip, len(ids_l))
+                scores = (VL[s:e] @ VR.T) / np.outer(nl[s:e], nr)
+                mask = (scores >= thr) & (ids_r[None, :] != ids_l[s:e, None])
+                r, c = np.nonzero(mask)
+                if r.size:
+                    xa, xb = ids_l[s + r], ids_r[c]
+                    out_a.append(np.minimum(xa, xb))
+                    out_b.append(np.maximum(xa, xb))
+                    out_s.append(scores[r, c])
+        return _emit_pairs(out_a, out_b, out_s)
 
-    return src.groupBy("_block").applyInPandas(block_pairs, schema=out_schema)
+    return (
+        _chunked_pair_tasks(src, block_row_cap)
+        .groupBy("_block", "_ci", "_cj")
+        .applyInPandas(task_pairs, schema=_pair_out_schema(df, id_col))
+    )
+
+
+def _chunked_probe_tasks(src: DataFrame, cap: int) -> DataFrame:
+    """Rectangle-task decomposition of the batch-probe pair space:
+    rows of ``src`` ((_id, _v, _block, _new)) keyed by (_block, _cp,
+    _cm) with a ``_probe`` role flag. Member chunks (_cm) hash-split
+    ALL rows of a block at the cap; probe chunks (_cp) split the
+    block's NEW rows at the cap. A new row probes every member chunk
+    from its own probe chunk; every row serves as a member in each
+    probe chunk's tasks. Blocks with NO new rows have zero probe
+    chunks and emit NOTHING — batch-empty blocks never even ship to
+    Python (the unchunked kernel used to materialize them just to
+    find new_idx empty)."""
+    sizes = src.groupBy("_block").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(float(cap))).cast("int").alias("_m"),
+        F.ceil(
+            F.sum(F.when(F.col("_new"), 1).otherwise(0)) / F.lit(float(cap))
+        ).cast("int").alias("_mp"),
+    )
+    chunked = (
+        src.join(F.broadcast(sizes), "_block")
+        .withColumn("_c", F.pmod(F.hash(F.col("_id")), F.col("_m")))
+        .withColumn(
+            "_p",
+            F.when(
+                F.col("_new"),
+                F.pmod(F.hash(F.col("_id")), F.greatest(F.col("_mp"), F.lit(1))),
+            ),
+        )
+    )
+    member = F.when(
+        F.col("_mp") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_mp") - 1),
+            lambda pi: F.struct(
+                pi.alias("_cp"), F.col("_c").alias("_cm"),
+                F.lit(False).alias("_probe"),
+            ),
+        ),
+    ).otherwise(F.array())
+    probe = F.when(
+        F.col("_new"),
+        F.transform(
+            F.sequence(F.lit(0), F.col("_m") - 1),
+            lambda j: F.struct(
+                F.col("_p").alias("_cp"), j.alias("_cm"),
+                F.lit(True).alias("_probe"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return chunked.select(
+        "_block", "_id", "_v", F.explode(F.concat(member, probe)).alias("_t")
+    ).select(
+        "_block",
+        F.col("_t._cp").alias("_cp"),
+        F.col("_t._cm").alias("_cm"),
+        F.col("_t._probe").alias("_probe"),
+        "_id",
+        "_v",
+    )
 
 
 def near_dup_pairs_probe(
@@ -299,31 +474,28 @@ def near_dup_pairs_probe(
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.4,
+    block_row_cap: int = BLOCK_ROW_CAP,
 ) -> DataFrame:
     """Batch-probe form of :func:`near_dup_pairs`'s blocked GEMM: every
     pair (id_a < id_b, cosine ≥ threshold) with AT LEAST ONE endpoint
     in ``batch``, scored against ``corpus`` (pass corpus ∪ batch to
-    surface new↔new pairs). The incremental-ingest shape: per block the
-    kernel computes the |batch∩block| × |block| RECTANGLE — chunked
-    ``newV @ V.T`` — so compute is ∝ batch, never corpus², while the
-    full-recompute form stays ``near_dup_pairs`` (pair existence is
-    pairwise-local, so the union of batch probes over monotone ticks
-    IS the full pair set).
+    surface new↔new pairs). The incremental-ingest shape: per
+    (probe-chunk × member-chunk) task the kernel computes one
+    ``newV @ V.T`` rectangle — compute is ∝ batch, never corpus²,
+    while the full-recompute form stays ``near_dup_pairs`` (pair
+    existence is pairwise-local, so the union of batch probes over
+    monotone ticks IS the full pair set).
+
+    Per-task memory is capped at ~2·``block_row_cap`` vectors exactly
+    like :func:`near_dup_pairs` (r11 verdict item #1b): oversized
+    blocks split into rectangle tasks via :func:`_chunked_probe_tasks`,
+    and blocks the batch doesn't touch are pruned before the Python
+    boundary.
 
     A pair between two batch members is found from both sides (and a
     retried append may duplicate batch rows in ``corpus``); callers
     take ``.dropDuplicates(["id_a","id_b"])`` — scores for the
     duplicate findings are the same BLAS dot either way."""
-    from pyspark.sql import types as T
-
-    id_type = batch.schema[id_col].dataType
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", id_type),
-            T.StructField("id_b", id_type),
-            T.StructField("cosine_sim", T.DoubleType()),
-        ]
-    )
 
     def tagged(df, new):
         return df.select(
@@ -336,37 +508,29 @@ def near_dup_pairs_probe(
     src = tagged(corpus, False).unionByName(tagged(batch, True))
     thr = float(threshold)
 
-    def probe_pairs(pdf):
+    def task_pairs(pdf):
         import numpy as np
-        import pandas as pd
 
-        ids = pdf["_id"].to_numpy()
-        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-        # zero-norm guard — see block_pairs in _near_dup_pairs_gemm
-        norms = np.maximum(
-            np.sqrt(np.einsum("ij,ij->i", V, V)), np.finfo(np.float64).tiny
-        )
-        new_idx = np.nonzero(pdf["_new"].to_numpy(dtype=bool))[0]
+        is_probe = pdf["_probe"].to_numpy(dtype=bool)
         out_a, out_b, out_s = [], [], []
-        chunk = 2048
-        for s in range(0, len(new_idx), chunk):
-            sel = new_idx[s : s + chunk]
-            scores = (V[sel] @ V.T) / np.outer(norms[sel], norms)
-            mask = (scores >= thr) & (ids[None, :] != ids[sel, None])
-            r, c = np.nonzero(mask)
-            if r.size:
-                xa, xb = ids[sel][r], ids[c]
-                out_a.append(np.minimum(xa, xb))
-                out_b.append(np.maximum(xa, xb))
-                out_s.append(scores[r, c])
-        if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cosine_sim": np.concatenate(out_s),
-            }
-        )
+        strip = 2048
+        if is_probe.any() and not is_probe.all():
+            ids_p, VP, np_ = _stack_norm(pdf[is_probe])
+            ids_m, VM, nm = _stack_norm(pdf[~is_probe])
+            for s in range(0, len(ids_p), strip):
+                e = min(s + strip, len(ids_p))
+                scores = (VP[s:e] @ VM.T) / np.outer(np_[s:e], nm)
+                mask = (scores >= thr) & (ids_m[None, :] != ids_p[s:e, None])
+                r, c = np.nonzero(mask)
+                if r.size:
+                    xa, xb = ids_p[s + r], ids_m[c]
+                    out_a.append(np.minimum(xa, xb))
+                    out_b.append(np.maximum(xa, xb))
+                    out_s.append(scores[r, c])
+        return _emit_pairs(out_a, out_b, out_s)
 
-    return src.groupBy("_block").applyInPandas(probe_pairs, schema=out_schema)
+    return (
+        _chunked_probe_tasks(src, block_row_cap)
+        .groupBy("_block", "_cp", "_cm")
+        .applyInPandas(task_pairs, schema=_pair_out_schema(batch, id_col))
+    )
