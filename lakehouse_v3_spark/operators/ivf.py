@@ -258,6 +258,89 @@ def lloyd_converged(
     return result
 
 
+CLUSTER_CAP_ITERS = 4  # Lloyd iteration budget for corpus-scaled k
+
+
+def lloyd_capped(
+    emb: DataFrame,
+    k: int,
+    iters: int = CLUSTER_CAP_ITERS,
+    tol_micro: int = IVF_TOL_MICRO,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], int]:
+    """Budget-capped Lloyd over an arbitrary (id, vector) frame — the
+    coarse-quantizer trainer for CORPUS-SCALED k (the SemDeDup cluster
+    model, r11 verdict item #1a). Same machinery as
+    :func:`lloyd_converged` (seeds = ids < k rounded to 6 dp, exact
+    left-fold argmin with (dist, cid) tie-break, decimal-mean 6-dp
+    components, integer micro-unit shifts) with the two guards that
+    rule breaks at k ∝ n:
+
+    - **empty cells CARRY OVER** their previous centroid instead of
+      raising: with k in the hundreds over clustered data, cells
+      empty routinely — the carried centroid stays a valid Voronoi
+      site (it can re-attract points later), and the replay rule is
+      trivially deterministic;
+    - **a hard iteration budget is the STOPPING RULE, not an error**:
+      the result is the first iteration whose max micro-shift ≤
+      ``tol_micro``, else iteration ``iters`` — "converged or capped",
+      the standard coarse-quantizer training discipline at corpus
+      scale (cluster QUALITY only moves the prune's recall; engine
+      correctness rides on determinism, which the cap preserves and a
+      convergence REQUIREMENT would forfeit by erroring).
+
+    Both rules replay verbatim in the DuckDB oracle (a fixed-depth
+    unrolled chain with carry-over CTEs and
+    ``COALESCE(first converged, cap)`` selection — see
+    plans/curation_pipeline.py), which is why the budget must be a
+    compile-time constant. Returns ``(cents, n_iters)``.
+
+    Scale shape: identical to :func:`lloyd_converged` — each iteration
+    is one distributed aggregation (Arrow argmin assignment, map-side
+    partial k × dim sums); only k × dim scalars reach the driver."""
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    seed_rows = (
+        e.filter(F.col("vec_id") < k)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double"), 6)
+            ).alias("c"),
+        )
+        .collect()
+    )
+    by_id = {int(r.vec_id): [float(v) for v in r.c] for r in seed_rows}
+    if sorted(by_id) != list(range(k)):
+        raise RuntimeError(
+            f"lloyd_capped: expected seed vec_ids 0..{k - 1}, got "
+            f"{sorted(by_id)[:10]}..."
+        )
+    cents = [by_id[i] for i in range(k)]
+    dim = len(cents[0])
+
+    e = e.persist()
+    try:
+        for it in range(1, iters + 1):
+            rows = _lloyd_update(e, cents).collect()
+            new = [list(c) for c in cents]  # empty cells carry over
+            for r in rows:
+                new[r["cid"]][r["dim"]] = float(r["component"])
+            shift = max(
+                abs(_micro(new[c][d]) - _micro(cents[c][d]))
+                for c in range(k)
+                for d in range(dim)
+            )
+            cents = new
+            if shift <= tol_micro:
+                return cents, it
+        return cents, iters
+    finally:
+        e.unpersist()
+
+
 def _lloyd_update(e: DataFrame, cents: list[list[float]]) -> DataFrame:
     """One Lloyd update as a lazy DataFrame: assign each vector to its
     nearest centroid (flat codegen argmin), then per-(cid, dim) counts

