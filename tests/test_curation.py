@@ -143,7 +143,9 @@ def test_curation_dag_end_to_end_skip_and_incremental(spark):
     dag = C.curation_dag(spark, landing, tm, retries=0)
     rep = dag.run()
     assert rep.ok, rep.states()
-    assert rep.states() == {
+    states = rep.states()
+    assert states.pop("maintain") in ("success", "skipped")
+    assert states == {
         "ingest": "success", "quality_filter": "success",
         "exact_dedup": "success", "near_dup_dedup": "success",
         "decontaminate": "success", "split_assign": "success",
@@ -563,3 +565,44 @@ def test_redelivery_rebuild_dedupes_bronze(spark):
     assert bronze.count() == bronze.select("doc_id").distinct().count()
     assert bronze.count() == src.count()
     _funnel_tables_equal_full(spark, tm)
+
+
+# ---------------------------------------------------------------------------
+# r11 verdict item #2: state-table maintenance — file counts stay
+# bounded across many ticks and compaction never changes contents
+# ---------------------------------------------------------------------------
+
+def test_maintain_bounds_state_table_file_counts(spark, monkeypatch):
+    monkeypatch.setattr(C, "MAINTAIN_FILE_BOUND", 10)
+    landing = tempfile.mkdtemp(prefix="cur_maint_land_")
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="cur_maint_wh_"), backend="parquet"
+    )
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    hi = src.agg(F.max("doc_id")).collect()[0][0]
+    edges = [hi * i // 6 for i in range(7)]
+    compact_runs = 0
+    for i in range(6):
+        sl = src.filter(
+            (F.col("doc_id") > edges[i]) & (F.col("doc_id") <= edges[i + 1])
+        )
+        _land(spark, landing, f"mtick{i}", sl)
+        rep = C.curation_dag(spark, landing, tm, retries=0).run()
+        assert rep.ok, rep.states()
+        if rep.states()["maintain"] == "success":
+            compact_runs += 1
+            assert rep.tasks["maintain"].result["compacted"]
+    assert compact_runs >= 1, "bound 10 never triggered across 6 ticks"
+    # file counts bounded: nothing sits above bound + one tick's worth
+    slack = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for t in C._MAINTAINED_TABLES:
+        if tm.exists(t):
+            n = sum(1 for _ in tm._data_files(tm.path(t)))
+            assert n <= 10 + slack, (t, n)
+    # compaction never changed CONTENTS: incremental ≡ full recompute
+    _funnel_tables_equal_full(spark, tm)
+    # and an empty tick still skips everything, maintain included
+    rep = C.curation_dag(spark, landing, tm, retries=0).run()
+    assert set(rep.states().values()) == {"skipped"}
