@@ -420,6 +420,88 @@ WINDOW w  AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
 """
 
 
+def _ranks_fused(df, seg_col: str, order_col: str, tiebreak_col: str):
+    """row_number (over (order, tiebreak)), dense_rank (over order
+    alone) and the per-segment row count, computed in ONE
+    range-partitioned pass — no per-segment window anywhere.
+
+    The with_grouped_cumsum machinery, fused (r11 verdict item #4: the
+    previous formulation ran TWO independent range-partition persists
+    + partials collects plus a third count collect — ~6 fixed-latency
+    driver-sequenced jobs; this runs ONE persist and ONE partials
+    collect):
+
+      1. range-partition on (seg, order, tiebreak) — each segment
+         spans a RUN of partitions sized ~|rows|/n regardless of skew;
+      2. ONE small job per (partition, segment): row count, DISTINCT
+         order-value count, and the partition's min/max order value;
+      3. the driver prefix-sums row offsets, and dense offsets with
+         the boundary rule: when a partition's max order value equals
+         its successor's min (one value straddling the cut), the
+         successor's increment and its local dense_rank base drop by
+         one — so the straddling value keeps one global rank;
+      4. per-PARTITION windows (row_number over (order, tiebreak),
+         dense_rank over order) + the broadcast offsets.
+
+    Returns (frame with rn/drank/n_seg columns appended, pinned
+    range-partitioned frame) — caller owns the unpersist.
+    """
+    from pyspark.sql import Window
+
+    from ..ids import _PID
+
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        df.repartitionByRange(
+            n_parts, F.col(seg_col), F.col(order_col), F.col(tiebreak_col)
+        )
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    partials = (
+        part.groupBy(_PID, seg_col)
+        .agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.countDistinct(order_col).alias("_nd"),
+            F.min(order_col).alias("_lo"),
+            F.max(order_col).alias("_hi"),
+        )
+        .collect()
+    )
+    by_seg: dict = {}
+    for r in partials:
+        by_seg.setdefault(r[seg_col], []).append(r)
+    rows = []
+    for seg, lst in by_seg.items():
+        lst.sort(key=lambda r: r[_PID])  # range partitions are key-ordered
+        n_seg = sum(r["_rows"] for r in lst)
+        row_cum, dense_cum, prev_hi = 0, 0, None
+        for r in lst:
+            # one order value straddling the partition cut must keep a
+            # single global dense rank: drop the successor's base by 1
+            adj = 1 if prev_hi is not None and r["_lo"] == prev_hi else 0
+            rows.append((seg, r[_PID], row_cum, dense_cum - adj, n_seg))
+            row_cum += r["_rows"]
+            dense_cum += r["_nd"] - adj
+            prev_hi = r["_hi"]
+    offs = spark.createDataFrame(
+        rows,
+        f"{seg_col} {df.schema[seg_col].dataType.simpleString()}, "
+        f"{_PID} INT, _roff LONG, _doff LONG, _nseg LONG",
+    )
+    w_rn = Window.partitionBy(_PID, seg_col).orderBy(order_col, tiebreak_col)
+    w_dr = Window.partitionBy(_PID, seg_col).orderBy(order_col)
+    out = (
+        part.join(F.broadcast(offs), [_PID, seg_col])
+        .withColumn("rn", F.row_number().over(w_rn).cast("long") + F.col("_roff"))
+        .withColumn("drank", F.dense_rank().over(w_dr).cast("long") + F.col("_doff"))
+        .withColumnRenamed("_nseg", "n_seg")
+        .drop(_PID, "_roff", "_doff")
+    )
+    return out, part
+
+
 @register("window_ntile_ranks", oracle=_NTILE_ORACLE)
 def window_ntile_ranks(spark, sf_dir):
     """Quartile bucketing + dense/percent ranks per market segment.
@@ -431,45 +513,20 @@ def window_ntile_ranks(spark, sf_dir):
     row_number — ranking the bare balance is the honest tied-values
     demonstration, and sf1's quantized balances do tie).
 
-    Scale shape (r10 verdict watch item, retired r11): NO per-segment
-    rank window — c_mktsegment has 5 values, so
-    ``Window.partitionBy(c_mktsegment)`` sorts ~n/5 rows in one task at
-    100 TB (SURVEY §4 anti-pattern #1). All three rank functions now
-    derive from ids.with_grouped_cumsum's two-phase range-partition
-    machinery: row_number = grouped cumsum of 1 in (−acctbal, custkey)
-    order (the tiebreak makes rank ≡ row_number, so percent_rank is
-    (rn−1)/(n−1) exactly); dense_rank = the same cumsum over the
-    DISTINCT (segment, balance) table joined back; ntile(4) = the SQL
-    bucket arithmetic over rn with per-segment (n div 4, n mod 4) from
-    a ≤5-row aggregate. Identical output, oracle unchanged."""
-    from ..ids import with_grouped_cumsum
-
+    Scale shape: NO per-segment window — c_mktsegment has 5 values, so
+    ``Window.partitionBy(c_mktsegment)`` sorts ~n/5 rows in one task
+    at 100 TB (SURVEY §4 anti-pattern #1). All three rank functions
+    ride :func:`_ranks_fused`'s SINGLE range-partitioned pass (r11
+    verdict item #4 — one persist, one partials collect, per-PARTITION
+    windows; row_number/dense_rank/segment counts all from the same
+    scan); ntile(4) and percent_rank are then pure arithmetic over
+    (rn, n_seg). Identical output, oracle unchanged."""
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    staged = c.withColumn("_negbal", -F.col("c_acctbal")).withColumn(
-        "_one", F.lit(1)
-    )
-    rn = with_grouped_cumsum(
-        staged, ["c_mktsegment"], ["_negbal", "c_custkey"], "_one", out_col="rn"
-    )
-    # dense_rank: rank over the DISTINCT per-segment balances
-    dv = (
-        staged.select("c_mktsegment", "_negbal")
-        .distinct()
-        .withColumn("_one", F.lit(1))
-    )
-    dr = with_grouped_cumsum(
-        dv, ["c_mktsegment"], ["_negbal"], "_one", out_col="drank"
-    ).select("c_mktsegment", "_negbal", "drank")
-    # per-segment row counts: a ≤|segments|-row aggregate → literal map
-    counts = {
-        r["c_mktsegment"]: r["n"]
-        for r in c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n_map = F.create_map(*[F.lit(x) for kv in counts.items() for x in kv])
-    n = n_map[F.col("c_mktsegment")]
-    rn_c, k = F.col("rn"), F.lit(4)
+    staged = c.withColumn("_negbal", -F.col("c_acctbal"))
+    ranked, pinned = _ranks_fused(staged, "c_mktsegment", "_negbal", "c_custkey")
+    n, rn_c, k = F.col("n_seg"), F.col("rn"), F.lit(4)
     q, r = (n / k).cast("long"), n % k
     # SQL ntile: the first (n % k) buckets carry (q+1) rows
     quartile = F.when(
@@ -478,16 +535,15 @@ def window_ntile_ranks(spark, sf_dir):
     prank = F.when(n == 1, F.lit(0.0)).otherwise(
         (rn_c - 1).cast("double") / (n - 1).cast("double")
     )
-    return (
-        rn.join(dr, ["c_mktsegment", "_negbal"])
-        .select(
-            "c_custkey",
-            "c_mktsegment",
-            quartile.cast("long").alias("quartile"),
-            F.col("drank").cast("long").alias("drank"),
-            F.round(prank, 6).alias("prank"),
-        )
-    )
+    out = ranked.select(
+        "c_custkey",
+        "c_mktsegment",
+        quartile.cast("long").alias("quartile"),
+        F.col("drank").cast("long").alias("drank"),
+        F.round(prank, 6).alias("prank"),
+    ).localCheckpoint(eager=True)
+    pinned.unpersist(blocking=False)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -67,3 +67,72 @@ def test_lloyd_capped_stops_at_cap(spark):
     e = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
     cents, n_iters = lloyd_capped(e, 3, iters=2, tol_micro=-1)
     assert n_iters == 2 and len(cents) == 3
+
+
+# ---------------------------------------------------------------------------
+# r11 verdict item #4: the fused single-pass rank machinery
+# ---------------------------------------------------------------------------
+
+def test_ranks_fused_handles_values_straddling_partitions(spark):
+    """Heavily tied order values force one value to span SEVERAL range
+    partitions — dense_rank must still be globally correct (the
+    boundary adjustment), and row_number must equal the plain-window
+    formulation."""
+    from pyspark.sql import Window
+
+    from lakehouse_v3_spark.plans.scale_extras import _ranks_fused
+
+    rows = (
+        [(i, "s", 1.0) for i in range(50)]
+        + [(i, "s", 2.0) for i in range(50, 80)]
+        + [(i, "s", 3.0) for i in range(80, 100)]
+        + [(i, "t", 1.0) for i in range(100, 120)]
+    )
+    df = spark.createDataFrame(rows, "id LONG, seg STRING, v DOUBLE")
+    ranked, pinned = _ranks_fused(df, "seg", "v", "id")
+    got = {
+        r["id"]: (r["rn"], r["drank"], r["n_seg"]) for r in ranked.collect()
+    }
+    pinned.unpersist(blocking=False)
+    w_rn = Window.partitionBy("seg").orderBy("v", "id")
+    w_dr = Window.partitionBy("seg").orderBy("v")
+    want = {
+        r["id"]: (r["rn"], r["drank"], r["n_seg"])
+        for r in df.withColumn("rn", F.row_number().over(w_rn).cast("long"))
+        .withColumn("drank", F.dense_rank().over(w_dr).cast("long"))
+        .withColumn(
+            "n_seg",
+            F.count(F.lit(1)).over(Window.partitionBy("seg")).cast("long"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_ranks_fused_windows_are_per_partition(spark):
+    """Plan guard (the pack-cumsum pattern): every windowspecdefinition
+    in the fused rank plan must carry the _lh_pid range-partition
+    column — no per-segment window anywhere."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from lakehouse_v3_spark.plans.scale_extras import _ranks_fused
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .withColumn("_negbal", -F.col("c_acctbal"))
+    )
+    ranked, pinned = _ranks_fused(df, "c_mktsegment", "_negbal", "c_custkey")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        ranked.explain("formatted")
+    plan = buf.getvalue()
+    pinned.unpersist(blocking=False)
+    saw = False
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            saw = True
+            assert "_lh_pid" in line, f"per-segment window leaked: {line}"
+    assert saw
+    assert "rangepartitioning" in plan.replace(" ", "").lower()
