@@ -64,6 +64,16 @@ def main() -> None:
         "every table comparison stays meaningful and the pair table is "
         "provably non-empty through the incremental probe",
     )
+    ap.add_argument(
+        "--violate",
+        action="store_true",
+        help="after the monotone ticks, land ONE extra tick that "
+        "re-delivers low ids (violating the max-id watermark) — ingest "
+        "must report mode='rebuild', replay the corpus through the same "
+        "task bodies, and the final tables must STILL equal run_funnel "
+        "(r11 verdict item #6: the rebuild escape hatch value-gated at "
+        "scale, not just unit scale)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -119,6 +129,19 @@ def main() -> None:
         ).run()
         assert rep.ok, rep.states()
         assert rep.tasks["ingest"].result["mode"] == "incremental"
+    if args.violate:
+        # re-deliver a low-id slice verbatim: the watermark contract
+        # breaks and ingest must take the loud rebuild path
+        docs.filter(F.col("doc_id") <= hi // (args.ticks * 4)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, "violation"))
+        rep = C.curation_dag(
+            spark, landing, tm, retries=0, embeddings=emb
+        ).run()
+        assert rep.ok, rep.states()
+        assert rep.tasks["ingest"].result["mode"] == "rebuild", (
+            rep.tasks["ingest"].result
+        )
     t_dag = time.monotonic() - t_dag0
 
     f = C.run_funnel(
@@ -169,6 +192,7 @@ def main() -> None:
                     "sf": args.sf_dir,
                     "ticks": args.ticks,
                     "embed": bool(args.embed),
+                    "violate": bool(args.violate),
                     "planted_near_dups": args.plant_near_dups,
                     "n_near_dup_pairs": n_pairs,
                     "dag_wall_sec": round(t_dag, 1),
