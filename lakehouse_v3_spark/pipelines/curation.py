@@ -908,6 +908,17 @@ def curation_dag(
         return [s for s in stage_names if props.get("consumed_" + s) != t]
 
     def ingest(ctx):
+        # crash recovery (r11 ADVICE high) comes FIRST: if the last
+        # batch was ingested but some downstream stage never consumed
+        # it, succeed WITHOUT touching the delta — the none_failed
+        # stages below fold the pending batch, and any newly-landed
+        # files stay in the landing zone for the NEXT run (the file
+        # log hasn't recorded them). Ingesting new files while a delta
+        # is unconsumed would OVERWRITE it and lose the crashed
+        # batch's silver contributions permanently.
+        pending = _unconsumed()
+        if pending:
+            return {"new_files": 0, "mode": "resume", "pending": pending}
         log = FileLogCheckpoint(tm, "curation_docs")
         if interval_scoped:
             from .dags import _interval_csv_files
@@ -918,10 +929,6 @@ def curation_dag(
                 landing_dir, start, end, suffix=".parquet"
             )
             if not pruned:
-                pending = _unconsumed()
-                if pending:
-                    return {"new_files": 0, "mode": "resume",
-                            "pending": pending}
                 raise Skip(f"no landing files for interval [{start}, {end})")
             listing = spark.createDataFrame(
                 [(p,) for p in pruned], "path STRING"
@@ -931,13 +938,6 @@ def curation_dag(
         new = log.new_files(listing).select("path")
         paths = sorted(r.path for r in new.collect())  # file NAMES, not data
         if not paths:
-            # crash recovery (r11 ADVICE high): the last batch was fully
-            # ingested (file log committed) but some downstream stage
-            # never consumed it — succeed WITHOUT re-ingesting so the
-            # none_failed stages below run and fold the pending delta.
-            pending = _unconsumed()
-            if pending:
-                return {"new_files": 0, "mode": "resume", "pending": pending}
             raise Skip("no new landing files under " + landing_dir)
         raw = spark.read.parquet(*paths)
         stats = raw.agg(

@@ -606,3 +606,45 @@ def test_maintain_bounds_state_table_file_counts(spark, monkeypatch):
     # and an empty tick still skips everything, maintain included
     rep = C.curation_dag(spark, landing, tm, retries=0).run()
     assert set(rep.states().values()) == {"skipped"}
+
+
+def test_crash_then_new_files_does_not_lose_the_pending_batch(spark):
+    """The sharpest crash-recovery corner: batch A's run crashes after
+    ingest, then batch B LANDS before anyone re-runs. Ingest must fold
+    A first (resume — ignoring B, whose files stay unlogged) and pick
+    B up on the following run; overwriting the unconsumed delta with B
+    would lose A's silver contributions permanently."""
+    landing = tempfile.mkdtemp(prefix="cur_crash3_land_")
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="cur_crash3_wh_"), backend="parquet"
+    )
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    hi = src.agg(F.max("doc_id")).collect()[0][0]
+    a, b = hi // 3, 2 * hi // 3
+    _land(spark, landing, "t1", src.filter(F.col("doc_id") <= a))
+    assert C.curation_dag(spark, landing, tm, retries=0).run().ok
+
+    # batch A lands and its run crashes right after ingest
+    _land(spark, landing, "tA", src.filter(
+        (F.col("doc_id") > a) & (F.col("doc_id") <= b)
+    ))
+    rep = C.curation_dag(spark, landing, tm, retries=0).run(
+        {"_fail_tasks": {"quality_filter"}}
+    )
+    assert rep.states()["ingest"] == "success"
+
+    # batch B lands BEFORE the re-run
+    _land(spark, landing, "tB", src.filter(F.col("doc_id") > b))
+
+    # run 1: resume folds A; B's files stay unlogged
+    rep1 = C.curation_dag(spark, landing, tm, retries=0).run()
+    assert rep1.ok, rep1.states()
+    assert rep1.tasks["ingest"].result["mode"] == "resume"
+    # run 2: ingests B as a normal incremental tick
+    rep2 = C.curation_dag(spark, landing, tm, retries=0).run()
+    assert rep2.ok, rep2.states()
+    ing2 = rep2.tasks["ingest"].result
+    assert ing2["mode"] == "incremental" and ing2["new_files"] == 1
+    _funnel_tables_equal_full(spark, tm)
