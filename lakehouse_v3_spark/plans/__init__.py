@@ -14,6 +14,7 @@ order-insensitive value-hash, so:
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -128,14 +129,32 @@ def register(
     driver_oracle: bool = True,
     sf_oracle=None,
 ):
-    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the catalog."""
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the catalog.
+
+    Every registered fn is wrapped to ship the package to workers
+    first (``session.ensure_package_shipped``, a no-op after the first
+    call per context). Most queries reach it through ``io_utils.load``
+    anyway, but the streaming queries build ``readStream`` sources
+    directly — from a driver whose cwd isn't the repo root, their
+    package-pickled UDFs (and Spark 4.1's driver-side
+    transformWithState schema worker) died with ModuleNotFoundError
+    before the r12 fix. The registry is the driver contract's single
+    choke point, so the guarantee lives here."""
 
     def deco(fn):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+
+        @functools.wraps(fn)
+        def shipped(spark, sf_dir):
+            from ..session import ensure_package_shipped
+
+            ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
         REGISTRY[name] = QueryDef(
             name=name,
-            fn=fn,
+            fn=shipped,
             oracle=oracle,
             doc=doc or (fn.__doc__ or ""),
             rtol=rtol,

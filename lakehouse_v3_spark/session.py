@@ -51,6 +51,30 @@ def ensure_package_shipped(spark: SparkSession) -> None:
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
     sc.addPyFile(zpath)
+    # Spark 4.1's transformWithStateInPandas spawns a DRIVER-SIDE
+    # python runner (transform_with_state_driver_worker) for state
+    # schema validation whose PYTHONPATH comes from the function's
+    # envVars (sc.environment) + the JVM process env — NOT from
+    # addPyFile's includes. From a foreign cwd it died with
+    # ModuleNotFoundError before the first microbatch (found by the
+    # /verify foreign-cwd probe, r12). Two merges close it for both
+    # orders of initialization:
+    #   - sc.environment: snapshotted into every later-created UDF's
+    #     envVars, reaching workers the already-running JVM spawns;
+    #   - os.environ: inherited by the JVM if the context is created
+    #     AFTER this call (fresh get_spark from any cwd).
+    extra = [zpath, os.path.dirname(pkg_dir)]
+    env_pp = sc.environment.get("PYTHONPATH", "")
+    sc.environment["PYTHONPATH"] = os.pathsep.join(
+        [p for p in extra if p not in env_pp.split(os.pathsep)]
+        + ([env_pp] if env_pp else [])
+    )
+    current = os.environ.get("PYTHONPATH", "")
+    parts = [p for p in extra if p not in current.split(os.pathsep)]
+    if parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            parts + ([current] if current else [])
+        )
     sc._lakehouse_pkg_shipped = True
 
 
