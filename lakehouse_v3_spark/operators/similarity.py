@@ -124,11 +124,27 @@ def knn_bruteforce(
 
 # Per-task row cap for the GEMM kernels: no applyInPandas task ever
 # materializes more than ~2 × cap vectors (left + right chunk). At
-# 64-dim float64 the default caps a task's vector matrices at
-# ~64 MB; blocks above the cap split into rectangle tasks (see
+# 64-dim float64 the default caps a task's vector MATRICES at ~64 MB;
+# blocks above the cap split into rectangle tasks (see
 # _chunked_pair_tasks), so a skewed block can no longer OOM one
-# executor or serialize the stage (r11 verdict item #1b).
+# executor or serialize the stage (r11 verdict item #1b). The score
+# strip is bounded SEPARATELY (r12 ADVICE #5): strip_rows is shrunk so
+# strip_rows × right_cols ≤ STRIP_CELLS, capping the float64 score
+# matrix at ~64 MB (plus ~8 MB bool mask) per strip — without this the
+# dominant allocation was the 2048 × 65,536 strip, ~1.07 GB, not the
+# vector matrices the cap advertises. Honest per-task peak at the
+# default caps: ~2·cap·64·8 B vectors (~67 MB) + 64 MB scores + 8 MB
+# mask ≈ 140 MB.
 BLOCK_ROW_CAP = 65_536
+STRIP_CELLS = 1 << 23  # max strip_rows × right_cols score cells (~64 MB f64)
+
+
+def _strip_rows(right_cols: int, cells: int = STRIP_CELLS) -> int:
+    """Score-strip row count bounded by both the legacy 2048-row cap
+    and the ``cells`` budget against the actual right side. Threaded
+    as a plain int into the Arrow kernels (executor workers re-import
+    the module, so a module-global override would not reach them)."""
+    return max(1, min(2048, cells // max(1, right_cols)))
 
 
 def near_dup_pairs(
@@ -142,6 +158,7 @@ def near_dup_pairs(
     dim: int | None = None,
     strategy: str = "gemm",
     block_row_cap: int = BLOCK_ROW_CAP,
+    strip_cells: int = STRIP_CELLS,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b) above a threshold,
     blocked on ``block_col`` (label/LSH bucket) to bound the pair
@@ -173,7 +190,11 @@ def near_dup_pairs(
     ≤2048-row strips inside each task. Cosines are float64 with
     numpy's summation order — equal to the SQL fold within ulps
     (tolerance-checked vs the oracle, and threshold flips would need a
-    cosine within 1e-12 of the threshold).
+    cosine within 1e-12 of the threshold). The per-strip score matrix
+    is bounded at STRIP_CELLS cells against the ACTUAL right side
+    (``_strip_rows``), so it can never dominate the task's memory the
+    way a fixed 2048-row strip against a cap-sized chunk did
+    (2048 × 65,536 float64 ≈ 1.07 GB — r12 ADVICE #5).
 
     ``strategy="sql"``: the all-JVM expression path (bit-identical,
     left-fold summation). The blocked self-join is SALTED: side A gets
@@ -196,7 +217,8 @@ def near_dup_pairs(
         )
     if strategy == "gemm":
         return _near_dup_pairs_gemm(
-            df, id_col, vec_col, block_col, threshold, block_row_cap
+            df, id_col, vec_col, block_col, threshold, block_row_cap,
+            strip_cells,
         )
     a = df.select(
         F.col(id_col).alias("id_a"),
@@ -309,20 +331,23 @@ def _pair_out_schema(df: DataFrame, id_col: str):
 
 
 def _stack_norm(pdf_slice, vec_field="_v"):
-    """ids, float64 matrix and tiny-clamped norms for a pandas slice.
-    The zero-norm clamp (r11 ADVICE): a zero vector would make the
-    quotient 0/0 = NaN — silently unpairable AND a RuntimeWarning per
-    strip on executors. Clamping the norm to tiny gives the zero
-    vector cosine 0.0 < threshold: never pairs, exactly the SQL path's
-    behavior (0/0 is NULL there, which fails >= thr)."""
+    """ids, float64 matrix, tiny-clamped norms and the true-zero-norm
+    mask for a pandas slice. The clamp (r11 ADVICE) avoids 0/0 = NaN
+    (silently unpairable + a RuntimeWarning per strip on executors);
+    the ``zero`` mask (r12 ADVICE #4) is what actually excludes zero
+    vectors from pairing: a clamped zero vector's cosine is exactly
+    0.0, which would PAIR with everything under a threshold ≤ 0,
+    whereas the SQL path's 0/0 is NULL and never pairs at any
+    threshold — kernels must mask these rows out of the ≥-threshold
+    comparison, not rely on 0.0 < threshold."""
     import numpy as np
 
     ids = pdf_slice["_id"].to_numpy()
     V = np.stack(pdf_slice[vec_field].to_numpy()).astype(np.float64)
-    norms = np.maximum(
-        np.sqrt(np.einsum("ij,ij->i", V, V)), np.finfo(np.float64).tiny
-    )
-    return ids, V, norms
+    sq = np.einsum("ij,ij->i", V, V)
+    zero = sq == 0.0
+    norms = np.maximum(np.sqrt(sq), np.finfo(np.float64).tiny)
+    return ids, V, norms, zero
 
 
 def _emit_pairs(out_a, out_b, out_s):
@@ -347,6 +372,7 @@ def _near_dup_pairs_gemm(
     block_col: str | None,
     threshold: float,
     block_row_cap: int = BLOCK_ROW_CAP,
+    strip_cells: int = STRIP_CELLS,
 ) -> DataFrame:
     """Blocked pairwise cosine via numpy GEMM over the rectangle-task
     decomposition (see :func:`near_dup_pairs` and
@@ -359,26 +385,34 @@ def _near_dup_pairs_gemm(
         (F.col(block_col) if block_col else F.lit(0)).alias("_block"),
     )
     thr = float(threshold)
+    cells = int(strip_cells)
 
     def task_pairs(pdf):
         import numpy as np
 
         is_left = pdf["_left"].to_numpy(dtype=bool)
         out_a, out_b, out_s = [], [], []
-        strip = 2048
         # the TASK KEY decides the shape (not the data: a rectangle
         # task whose right chunk hashed empty must emit nothing, not
         # re-run the triangle its left chunk already ran in (c, c))
         if int(pdf["_ci"].iloc[0]) == int(pdf["_cj"].iloc[0]):
             # triangular task (c, c): all pairs within one chunk
-            ids, V, norms = _stack_norm(pdf)
+            ids, V, norms, zero = _stack_norm(pdf)
+            strip = _strip_rows(len(ids), cells)
             for s in range(0, len(ids), strip):
                 e = min(s + strip, len(ids))
                 scores = (V[s:e] @ V.T) / np.outer(norms[s:e], norms)
                 # value comparison (not position) ⇒ id_a < id_b holds
                 # for any input order and silently drops duplicate-id
-                # pairs, matching the SQL path's join predicate exactly
-                mask = (scores >= thr) & (ids[None, :] > ids[s:e, None])
+                # pairs, matching the SQL path's join predicate exactly.
+                # zero-norm rows never pair at ANY threshold (the SQL
+                # path's 0/0 is NULL there — r12 ADVICE #4)
+                mask = (
+                    (scores >= thr)
+                    & (ids[None, :] > ids[s:e, None])
+                    & ~zero[None, :]
+                    & ~zero[s:e, None]
+                )
                 r, c = np.nonzero(mask)
                 if r.size:
                     out_a.append(ids[s + r])
@@ -386,12 +420,18 @@ def _near_dup_pairs_gemm(
                     out_s.append(scores[r, c])
         elif is_left.any() and not is_left.all():
             # rectangle task (i, j), i < j: left-chunk × right-chunk
-            ids_l, VL, nl = _stack_norm(pdf[is_left])
-            ids_r, VR, nr = _stack_norm(pdf[~is_left])
+            ids_l, VL, nl, zl = _stack_norm(pdf[is_left])
+            ids_r, VR, nr, zr = _stack_norm(pdf[~is_left])
+            strip = _strip_rows(len(ids_r), cells)
             for s in range(0, len(ids_l), strip):
                 e = min(s + strip, len(ids_l))
                 scores = (VL[s:e] @ VR.T) / np.outer(nl[s:e], nr)
-                mask = (scores >= thr) & (ids_r[None, :] != ids_l[s:e, None])
+                mask = (
+                    (scores >= thr)
+                    & (ids_r[None, :] != ids_l[s:e, None])
+                    & ~zr[None, :]
+                    & ~zl[s:e, None]
+                )
                 r, c = np.nonzero(mask)
                 if r.size:
                     xa, xb = ids_l[s + r], ids_r[c]
@@ -475,6 +515,7 @@ def near_dup_pairs_probe(
     block_col: str | None = None,
     threshold: float = 0.4,
     block_row_cap: int = BLOCK_ROW_CAP,
+    strip_cells: int = STRIP_CELLS,
 ) -> DataFrame:
     """Batch-probe form of :func:`near_dup_pairs`'s blocked GEMM: every
     pair (id_a < id_b, cosine ≥ threshold) with AT LEAST ONE endpoint
@@ -507,20 +548,26 @@ def near_dup_pairs_probe(
 
     src = tagged(corpus, False).unionByName(tagged(batch, True))
     thr = float(threshold)
+    cells = int(strip_cells)
 
     def task_pairs(pdf):
         import numpy as np
 
         is_probe = pdf["_probe"].to_numpy(dtype=bool)
         out_a, out_b, out_s = [], [], []
-        strip = 2048
         if is_probe.any() and not is_probe.all():
-            ids_p, VP, np_ = _stack_norm(pdf[is_probe])
-            ids_m, VM, nm = _stack_norm(pdf[~is_probe])
+            ids_p, VP, np_, zp = _stack_norm(pdf[is_probe])
+            ids_m, VM, nm, zm = _stack_norm(pdf[~is_probe])
+            strip = _strip_rows(len(ids_m), cells)
             for s in range(0, len(ids_p), strip):
                 e = min(s + strip, len(ids_p))
                 scores = (VP[s:e] @ VM.T) / np.outer(np_[s:e], nm)
-                mask = (scores >= thr) & (ids_m[None, :] != ids_p[s:e, None])
+                mask = (
+                    (scores >= thr)
+                    & (ids_m[None, :] != ids_p[s:e, None])
+                    & ~zm[None, :]
+                    & ~zp[s:e, None]
+                )
                 r, c = np.nonzero(mask)
                 if r.size:
                     xa, xb = ids_p[s + r], ids_m[c]
