@@ -27,7 +27,10 @@ Design for 100 TB:
     oracle's loop stops at exactly the same iteration.
 
 Determinism contract shared with the oracles (plans/ivf_queries.py):
-  - seeds = the k vectors with vec_id < k, rounded to 6 dp;
+  - seeds = the FIRST k vectors in vec_id order (seed cid = rank − 1),
+    rounded to 6 dp — id-space-agnostic (r12 verdict item #3): equal to
+    the old ``vec_id < k`` rule on a dense 0-based id space, and still
+    defined when ids have holes or an offset;
   - squared distance = left-to-right fold of (v[i]-c[i])² in index
     order seeded with 0.0 double (bit-identical to DuckDB list_reduce;
     numpy evaluates the same fold vectorized over rows, sequential
@@ -112,10 +115,19 @@ def assign_cells(
     minimum, so ties resolve to the lowest cid — identical to the
     (dist, cid) ordering in the DuckDB oracle; distances use the exact
     left-fold (_cell_dists_np), so the compared values are
-    bit-identical too."""
+    bit-identical too.
+
+    The centroid matrix ships as an explicit ``SparkContext.broadcast``
+    (r12 verdict item #1c): a closure-captured k × dim list is
+    re-serialized into EVERY stage's task binary that references the
+    column, which at the corpus-scaled-k ceiling (K_MAX × 64 doubles
+    ≈ 34 MB) would bloat each task launch; a broadcast serializes once
+    and torrent-fetches once per executor."""
     from pyspark.sql.functions import pandas_udf
 
-    cents_local = [[float(v) for v in c] for c in cents]
+    cents_b = df.sparkSession.sparkContext.broadcast(
+        [[float(v) for v in c] for c in cents]
+    )
 
     @pandas_udf("int")
     def _nearest(emb: pd.Series) -> pd.Series:
@@ -123,7 +135,7 @@ def assign_cells(
 
         if len(emb) == 0:
             return pd.Series([], dtype="int32")
-        d = _cell_dists_np(emb, cents_local)
+        d = _cell_dists_np(emb, cents_b.value)
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
     return df.withColumn(out_col, _nearest(F.col(vec_col)))
@@ -135,10 +147,14 @@ def probe_cells_expr(vec, cents: list[list[float]], nprobe: int):
     Same Arrow/numpy shape (and the same rationale) as assign_cells;
     the per-row sort is a STABLE argsort on the exact-left-fold
     distances, so equal distances keep ascending-cid order — the
-    (dist, cid) tie-break the oracle's row_number uses."""
+    (dist, cid) tie-break the oracle's row_number uses. Centroids ship
+    by explicit broadcast, same as assign_cells (r12 verdict #1c)."""
     from pyspark.sql.functions import pandas_udf
 
-    cents_local = [[float(v) for v in c] for c in cents]
+    cents_b = (
+        SparkSession.getActiveSession()
+        .sparkContext.broadcast([[float(v) for v in c] for c in cents])
+    )
     np_ = int(nprobe)
 
     @pandas_udf("array<int>")
@@ -147,7 +163,7 @@ def probe_cells_expr(vec, cents: list[list[float]], nprobe: int):
 
         if len(emb) == 0:
             return pd.Series([], dtype="object")
-        d = _cell_dists_np(emb, cents_local)
+        d = _cell_dists_np(emb, cents_b.value)
         order = np.argsort(d, axis=1, kind="stable")[:, :np_].astype("int32")
         return pd.Series(list(order))
 
@@ -177,6 +193,36 @@ def _fixture_key(sf_dir: str) -> tuple:
     return (os.path.abspath(sf_dir), st.st_size, int(st.st_mtime))
 
 
+def _seed_cents(e: DataFrame, k: int) -> list[list[float]]:
+    """Lloyd seeds = the first k vectors in vec_id order, 6-dp-rounded;
+    seed cid = rank − 1. Id-space-AGNOSTIC (r12 verdict item #3): the
+    old ``vec_id < k`` rule refused to train on any id space with
+    holes or an offset (re-deliveries, sharded ingest) — rank keeps
+    the same determinism and, on a dense 0-based space, selects the
+    identical rows with identical numbering, so every existing gate is
+    bit-identical. Plans as a distributed TakeOrderedAndProject
+    (per-partition top-k + k-row driver merge), NOT a one-partition
+    global window. The oracles' seed CTE mirrors the rank rule
+    (ivf_queries._C0_SQL, curation_pipeline._cluster_chain cc0)."""
+    rows = (
+        e.select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double"), 6)
+            ).alias("c"),
+        )
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise RuntimeError(
+            f"lloyd seeding needs ≥ k={k} vectors, table has {len(rows)}"
+        )
+    rows.sort(key=lambda r: int(r.vec_id))
+    return [[float(v) for v in r.c] for r in rows]
+
+
 def lloyd_converged(
     spark: SparkSession,
     sf_dir: str,
@@ -203,20 +249,7 @@ def lloyd_converged(
         return _CACHE[key]
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed_rows = (
-        e.filter(F.col("vec_id") < k)
-        .select(
-            "vec_id",
-            F.transform(
-                "embedding", lambda x: F.round(x.cast("double"), 6)
-            ).alias("c"),
-        )
-        .collect()
-    )
-    by_id = {int(r.vec_id): [float(v) for v in r.c] for r in seed_rows}
-    if sorted(by_id) != list(range(k)):
-        raise RuntimeError(f"expected seed vec_ids 0..{k - 1}, got {sorted(by_id)}")
-    cents = [by_id[i] for i in range(k)]
+    cents = _seed_cents(e, k)
     dim = len(cents[0])
 
     e = e.persist()
@@ -272,7 +305,8 @@ def lloyd_capped(
     """Budget-capped Lloyd over an arbitrary (id, vector) frame — the
     coarse-quantizer trainer for CORPUS-SCALED k (the SemDeDup cluster
     model, r11 verdict item #1a). Same machinery as
-    :func:`lloyd_converged` (seeds = ids < k rounded to 6 dp, exact
+    :func:`lloyd_converged` (seeds = first k vectors in id order at
+    6 dp — id-space-agnostic, see :func:`_seed_cents` —, exact
     left-fold argmin with (dist, cid) tie-break, decimal-mean 6-dp
     components, integer micro-unit shifts) with the two guards that
     rule breaks at k ∝ n:
@@ -302,23 +336,7 @@ def lloyd_capped(
     e = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
-    seed_rows = (
-        e.filter(F.col("vec_id") < k)
-        .select(
-            "vec_id",
-            F.transform(
-                "embedding", lambda x: F.round(x.cast("double"), 6)
-            ).alias("c"),
-        )
-        .collect()
-    )
-    by_id = {int(r.vec_id): [float(v) for v in r.c] for r in seed_rows}
-    if sorted(by_id) != list(range(k)):
-        raise RuntimeError(
-            f"lloyd_capped: expected seed vec_ids 0..{k - 1}, got "
-            f"{sorted(by_id)[:10]}..."
-        )
-    cents = [by_id[i] for i in range(k)]
+    cents = _seed_cents(e, k)
     dim = len(cents[0])
 
     e = e.persist()

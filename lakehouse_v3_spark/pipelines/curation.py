@@ -286,12 +286,30 @@ EMB_DIM = 64    # fixture vector width (unrolled codegen dot product)
 # #1a: blocking on the fixture's ~10-value label capped parallelism at
 # |labels| and put ~10% of a 100 TB corpus in ONE task).
 CLUSTER_TARGET_ROWS = 4096
+# Hard cluster-count ceiling (r12 verdict item #1): SemDeDup's own
+# discipline is a FIXED cluster budget (Abbas et al. 2023 use tens of
+# thousands of clusters regardless of corpus size), not k ∝ n. The cap
+# bounds every driver-side quantity of the trainer:
+#   - centroid state: K_MAX × 64 dims × 8 B ≈ 34 MB of driver lists;
+#   - per-Lloyd-iteration collect: K_MAX × 64 ≈ 4.2M (cid, dim) rows —
+#     bounded, vs ⌈n/4096⌉ × 64 ≈ 156M rows/iteration at 10¹⁰ docs
+#     under the old uncapped rule;
+#   - the broadcast each assignment stage fetches: one ~34 MB value.
+# Above the cap, mean block size grows past CLUSTER_TARGET_ROWS
+# (10¹⁰/65,536 ≈ 153k rows/block at the 100 TB north star) and the
+# rectangle-task GEMM cap (operators/similarity.BLOCK_ROW_CAP) takes
+# over: oversized blocks split into bounded-memory chunk tasks, so
+# pair-stage parallelism and per-task memory stay healthy either way.
+CLUSTER_K_MAX = 65_536
 
 
 def cluster_k(n_vectors: int) -> int:
-    """Corpus-scaled cluster count: ⌈n / CLUSTER_TARGET_ROWS⌉ ≥ 1 —
-    the same integer arithmetic the oracle's k CTE computes."""
-    return max(1, -(-int(n_vectors) // CLUSTER_TARGET_ROWS))
+    """Corpus-scaled cluster count: min(⌈n / CLUSTER_TARGET_ROWS⌉,
+    CLUSTER_K_MAX), ≥ 1 — the same integer arithmetic the oracle's k
+    CTE computes (LEAST/GREATEST/CEIL in _cluster_chain)."""
+    return min(
+        max(1, -(-int(n_vectors) // CLUSTER_TARGET_ROWS)), CLUSTER_K_MAX
+    )
 
 
 def emb_cluster_model(embeddings: DataFrame) -> list[list[float]]:

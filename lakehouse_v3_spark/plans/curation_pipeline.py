@@ -28,6 +28,7 @@ from ..operators.dedup import BAND_SIZE, MINHASH_PRIME, MINHASH_SEEDS
 from ..operators.ivf import CLUSTER_CAP_ITERS, IVF_TOL_MICRO
 from ..operators.similarity import near_dup_pairs
 from ..pipelines.curation import (
+    CLUSTER_K_MAX,
     CLUSTER_TARGET_ROWS,
     EVAL_MOD,
     LEAK_JACCARD,
@@ -54,14 +55,21 @@ def _cluster_chain() -> str:
     ``ccw`` (cid, cv) — the wide centroid list the assignment and
     scoring CTEs consume."""
     parts = [
-        "ckk AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / "
-        f"{CLUSTER_TARGET_ROWS}.0) AS BIGINT)) AS k FROM embeddings)",
+        # k = min(⌈n/target⌉, K_MAX): corpus-scaled but capped at the
+        # fixed SemDeDup cluster budget (r12 verdict item #1)
+        "ckk AS (SELECT LEAST(GREATEST(1, CAST(CEIL(COUNT(*) / "
+        f"{CLUSTER_TARGET_ROWS}.0) AS BIGINT)), {CLUSTER_K_MAX}) AS k "
+        "FROM embeddings)",
+        # seeds = first k vectors in vec_id order, cid = rank − 1
+        # (id-space-agnostic, mirrors operators/ivf._seed_cents)
         """cc0 AS MATERIALIZED (
-  SELECT CAST(vec_id AS INT) AS cid, CAST(dim AS INT) AS dim,
+  SELECT CAST(rn - 1 AS INT) AS cid, CAST(dim AS INT) AS dim,
          ROUND(CAST(val AS DOUBLE), 6) AS component
-  FROM (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+  FROM (SELECT rn, unnest(range(len(embedding))) AS dim,
                unnest(embedding) AS val
-        FROM embeddings WHERE vec_id < (SELECT k FROM ckk)))""",
+        FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding
+              FROM embeddings) ranked
+        WHERE rn <= (SELECT k FROM ckk)))""",
     ]
     for i in range(1, CLUSTER_CAP_ITERS + 1):
         update, _ = _iter_body(f"cc{i - 1}")

@@ -106,12 +106,17 @@ GROUP BY cid, dim
     return update, wide
 
 
+# seeds = first k vectors in vec_id order, cid = rank − 1: the
+# id-space-agnostic rule (mirrors operators/ivf._seed_cents — identical
+# to the old vec_id < k on the fixtures' dense 0-based ids)
 _C0_SQL = f"""
-SELECT CAST(vec_id AS INT) AS cid, CAST(dim AS INT) AS dim,
+SELECT CAST(rn - 1 AS INT) AS cid, CAST(dim AS INT) AS dim,
        ROUND(CAST(val AS DOUBLE), 6) AS component
-FROM (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+FROM (SELECT rn, unnest(range(len(embedding))) AS dim,
              unnest(embedding) AS val
-      FROM embeddings WHERE vec_id < {IVF_K})
+      FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding
+            FROM embeddings) ranked
+      WHERE rn <= {IVF_K})
 """
 
 _SHIFT_EXPR = (

@@ -8,9 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def test_cluster_k_scales_with_corpus():
+def test_cluster_k_scales_with_corpus_up_to_the_fixed_budget():
     from lakehouse_v3_spark.pipelines.curation import (
-        CLUSTER_TARGET_ROWS, cluster_k,
+        CLUSTER_K_MAX, CLUSTER_TARGET_ROWS, cluster_k,
     )
 
     assert CLUSTER_TARGET_ROWS == 4096
@@ -19,8 +19,17 @@ def test_cluster_k_scales_with_corpus():
     assert cluster_k(20_000) == 5       # sf1
     assert cluster_k(200_000) == 49     # sf10 — parallelism 49 > 10 labels
     assert cluster_k(200_000) > 10
-    # at 100 TB-ish vector counts the block count keeps growing
-    assert cluster_k(2_000_000_000) == 488_282
+    # r12 verdict item #1: k is CAPPED at the fixed SemDeDup cluster
+    # budget — the trainer's driver state and per-iteration collect
+    # are bounded no matter the corpus size
+    assert CLUSTER_K_MAX == 65_536
+    assert cluster_k(CLUSTER_TARGET_ROWS * CLUSTER_K_MAX) == CLUSTER_K_MAX
+    assert cluster_k(2_000_000_000) == CLUSTER_K_MAX
+    assert cluster_k(10**10) == CLUSTER_K_MAX
+    # just below the knee, the corpus-scaled rule still applies
+    assert cluster_k(CLUSTER_TARGET_ROWS * (CLUSTER_K_MAX - 1)) == (
+        CLUSTER_K_MAX - 1
+    )
 
 
 def test_lloyd_capped_converges_early_when_it_can(spark):
