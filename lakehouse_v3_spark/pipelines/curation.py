@@ -301,6 +301,17 @@ CLUSTER_TARGET_ROWS = 4096
 # over: oversized blocks split into bounded-memory chunk tasks, so
 # pair-stage parallelism and per-task memory stay healthy either way.
 CLUSTER_K_MAX = 65_536
+# Model-staleness rule (r12 verdict item #2 / ADVICE #2): the DAG's
+# persisted cluster model is retrained — through the existing REBUILD
+# path, so the monotone-drop-set proofs stay intact — once the feature
+# table has grown to ≥ this factor times the model's training-time row
+# count (recorded as the centroid table's `trained_n` property). The
+# doubling rule amortizes: over any corpus growth G the model retrains
+# only ⌈log₂ G⌉ times, and between retrains mean block size drifts at
+# most R× past CLUSTER_TARGET_ROWS (the rectangle-task GEMM cap bounds
+# memory meanwhile). The reference's analogue is config reload
+# (validity_config.py:39-48).
+RETRAIN_GROWTH_FACTOR = 2
 
 
 def cluster_k(n_vectors: int) -> int:
@@ -529,7 +540,16 @@ class FunnelStages(dict):
     zero-arg thunks and materialized on first ``[...]`` access (r11
     ADVICE #2 — every run_funnel caller used to execute the whole
     funnel through pack even when only ``gold``/counts were consumed,
-    roughly doubling each catalog query's cost)."""
+    roughly doubling each catalog query's cost).
+
+    EVERY dict view is consistent with the extended key set (r12
+    ADVICE #3): get/items/values/iteration/len see lazy keys too —
+    ``items()``/``values()`` force pending thunks (they hand out the
+    VALUES, so laziness is spent either way), while
+    ``keys()``/``in``/``len``/iteration stay thunk-free. The one
+    remaining intentional gap: ``dict(fs)``/``copy.copy`` go through
+    C-level fast paths that bypass these overrides, so snapshot with
+    ``dict(fs.items())`` if lazy entries must be included."""
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
@@ -548,6 +568,21 @@ class FunnelStages(dict):
 
     def keys(self):
         return list(super().keys()) + list(self._thunks)
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    def __len__(self) -> int:
+        return super().__len__() + len(self._thunks)
+
+    def get(self, key, default=None):
+        return self[key] if key in self else default
+
+    def items(self):
+        return [(k, self[k]) for k in self.keys()]
+
+    def values(self):
+        return [self[k] for k in self.keys()]
 
 
 def run_funnel(
@@ -934,8 +969,19 @@ def curation_dag(
         # log hasn't recorded them). Ingesting new files while a delta
         # is unconsumed would OVERWRITE it and lose the crashed
         # batch's silver contributions permanently.
+        #
+        # In INTERVAL-SCOPED mode the early return is wrong the other
+        # way (r12 ADVICE medium): ScheduledDag advances the pointer
+        # past a failed run, so this logical date never re-runs — a
+        # resume that skips its own interval's listing would leave
+        # that interval's files unread FOREVER (every later run prunes
+        # to its own date= partition). Instead the new interval's
+        # batch FOLDS into the unconsumed delta (union + tick bump):
+        # stage bodies are idempotent via natural-key anti-joins, so
+        # re-consuming the pending rows converges, and neither the
+        # crashed batch nor this interval is lost.
         pending = _unconsumed()
-        if pending:
+        if pending and not interval_scoped:
             return {"new_files": 0, "mode": "resume", "pending": pending}
         log = FileLogCheckpoint(tm, "curation_docs")
         if interval_scoped:
@@ -947,6 +993,10 @@ def curation_dag(
                 landing_dir, start, end, suffix=".parquet"
             )
             if not pruned:
+                if pending:
+                    # nothing landed for this interval; pure resume
+                    return {"new_files": 0, "mode": "resume",
+                            "pending": pending}
                 raise Skip(f"no landing files for interval [{start}, {end})")
             listing = spark.createDataFrame(
                 [(p,) for p in pruned], "path STRING"
@@ -956,6 +1006,10 @@ def curation_dag(
         new = log.new_files(listing).select("path")
         paths = sorted(r.path for r in new.collect())  # file NAMES, not data
         if not paths:
+            if pending:
+                # interval files all file-logged already (a replayed
+                # logical date): nothing to fold, pure resume
+                return {"new_files": 0, "mode": "resume", "pending": pending}
             raise Skip("no new landing files under " + landing_dir)
         raw = spark.read.parquet(*paths)
         stats = raw.agg(
@@ -967,6 +1021,32 @@ def curation_dag(
         if tm.exists("curation.state_watermark"):
             wm = tm.read("curation.state_watermark").collect()[0]["max_doc_id"]
         mode = "incremental" if wm is None or stats["lo"] > wm else "rebuild"
+        rebuild_reason = None if mode == "incremental" else "watermark_violation"
+        # cluster-model staleness (r12 verdict item #2): once the
+        # feature table outgrows the persisted model's training-time n
+        # by RETRAIN_GROWTH_FACTOR, retrain THROUGH the rebuild path —
+        # a fresh model changes every doc's cluster id and centroid
+        # cosine, so incremental emb state cannot be patched; the
+        # rebuild drops it and the replay trains on today's corpus
+        # (recording a new trained_n). Cost: one full replay per
+        # doubling — ⌈log₂ G⌉ rebuilds over any growth G.
+        if (
+            mode == "incremental"
+            and embeddings is not None
+            and tm.exists("curation.cluster_centroids")
+        ):
+            trained_n = int(
+                tm.properties("curation.cluster_centroids").get(
+                    "trained_n", "0"
+                )
+                or 0
+            )
+            if (
+                trained_n
+                and embeddings.count() >= RETRAIN_GROWTH_FACTOR * trained_n
+            ):
+                mode = "rebuild"
+                rebuild_reason = "cluster_model_stale"
         # guarded append: only doc_ids not already in bronze land (a
         # crashed attempt may have appended this batch before dying; a
         # non-monotone tick may re-deliver old ids). The doc_id >= lo
@@ -1001,6 +1081,16 @@ def curation_dag(
                 tm.read("curation.bronze_docs").dropDuplicates(["doc_id"]),
                 _DELTA,
             )
+        elif pending:
+            # fold (r12 ADVICE medium, interval-scoped only): the
+            # crashed run's unconsumed delta PLUS this interval's new
+            # batch become one tick. localCheckpoint materializes the
+            # union before the overwrite swaps the delta dir out from
+            # under its own scan.
+            mode = "fold"
+            tm.overwrite(
+                tm.read(_DELTA).unionByName(raw).localCheckpoint(), _DELTA
+            )
         else:
             tm.overwrite(raw, _DELTA)
         tm.set_properties(
@@ -1016,6 +1106,8 @@ def curation_dag(
         log.record(new)
         out = {"new_files": len(paths), "mode": mode,
                "batch_rows": int(stats["n"])}
+        if mode == "rebuild":
+            out["rebuild_reason"] = rebuild_reason
         if interval_scoped:
             out["files_read"] = paths
         return out
@@ -1154,9 +1246,17 @@ def curation_dag(
         # parallelism is ~n/CLUSTER_TARGET_ROWS blocks.
         nd_delta = tm.read("curation.neardup_delta")
         if not tm.exists("curation.cluster_centroids"):
+            # trained_n on the sidecar is what the ingest staleness
+            # check compares the growing feature table against
+            # (RETRAIN_GROWTH_FACTOR); a retrain arrives here again
+            # via the rebuild path having dropped the centroid table
+            n_feat = embeddings.count()
             tm.overwrite(
                 centroid_frame(spark, emb_cluster_model(embeddings)),
                 "curation.cluster_centroids",
+            )
+            tm.set_properties(
+                "curation.cluster_centroids", {"trained_n": str(int(n_feat))}
             )
         cdf = tm.read("curation.cluster_centroids")
         cents = centroid_list(cdf)

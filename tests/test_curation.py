@@ -648,3 +648,76 @@ def test_crash_then_new_files_does_not_lose_the_pending_batch(spark):
     ing2 = rep2.tasks["ingest"].result
     assert ing2["mode"] == "incremental" and ing2["new_files"] == 1
     _funnel_tables_equal_full(spark, tm)
+
+
+# ---------------------------------------------------------------------------
+# r12 verdict item #2: cluster-model retrain-on-growth policy
+# ---------------------------------------------------------------------------
+
+def test_cluster_model_retrains_when_feature_table_outgrows(spark):
+    """The persisted SemDeDup cluster model retrains through the
+    REBUILD path once the feature table reaches RETRAIN_GROWTH_FACTOR
+    x its training-time row count (`trained_n` sidecar property);
+    below the factor the model stays frozen (the documented lag), and
+    the retrain tick re-converges the DAG to run_funnel on the grown
+    feature table."""
+    landing = tempfile.mkdtemp(prefix="cur_retrain_land_")
+    tm = TableManager(
+        spark, tempfile.mkdtemp(prefix="cur_retrain_wh_"), backend="parquet"
+    )
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    hi = src.agg(F.max("doc_id")).collect()[0][0]
+    vmax = emb.agg(F.max("vec_id")).collect()[0][0]
+    emb1 = emb.filter(F.col("vec_id") <= vmax // 3)
+    emb2 = emb.filter(F.col("vec_id") <= vmax // 2)  # < 2x emb1
+    n1 = emb1.count()
+    assert emb2.count() < 2 * n1 <= emb.count()
+
+    # tick 1: trains the model, records trained_n
+    _land(spark, landing, "rt1", src.filter(F.col("doc_id") <= hi // 3))
+    rep1 = C.curation_dag(spark, landing, tm, retries=0, embeddings=emb1).run()
+    assert rep1.ok, rep1.states()
+    props = tm.properties("curation.cluster_centroids")
+    assert props.get("trained_n") == str(n1)
+
+    # tick 2: feature table grew but below the factor — stays frozen
+    _land(
+        spark, landing, "rt2",
+        src.filter((F.col("doc_id") > hi // 3) & (F.col("doc_id") <= 2 * hi // 3)),
+    )
+    rep2 = C.curation_dag(spark, landing, tm, retries=0, embeddings=emb2).run()
+    assert rep2.ok, rep2.states()
+    assert rep2.tasks["ingest"].result["mode"] == "incremental"
+    assert tm.properties("curation.cluster_centroids").get("trained_n") == str(n1)
+
+    # tick 3: feature table >= 2x trained_n — retrain via rebuild
+    _land(spark, landing, "rt3", src.filter(F.col("doc_id") > 2 * hi // 3))
+    rep3 = C.curation_dag(spark, landing, tm, retries=0, embeddings=emb).run()
+    assert rep3.ok, rep3.states()
+    ing3 = rep3.tasks["ingest"].result
+    assert ing3["mode"] == "rebuild"
+    assert ing3["rebuild_reason"] == "cluster_model_stale"
+    assert tm.properties("curation.cluster_centroids").get("trained_n") == str(
+        emb.count()
+    )
+
+    # the refreshed run == full recompute with the grown feature table
+    f = C.run_funnel(
+        tm.read("curation.bronze_docs").dropDuplicates(["doc_id"]),
+        materialize_pairs=True,
+        embeddings=emb,
+    )
+    assert _ids(tm, "curation.silver_clean") == {
+        r.doc_id for r in f["decontaminate"].collect()
+    }
+    assert _ids(tm, "curation.gold_corpus") == {
+        r.doc_id for r in f["leakage"].collect()
+    }
+    got_pairs = {
+        (r.id_a, r.id_b) for r in tm.read("curation.emb_pairs").collect()
+    }
+    want_pairs = {(r.id_a, r.id_b) for r in f["emb_pairs"].collect()}
+    assert got_pairs == want_pairs

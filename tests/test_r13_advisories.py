@@ -206,3 +206,36 @@ def test_probe_cells_expr_ships_centroids_via_broadcast(spark, monkeypatch):
     ).collect()
     assert cents in seen
     assert list(rows[0]["cells"]) == [0, 2]
+
+
+# ---------------------------------------------------------------------------
+# r12 ADVICE #3: FunnelStages dict-view consistency for lazy entries
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_stages_views_see_lazy_keys():
+    from lakehouse_v3_spark.pipelines.curation import FunnelStages
+
+    forced = []
+    fs = FunnelStages(a=1, b=2)
+    fs.put_lazy("packed", lambda: forced.append(1) or 99)
+
+    # membership / keys / len / iteration: lazy key visible, NOT forced
+    assert "packed" in fs
+    assert set(fs.keys()) == {"a", "b", "packed"}
+    assert len(fs) == 3
+    assert set(iter(fs)) == {"a", "b", "packed"}
+    assert not forced
+
+    # get() resolves through the thunk (the r12 trap: returned None)
+    assert fs.get("packed") == 99
+    assert forced == [1]
+    assert fs.get("missing", "d") == "d"
+
+    fs2 = FunnelStages(a=1)
+    fs2.put_lazy("packed", lambda: 7)
+    # items()/values() include the lazy entry (forcing it)
+    assert dict(fs2.items()) == {"a": 1, "packed": 7}
+    assert sorted(fs2.values()) == [1, 7]
+    # a forced thunk is spent: subsequent views are plain dict entries
+    assert len(fs2) == 2 and set(fs2.keys()) == {"a", "packed"}

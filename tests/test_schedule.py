@@ -672,3 +672,99 @@ def test_scheduled_curation_backfill_matches_batch_run(spark):
     rep2 = out2[0][1]
     assert rep2.states()["ingest"] == "skipped"
     assert set(rep2.states().values()) == {"skipped"}
+
+
+def test_scheduled_crash_does_not_lose_the_next_interval(spark):
+    """r12 ADVICE (medium): interval N's run fails after ingest; the
+    pointer still advances (depends_on_past=False). Interval N+1's run
+    used to take the resume early-return WITHOUT reading its own date=
+    partition — and since no logical date ever re-runs, N+1's files
+    were never ingested. The fold path must ingest them into the
+    pending delta so the backfill still converges to the batch run."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_v3_spark.pipelines import curation as C
+    from lakehouse_v3_spark.pipelines.dags import scheduled_curation_dag
+    from lakehouse_v3_spark.tables import TableManager
+
+    src = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    hi = src.agg(F.max("doc_id")).collect()[0][0]
+    days = [
+        ("2024-06-01", src.filter(F.col("doc_id") <= hi // 2)),
+        ("2024-06-02", src.filter(F.col("doc_id") > hi // 2)),
+    ]
+    landing = tempfile.mkdtemp(prefix="cur_fold_land_")
+    flat = tempfile.mkdtemp(prefix="cur_fold_flat_")
+    for day, df in days:
+        ddir = os.path.join(landing, f"date={day}")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ddir, "docs")
+        )
+        part = next(
+            fn for fn in os.listdir(os.path.join(ddir, "docs"))
+            if fn.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(ddir, "docs", part), os.path.join(ddir, "docs.parquet")
+        )
+        import shutil
+
+        shutil.rmtree(os.path.join(ddir, "docs"))
+        shutil.copy(
+            os.path.join(ddir, "docs.parquet"),
+            os.path.join(flat, f"{day}.parquet"),
+        )
+
+    # batch reference over BOTH days
+    tm_b = TableManager(
+        spark, tempfile.mkdtemp(prefix="cur_fold_wh_b_"), backend="parquet"
+    )
+    assert C.curation_dag(spark, flat, tm_b, retries=0).run().ok
+
+    tm_s = TableManager(
+        spark, tempfile.mkdtemp(prefix="cur_fold_wh_s_"), backend="parquet"
+    )
+    sd = ScheduledDag(
+        scheduled_curation_dag(spark, landing, tm_s),
+        Schedule(start=D(2024, 6, 1), interval=timedelta(days=1)),
+        state_dir=tempfile.mkdtemp(prefix="cur_fold_sched_"),
+    )
+    # interval 1 closes; its run dies at quality_filter AFTER ingest
+    out1 = sd.tick(D(2024, 6, 2, 6, 0), {"_fail_tasks": {"quality_filter"}})
+    assert [lg for lg, _ in out1] == [D(2024, 6, 1)]
+    rep1 = out1[0][1]
+    assert rep1.states()["ingest"] == "success"
+    assert rep1.states()["quality_filter"] == "failed"
+    assert not rep1.ok
+
+    # interval 2 closes: the run must READ ITS OWN interval's file and
+    # fold it into the crashed batch's unconsumed delta
+    out2 = sd.tick(D(2024, 6, 3, 6, 0))
+    assert [lg for lg, _ in out2] == [D(2024, 6, 2)]
+    rep2 = out2[0][1]
+    assert rep2.ok, rep2.states()
+    ing = rep2.tasks["ingest"].result
+    assert ing["mode"] == "fold"
+    assert ing["new_files"] == 1
+    assert ing["files_read"] == [
+        os.path.join(landing, "date=2024-06-02", "docs.parquet")
+    ]
+
+    def rows(tm, t):
+        df = tm.read(t)
+        return sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+
+    for t in (
+        "curation.silver_quality", "curation.silver_exact",
+        "curation.silver_neardup", "curation.silver_clean",
+        "curation.gold_split", "curation.gold_corpus",
+        "curation.gold_packed", "curation.gold_summary",
+        "curation.gold_funnel", "curation.near_dup_pairs",
+    ):
+        assert rows(tm_s, t) == rows(tm_b, t), t
+
+    # steady state: a later interval with no files resumes nothing
+    out3 = sd.tick(D(2024, 6, 4, 6, 0))
+    assert set(out3[0][1].states().values()) == {"skipped"}
