@@ -1452,20 +1452,13 @@ def curation_dag(
         deterministic overwrite (idempotent under crash-retry — a
         replay just compacts again or finds the count low). Compaction
         never changes table CONTENTS, so incremental ≡ full-recompute
-        holds across it (pinned by test_curation)."""
-        compacted = {}
-        for t in _MAINTAINED_TABLES:
-            if not tm.exists(t):
-                continue
-            n_files = sum(1 for _ in tm._data_files(tm.path(t)))
-            if n_files > MAINTAIN_FILE_BOUND:
-                compacted[t] = {"before": n_files, "after": tm.compact(t)}
-                tm.vacuum(t)
-        if not compacted:
-            raise Skip(
-                f"all state tables within {MAINTAIN_FILE_BOUND} data files"
-            )
-        return {"compacted": compacted}
+        holds across it (pinned by test_curation). The body is the
+        shared :func:`~.maintenance.run_maintain` (r12 verdict item
+        #4 lifted it into a factory the domain + audit DAGs attach
+        too); the bound is read at CALL time so tests can patch it."""
+        from .maintenance import run_maintain
+
+        return run_maintain(tm, _MAINTAINED_TABLES, MAINTAIN_FILE_BOUND)
 
     def _staged(name: str, body):
         """Per-stage consumption wrapper (r11 ADVICE high): run iff the

@@ -41,6 +41,26 @@ from ..incremental import FileLogCheckpoint, list_files
 from ..orchestrate import Dag, Skip
 from ..tables import TableManager
 from . import uber
+from .maintenance import maintain_task
+
+# append-only bronze grows one file-set per run (the reference VACUUMs
+# this zone itself, uber/drop_dup.py:96-101); the derived layers are
+# atomic-swap overwrites, listed so maintain also sweeps their stray
+# temp dirs
+_UBER_MAINTAINED = (
+    "uber.bronze1",
+    "uber.bronze2",
+    "uber.silver",
+)
+
+_AUDIT_MAINTAINED = (
+    "audit.config_completeness",
+    "audit.config_validity",
+    "audit.dim_completeness",
+    "audit.dim_validity",
+    "audit.fact_completeness",
+    "audit.fact_validity",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -102,6 +122,11 @@ def uber_dag(
     dag.task("silver_to_gold", silver_to_gold,
              upstream=("bronze2_to_silver",), retries=retries,
              retry_delay=retry_delay)
+    # maintenance rides every run (none_failed: a no-new-files Skip
+    # upstream must not cascade) and self-skips under the file bound
+    dag.task("maintain", maintain_task(tm, _UBER_MAINTAINED),
+             upstream=("silver_to_gold",), retries=retries,
+             retry_delay=retry_delay, trigger_rule="none_failed")
     return dag
 
 
@@ -267,6 +292,11 @@ def scheduled_uber_dag(
     dag.task("silver_to_gold", silver_to_gold,
              upstream=("bronze2_to_silver",), retries=retries,
              retry_delay=retry_delay)
+    # same maintenance discipline as the unscheduled DAG: a backfill
+    # of N intervals appends N file-sets to bronze1; maintain bounds it
+    dag.task("maintain", maintain_task(tm, _UBER_MAINTAINED),
+             upstream=("silver_to_gold",), retries=retries,
+             retry_delay=retry_delay, trigger_rule="none_failed")
     return dag
 
 
@@ -352,6 +382,13 @@ def audit_dag(
     dag.task("005_send_alert_hourly", send_alert_hourly,
              upstream=("004_fact_completeness", "004_fact_validity"),
              retries=retries)
+    # result tables are rewritten per run; maintain sweeps their stray
+    # temp dirs and bounds any backend that accumulates (none_failed:
+    # an alert-less Skip in 005 is independent — maintain keys on the
+    # 004 facts only)
+    dag.task("maintain", maintain_task(tm, _AUDIT_MAINTAINED),
+             upstream=("004_fact_completeness", "004_fact_validity"),
+             retries=retries, trigger_rule="none_failed")
     return dag
 
 

@@ -206,7 +206,10 @@ def test_uber_dag_end_to_end_and_idempotent_rerun(spark):
     dag = uber_dag(spark, raw, tm, retries=0)
     rep = dag.run()
     assert rep.ok, rep.states()
-    assert rep.states() == {
+    states = rep.states()
+    # maintenance rides every run and self-skips under the file bound
+    assert states.pop("maintain") == "skipped"
+    assert states == {
         "ingest": "success",
         "csv_to_delta": "success",
         "bronze2_to_silver": "success",
@@ -225,7 +228,9 @@ def test_uber_dag_end_to_end_and_idempotent_rerun(spark):
     # every table byte-identical in row count and gold values
     rep2 = uber_dag(spark, raw, tm, retries=0).run()
     assert rep2.ok
-    assert rep2.states() == {
+    states2 = rep2.states()
+    assert states2.pop("maintain") == "skipped"
+    assert states2 == {
         "ingest": "skipped",
         "csv_to_delta": "upstream_skipped",
         "bronze2_to_silver": "upstream_skipped",
@@ -282,9 +287,13 @@ def test_audit_dag_fan_out_fan_in(spark):
     assert set(rep.states()) == {
         "001_load_config", "002_completeness", "002_validity",
         "004_fact_completeness", "004_fact_validity",
-        "005_send_alert_hourly",
+        "005_send_alert_hourly", "maintain",
     }
-    assert all(s == "success" for s in rep.states().values())
+    assert all(
+        s == "success"
+        for name, s in rep.states().items()
+        if name != "maintain"  # self-skips within the file bound
+    )
     # both rule families contributed violations to the one alert
     assert len(sent) == 1
     assert "3 Violation(s)" in sent[0].subject
