@@ -74,7 +74,20 @@ def main() -> None:
         "(r11 verdict item #6: the rebuild escape hatch value-gated at "
         "scale, not just unit scale)",
     )
+    ap.add_argument(
+        "--retrain",
+        action="store_true",
+        help="(implies --embed) grow the embeddings FEATURE table "
+        "mid-run: early ticks see a one-third slice, later ticks the "
+        "full table (≥ 2x the trained n) — the r12 verdict item #2 "
+        "staleness rule must fire exactly once (ingest mode='rebuild', "
+        "rebuild_reason='cluster_model_stale'), the model must retrain "
+        "with the grown trained_n, and the final tables must equal "
+        "run_funnel over the FULL feature table",
+    )
     args = ap.parse_args()
+    if args.retrain:
+        args.embed = True
 
     from pyspark.sql import functions as F
 
@@ -97,6 +110,16 @@ def main() -> None:
     landing = tempfile.mkdtemp(prefix="dag_gate_land_")
     wh = tempfile.mkdtemp(prefix="dag_gate_wh_")
     tm = TableManager(spark, wh, backend="parquet")
+
+    emb_small = None
+    switch_tick = None
+    retrain_tick = None
+    if args.retrain:
+        if args.ticks < 2:
+            raise SystemExit("--retrain needs --ticks >= 2")
+        vmax = emb.agg(F.max("vec_id")).collect()[0][0]
+        emb_small = emb.filter(F.col("vec_id") <= vmax // 3)
+        switch_tick = (args.ticks + 1) // 2  # grow at the midpoint
 
     t_dag0 = time.monotonic()
     n_pairs_expected = 0
@@ -124,11 +147,25 @@ def main() -> None:
             n_pairs_expected = args.plant_near_dups
             sl = sl.unionByName(mutated)
         sl.write.mode("overwrite").parquet(os.path.join(landing, f"tick{i}"))
+        emb_i = emb
+        if args.retrain and i < switch_tick:
+            emb_i = emb_small
         rep = C.curation_dag(
-            spark, landing, tm, retries=0, embeddings=emb
+            spark, landing, tm, retries=0, embeddings=emb_i
         ).run()
         assert rep.ok, rep.states()
-        assert rep.tasks["ingest"].result["mode"] == "incremental"
+        ing = rep.tasks["ingest"].result
+        if args.retrain and i == switch_tick:
+            assert ing["mode"] == "rebuild", ing
+            assert ing.get("rebuild_reason") == "cluster_model_stale", ing
+            retrain_tick = i
+            trained_n = tm.properties("curation.cluster_centroids").get(
+                "trained_n"
+            )
+            n_full = emb.count()
+            assert trained_n == str(n_full), (trained_n, n_full)
+        else:
+            assert ing["mode"] == "incremental", (i, ing)
     if args.violate:
         # re-deliver a low-id slice verbatim: the watermark contract
         # breaks and ingest must take the loud rebuild path
@@ -193,6 +230,8 @@ def main() -> None:
                     "ticks": args.ticks,
                     "embed": bool(args.embed),
                     "violate": bool(args.violate),
+                    "retrain": bool(args.retrain),
+                    "retrain_tick": retrain_tick,
                     "planted_near_dups": args.plant_near_dups,
                     "n_near_dup_pairs": n_pairs,
                     "dag_wall_sec": round(t_dag, 1),
