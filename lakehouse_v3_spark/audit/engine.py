@@ -105,6 +105,17 @@ def _evaluate_single_pass(df: DataFrame, preds: dict[int, object], pk_cols: dict
                 F.array().cast("array<string>"),
             ).alias(f"_pks_{rid}")
         )
+    # guarded fan-out (r13, guide §2): the whole rule evaluation — N
+    # predicates + N sorted capped pk collect_lists — is fused into the
+    # scan stage, so a one-split file layout runs it on ONE core. Hash
+    # on the first rule's pk (high-cardinality); the two-level top-K
+    # proof above already holds for ANY partitioning, so values are
+    # unchanged. A production layout (≥ parallelism input files) skips
+    # the exchange entirely.
+    from ..partitioning import fan_out_scan
+
+    first_pk = next(iter(pk_cols.values()))
+    df = fan_out_scan(df, *first_pk)
     per_part = df.groupBy(F.spark_partition_id().alias("_pid")).agg(*part_aggs)
     return per_part.agg(*merge_aggs).collect()[0]
 

@@ -440,8 +440,16 @@ def _near_dup_pairs_gemm(
                     out_s.append(scores[r, c])
         return _emit_pairs(out_a, out_b, out_s)
 
+    from ..partitioning import pin_grouped_python_parallelism
+
+    # pin the task exchange at full parallelism: AQE's byte-based
+    # coalescing sizes partitions for JVM work and would serialize the
+    # numpy GEMM tasks through 1-2 Python workers on a small corpus
+    # (r13, guide §4); same single exchange, values unchanged
     return (
-        _chunked_pair_tasks(src, block_row_cap)
+        pin_grouped_python_parallelism(
+            _chunked_pair_tasks(src, block_row_cap), "_block", "_ci", "_cj"
+        )
         .groupBy("_block", "_ci", "_cj")
         .applyInPandas(task_pairs, schema=_pair_out_schema(df, id_col))
     )
@@ -576,8 +584,13 @@ def near_dup_pairs_probe(
                     out_s.append(scores[r, c])
         return _emit_pairs(out_a, out_b, out_s)
 
+    from ..partitioning import pin_grouped_python_parallelism
+
+    # same full-parallelism pin as the pair kernel above (r13)
     return (
-        _chunked_probe_tasks(src, block_row_cap)
+        pin_grouped_python_parallelism(
+            _chunked_probe_tasks(src, block_row_cap), "_block", "_cp", "_cm"
+        )
         .groupBy("_block", "_cp", "_cm")
         .applyInPandas(task_pairs, schema=_pair_out_schema(batch, id_col))
     )

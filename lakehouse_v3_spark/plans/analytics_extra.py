@@ -266,8 +266,13 @@ def unpivot_metrics_long(spark, sf_dir):
     an Expand node (one pass, no shuffle beyond the upstream agg); the
     oracle is the UNION ALL definition of the same melt."""
     from . import dsum
+    from ..partitioning import fan_out_scan
 
-    l = load(spark, sf_dir, "lineitem")
+    # the decimal partial agg is the cost (q1's profile); guarded
+    # fan-out when the file layout caps scan parallelism (r13, guide §2).
+    # Keyed on a column the agg already reads (high-cardinality price)
+    # so the fan-out does not widen ReadSchema (guide §2.3).
+    l = fan_out_scan(load(spark, sf_dir, "lineitem"), "l_extendedprice")
     agg = l.groupBy("l_returnflag", "l_linestatus").agg(
         dsum(F.col("l_quantity"), "sum_qty"),
         dsum(F.col("l_extendedprice"), "sum_price"),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 from ..io_utils import load
+from ..partitioning import fan_out_scan
 from ..operators.dedup import (
     BAND_SIZE,
     MINHASH_PRIME,
@@ -153,7 +154,13 @@ def dedup_minhash_lsh(spark, sf_dir):
       connected-components dedup consumes) at Σ(|bucket|-1) linear
       cost."""
     docs = load(spark, sf_dir, "documents")
-    d = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # pin the exact-dedup exchange at full parallelism (fan_out_scan on
+    # the groupBy key → the groupBy REUSES the repartition, one exchange
+    # either way): the shingle+md5 stage below it otherwise inherits
+    # AQE's byte-coalesced width — 1-2 tasks on a small corpus (r13)
+    d = fan_out_scan(docs, "text").groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    )
     # cache: the shingle explosion feeds both the signature branch and
     # the jaccard-verify branch of the DAG — without it the md5 hashing
     # of every (doc, shingle) runs twice
@@ -225,7 +232,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ~25-byte strings (the same trick dup_ngram_doc_fraction uses). Both
     engines hash the identical shingle string, so intersection counts
     agree bit-exactly even in the (≈2^-60-per-pair) collision case."""
-    d = load(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    # the shingle+md5 explode is scan-side; guarded fan-out (r13)
+    d = fan_out_scan(
+        load(spark, sf_dir, "documents").filter(F.col("lang") == "de"),
+        "doc_id",
+    )
     sh = word_shingles(tokens(F.col("text")), k=3)
     sh_h = F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
@@ -277,7 +288,9 @@ def dedup_simhash(spark, sf_dir):
     hamming-≤-k candidate pairing (pigeonhole: distance ≤1 ⇒ one band
     equal). Bit expressions are generated from one loop on both engines
     (operators/dedup.py simhash16)."""
-    d = load(spark, sf_dir, "documents")
+    # pure scan-side map (16 md5-bit folds per token) — fan out so a
+    # one-split layout doesn't run the whole corpus on one core (r13)
+    d = fan_out_scan(load(spark, sf_dir, "documents"), "doc_id")
     sig = d.select("doc_id", simhash16(tokens(F.col("text"))).alias("simhash"))
     return sig.select(
         "doc_id",
@@ -498,6 +511,10 @@ def setsim_prefix_filter_join_block(spark, sf_dir):
 def _setsim_join(d):
     from pyspark.sql import Window
 
+    # the scan-side shingle+md5 explode re-runs per branch (sets is
+    # deliberately NOT checkpointed, see below) — fan out once so every
+    # branch's explode runs at full width on a one-split layout (r13)
+    d = fan_out_scan(d, "doc_id")
     sh = word_shingles(tokens(F.col("text")), k=5)
     sh_h = F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
@@ -742,7 +759,10 @@ def dedup_minhash_incremental(spark, sf_dir):
         index_sets = tm.read("lsh_shingles")
 
     batch_sets = doc_shingle_sets(
-        d.filter(new_filter).select("doc_id", "text"), "doc_id",
+        fan_out_scan(  # scan-side shingle+md5, one split locally (r13)
+            d.filter(new_filter).select("doc_id", "text"), "doc_id"
+        ),
+        "doc_id",
         word_shingles(tokens(F.col("text")), k=2),
     ).localCheckpoint()
     batch_bands = lsh_bands(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..io_utils import load
 from ..operators.dedup import md5_int, word_shingles
+from ..partitioning import fan_out_scan as _fan_out_scan
 from . import register
 
 # identical token arrays on both engines (same as text/dedup modules)
@@ -66,6 +67,9 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     shuffled, and output is one row per training doc with the shared
     count (keep/drop decision plus an audit trail)."""
     d = load(spark, sf_dir, "documents")
+    # NO scan fan-out here (r13, measured): interleaved A/B at sf0.1
+    # put fan at 1.18 s vs off 1.07 s min — the broadcast build + probe
+    # join dominate; the 8-gram explode is too light to pay an exchange
     docs = d.select("doc_id", _spark_toks(F.col("text")).alias("toks"))
     ngrams = docs.select(
         "doc_id", F.explode(word_shingles(F.col("toks"), 8)).alias("ng")
@@ -437,7 +441,13 @@ def dup_ngram_doc_fraction(spark, sf_dir):
     threshold filter consumes directly. Hash collisions are identical on
     both engines (same md5 prefix), so parity is exact."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _spark_toks(F.col("text")).alias("t"))
+    # tokenize + shingle + md5 explode is scan-side: guarded fan-out so
+    # a one-split layout doesn't run the whole corpus's hashing on one
+    # core (r13, guide §2; the distinct's exchange is REUSED by both of
+    # sh's consumers, so this adds no extra shuffle of the postings)
+    toks = _fan_out_scan(d, "doc_id").select(
+        "doc_id", _spark_toks(F.col("text")).alias("t")
+    )
     sh = (
         toks.select(
             "doc_id",
@@ -608,6 +618,9 @@ def bpe_merge_pair_counts(spark, sf_dir):
     deterministic total order, integer counts (hash-exact).
     """
     d = load(spark, sf_dir, "documents")
+    # NO scan fan-out here (r13, measured on the sibling bpe trainers):
+    # the corpus collapses to the word-frequency vocab immediately, so
+    # per-row explode work is too light to pay for an extra exchange.
     words = d.select(F.explode(_spark_toks(F.col("text"))).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     # single-char words have no pairs; Spark's sequence(1, 0) DESCENDS
@@ -708,6 +721,11 @@ def bpe_train_merges(spark, sf_dir):
     The merge fold is a JVM aggregate over a string accumulator — no
     Python in any per-row path."""
     d = load(spark, sf_dir, "documents")
+    # NO scan fan-out here (r13, measured): the corpus collapses to the
+    # word-frequency vocab immediately, so per-row explode work is too
+    # light to pay for an extra exchange — interleaved A/B at sf0.1:
+    # fan 3.77 s vs off 3.72 s min (a wash; medians favored off). The
+    # loop cost is the per-round job count, not scan parallelism.
     words = d.select(F.explode(_spark_toks(F.col("text"))).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     prev = vocab.select(
@@ -844,9 +862,12 @@ def _span_removal_lazy(spark, sf_dir, occ=None):
     the query wraps this with persist(occ) + localCheckpoint; plan
     tests read it directly."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _spark_toks(F.col("text")).alias("t")).filter(
-        F.size("t") >= 1
-    )
+    # the doc-side branch re-tokenizes and reassembles the retained
+    # text (md5 over the filtered token sequence) scan-side — fan out
+    # so a one-split layout doesn't serialize it (r13, guide §2)
+    toks = _fan_out_scan(d, "doc_id").select(
+        "doc_id", _spark_toks(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 1)
     if occ is None:
         occ = _span_occurrences(toks)
     dup = (
@@ -931,6 +952,13 @@ def dedup_span_removal(spark, sf_dir):
     toks = d.select("doc_id", _spark_toks(F.col("text")).alias("t")).filter(
         F.size("t") >= 1
     )
+    # fan out BEFORE the persist: the tokenize + posexplode + md5 of
+    # every span runs in the scan stage, and the persisted occurrence
+    # table would otherwise pin the one-split layout's single partition
+    # for both downstream consumers (r13, guide §2; no-op on a
+    # production layout). The doc-side reassembly join in
+    # _span_removal_lazy fans out the same way.
+    toks = _fan_out_scan(toks, "doc_id")
     occ = _span_occurrences(toks).persist()
     try:
         out = _span_removal_lazy(spark, sf_dir, occ=occ)
@@ -1018,6 +1046,10 @@ def bpe_encode_corpus(spark, sf_dir):
     K-round loop O(K) as in bpe_train_merges; no Python in any per-row
     path."""
     d = load(spark, sf_dir, "documents")
+    # NO scan fan-out here (r13, measured): interleaved A/B at sf0.1
+    # put fan at 2.64 s vs off 2.33 s min — the encode join + per-doc
+    # rollup dominate and the extra exchange costs more than the
+    # parallel explode saves (same verdict as bpe_train_merges).
     wtok = d.select("doc_id", F.explode(_spark_toks(F.col("text"))).alias("w"))
     vocab = wtok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     prev = vocab.select(
@@ -1457,13 +1489,13 @@ def winnow_fingerprint_overlap(spark, sf_dir):
     # the md5-per-gram + window-min work runs in the SCAN projection,
     # so its parallelism would otherwise equal the file-split count —
     # one ~35 MB parquet file at sf1 = ONE core for the whole corpus
-    # (measured 225 s; 32-way: ~20 s). The round-robin repartition of
-    # the raw (doc_id, text) rows is a cheap shuffle that decouples
-    # CPU parallelism from file count; on a production lake the scan
-    # has natural splits and this exchange is ~free relative to the
-    # hashing it parallelizes.
+    # (measured 225 s; 32-way: ~20 s). r13: the keyless round-robin
+    # repartition became the guarded HASH fan-out — keyless repartition
+    # pays a local sort of its input for retry determinism
+    # (SPARK-23207), hash on doc_id doesn't, and the guard makes it a
+    # no-op on a production layout whose scan already has splits.
     toks = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        _fan_out_scan(d, "doc_id")
         .select("doc_id", _spark_toks(F.col("text")).alias("t"))
         .filter(F.size("t") >= WINNOW_K)
     )

@@ -239,9 +239,21 @@ def applyinpandas_group_median(spark, sf_dir):
             }
         )
 
+    from ..partitioning import pin_grouped_python_parallelism
+
     e = load(spark, sf_dir, "events")
-    return e.select("user_id", "value").groupBy("user_id").applyInPandas(
-        summarize, schema="user_id long, n_events long, median_value double"
+    # pin the grouping exchange at full parallelism: AQE's byte-based
+    # coalescing would funnel every group through 1-2 Python workers on
+    # a small input (r13, guide §4 — the Python stage is the cost, not
+    # the bytes); same single exchange, same values, wider tasks
+    return (
+        pin_grouped_python_parallelism(
+            e.select("user_id", "value"), "user_id"
+        )
+        .groupBy("user_id")
+        .applyInPandas(
+            summarize, schema="user_id long, n_events long, median_value double"
+        )
     )
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io_utils import load
+from ..partitioning import fan_out_scan
 from . import davg, dsum, register
 
 # ---------------------------------------------------------------------------
@@ -54,7 +55,11 @@ def flagship_monthly_kpi(spark, sf_dir):
     + post-agg ratio. Join shuffles on orderkey; at 100 TB both sides are
     large → sort-merge join on the natural key, AQE handles skew."""
     orders = load(spark, sf_dir, "orders")
-    lineitem = load(spark, sf_dir, "lineitem")
+    # fan out on the groupBy key: the per-order decimal partial agg is
+    # the measured cost and the hash repartition is REUSED by the
+    # groupBy below (one exchange either way, now at full parallelism;
+    # no-op on a production file layout) — r13, guide §2
+    lineitem = fan_out_scan(load(spark, sf_dir, "lineitem"), "l_orderkey")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     # Per-order partial aggregate FIRST: o_orderkey is unique in orders and
     # every group key (month, priority, status) is an order-level attribute,
@@ -131,9 +136,21 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: filter → groupBy(2) → 8 aggregates. The shipdate
     predicate is pushed to the parquet scan; partial aggregation happens
-    map-side before the 6-group shuffle — scan-bound at any scale."""
-    l = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-01 00:00:00"))
+    map-side before the 6-group shuffle. The decimal aggregation is the
+    measured cost (1.56 s vs 0.25 s with double sums at sf0.1 — exact
+    decimal summation is the oracle contract), so when the file layout
+    caps the scan at fewer tasks than the session's parallelism the
+    guarded fan-out spreads it (1.95 s → 0.73 s; a no-op on a
+    production layout — r13, guide §2). The fan-out key must be a
+    column the query already reads (l_extendedprice: high-cardinality)
+    — keying on l_orderkey would widen ReadSchema by a column shipped
+    only to be hashed (guide §2.3: shuffle fewer bytes; pinned by
+    test_q1_pushdown_and_pruning)."""
+    l = fan_out_scan(
+        load(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-01 00:00:00"))
+        ),
+        "l_extendedprice",
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
@@ -438,7 +455,13 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def agg_rollup_subtotals(spark, sf_dir):
     """Hierarchical subtotals via ROLLUP — parity-plus beyond the
     reference's plain groupBy (SURVEY.md §2.4 'not present' row)."""
-    l = load(spark, sf_dir, "lineitem")
+    # guarded fan-out before Expand×3 + the decimal partial agg (q1's
+    # profile); keyed on the three columns the rollup already reads
+    # (~300 distinct combos spread 32 partitions fine) — r13, guide §2
+    l = fan_out_scan(
+        load(spark, sf_dir, "lineitem"),
+        "l_returnflag", "l_linestatus", "l_quantity",
+    )
     return l.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("l_quantity"), "sum_qty"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..io_utils import load
+from ..partitioning import fan_out_scan
 from ..operators.dedup import md5_int
 from ..operators.similarity import near_dup_pairs
 from . import dsum, register
@@ -567,7 +568,12 @@ def grouping_sets_explicit(spark, sf_dir):
     subtotals asked for are computed) with GROUPING() null-vs-subtotal
     indicators. Spark expands the sets in a single Expand+Aggregate, so
     the fact table is scanned once for all three granularities."""
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    # guarded fan-out before Expand×3 + the decimal partial agg, keyed
+    # on the columns the sets already read (r13, guide §2)
+    fan_out_scan(
+        load(spark, sf_dir, "lineitem"),
+        "l_returnflag", "l_linestatus", "l_quantity",
+    ).createOrReplaceTempView("_gs_lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
@@ -606,7 +612,11 @@ def approx_count_distinct_hll(spark, sf_dir):
     rsd the sketch is configured for), and the oracle recomputes the
     exact count and emits literal TRUE — a full value-hash row instead
     of the old rows-only check."""
-    o = load(spark, sf_dir, "orders")
+    # fan out on the distinct key: both the HLL sketch update and the
+    # count-distinct expand run scan-side, single-task on a one-split
+    # layout (r13, guide §2); HLL registers are max-merged so the
+    # estimate is partitioning-independent
+    o = fan_out_scan(load(spark, sf_dir, "orders"), "o_custkey")
     agg = o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
         F.countDistinct("o_custkey").alias("exact_custs"),
