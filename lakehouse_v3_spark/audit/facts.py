@@ -17,10 +17,30 @@ _CHECKED_SCHEMA = (
 )
 
 
-def explode_results_to_fact(results: DataFrame, existing_max_id: int = 0) -> DataFrame:
+def explode_results_to_fact(
+    results: DataFrame, existing_max_id: int = 0, assign_ids: bool = True
+) -> DataFrame:
     """One fact row per violated PK (explode_outer keeps PASS rows with a
     NULL pk), with dense surrogate ids continuing after the existing fact
-    table's max (reference: 004...:101-103 ROW_NUMBER + max_id)."""
+    table's max (reference: 004...:101-103 ROW_NUMBER + max_id).
+
+    ``assign_ids=False`` skips the dense-id assignment (an EAGER
+    range-partition + counts + checkpoint pass): callers that consume
+    only the exploded fact columns — not ``cd_fact_id`` — should not pay
+    for ids they drop (guide §1.2: don't compute what you throw away).
+    The warehouse DAG, which appends to the persisted fact table, keeps
+    the default."""
+    if not assign_ids:
+        return _explode(results)
+    return with_dense_id(
+        _explode(results),
+        ["cd_dataaudit_result", "violated_pk"],
+        id_col="cd_fact_id",
+        offset=existing_max_id,
+    )
+
+
+def _explode(results: DataFrame) -> DataFrame:
     parsed = results.select(
         "cd_dataaudit_result",
         "nr_status",
@@ -28,7 +48,7 @@ def explode_results_to_fact(results: DataFrame, existing_max_id: int = 0) -> Dat
         F.from_json("ds_configuration", _CONFIG_SCHEMA).alias("cfg"),
         F.from_json("ds_checked_value", _CHECKED_SCHEMA).alias("chk"),
     )
-    exploded = parsed.select(
+    return parsed.select(
         "cd_dataaudit_result",
         F.col("cfg.rule_id").alias("rule_id"),
         F.col("cfg.table").alias("table_name"),
@@ -42,12 +62,6 @@ def explode_results_to_fact(results: DataFrame, existing_max_id: int = 0) -> Dat
         .alias("ds_audit_result"),
         F.explode_outer("chk.pk_result").alias("violated_pk"),
         "dt_checked_at",
-    )
-    return with_dense_id(
-        exploded,
-        ["cd_dataaudit_result", "violated_pk"],
-        id_col="cd_fact_id",
-        offset=existing_max_id,
     )
 
 

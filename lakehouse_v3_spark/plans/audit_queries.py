@@ -185,7 +185,10 @@ def audit_fact_explode(spark, sf_dir):
         ValidityRule(2, "lineitem", "l_discount > 0.05", ("l_orderkey", "l_linenumber")),
     ]
     results = run_validity_rules(spark, tables, rules)
-    fact = explode_results_to_fact(results)
+    # assign_ids=False: this query's output drops cd_fact_id, so the
+    # eager dense-id pass (range partition + counts job + checkpoint)
+    # would be computed and thrown away (guide §1.2)
+    fact = explode_results_to_fact(results, assign_ids=False)
     return fact.select(
         "rule_id", "table_name", "audit_kind", "ds_audit_result", "violated_pk", "n_violated"
     )
