@@ -53,6 +53,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..partitioning import (
+    training_frame_width as _training_frame_width,
+    training_loop_conf as _training_loop_conf,
+)
+
 IVF_K = 8
 IVF_TOL_MICRO = 2000  # max |Δcomponent| ≤ 0.002 between iterations
 IVF_MAX_ITER = 60
@@ -181,16 +186,14 @@ def _micro(component: float) -> int:
     return _round_half_away(component * 1e6)
 
 
-# Converged centroids are a pure deterministic function of the fixture
-# (+ hyperparameters); the three catalog queries that need them share
-# one computation per process. Keyed on the embeddings file identity so
-# a regenerated fixture invalidates the entry.
-_CACHE: dict[tuple, tuple] = {}
-
-
-def _fixture_key(sf_dir: str) -> tuple:
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    return (os.path.abspath(sf_dir), st.st_size, int(st.st_mtime))
+# r13: the process-wide memo of converged centroids (keyed on the
+# embeddings file identity) was REMOVED. It meant a bench's timed run
+# — and every catalog query after the first — returned training
+# results computed by an earlier invocation instead of from the
+# parquet inputs, which is result caching across runs, not an
+# optimization. Every call now trains; the training frame itself is
+# persisted at full parallelism for the duration of ONE call (below),
+# which is the legitimate within-query reuse.
 
 
 def _seed_cents(e: DataFrame, k: int) -> list[list[float]]:
@@ -244,40 +247,47 @@ def lloyd_converged(
     """
     from ..io_utils import load
 
-    key = (_fixture_key(sf_dir), k, tol_micro, max_iter)
-    if key in _CACHE:
-        return _CACHE[key]
-
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = _seed_cents(e, k)
     dim = len(cents[0])
 
-    e = e.persist()
+    # persist at the TRAINING width (r13, guide §2): the scan is often
+    # a single split (one file / one row group), which would run EVERY
+    # iteration's Arrow argmin + posexplode single-task — but full
+    # session parallelism over-shards the tiny per-iteration jobs
+    # (dozens of ~2 ms task launches × tens of iterations), so the
+    # width is bytes-derived (see partitioning.training_frame_width;
+    # hash on vec_id skips round-robin's SPARK-23207 sort). The loop
+    # itself runs under training_loop_conf (AQE off + 8-partition
+    # reduce). Values are partition- and conf-independent (per-row
+    # assignment; decimal sums are order-independent).
+    e = e.repartition(_training_frame_width(e), "vec_id").persist()
     try:
         prev_cents = cents
         n_iters = None
         n_assigned: list[int] = []
-        for it in range(1, max_iter + 1):
-            rows = _lloyd_update(e, cents).collect()
-            new = [[0.0] * dim for _ in range(k)]
-            counts = [0] * k
-            for r in rows:
-                new[r["cid"]][r["dim"]] = float(r["component"])
-                counts[r["cid"]] = int(r["n_assigned"])
-            if min(counts) == 0 or len(rows) != k * dim:
-                raise RuntimeError(
-                    f"lloyd_converged: empty cell at iteration {it} "
-                    f"(counts={counts}) — undefined vs the oracle"
+        with _training_loop_conf(e.sparkSession):
+            for it in range(1, max_iter + 1):
+                rows = _lloyd_update(e, cents).collect()
+                new = [[0.0] * dim for _ in range(k)]
+                counts = [0] * k
+                for r in rows:
+                    new[r["cid"]][r["dim"]] = float(r["component"])
+                    counts[r["cid"]] = int(r["n_assigned"])
+                if min(counts) == 0 or len(rows) != k * dim:
+                    raise RuntimeError(
+                        f"lloyd_converged: empty cell at iteration {it} "
+                        f"(counts={counts}) — undefined vs the oracle"
+                    )
+                shift = max(
+                    abs(_micro(new[c][d]) - _micro(cents[c][d]))
+                    for c in range(k)
+                    for d in range(dim)
                 )
-            shift = max(
-                abs(_micro(new[c][d]) - _micro(cents[c][d]))
-                for c in range(k)
-                for d in range(dim)
-            )
-            prev_cents, cents, n_assigned = cents, new, counts
-            if shift <= tol_micro:
-                n_iters = it
-                break
+                prev_cents, cents, n_assigned = cents, new, counts
+                if shift <= tol_micro:
+                    n_iters = it
+                    break
         if n_iters is None:
             raise RuntimeError(
                 f"lloyd_converged: no convergence to {tol_micro} micro-units "
@@ -286,9 +296,7 @@ def lloyd_converged(
     finally:
         e.unpersist()
 
-    result = (cents, n_assigned, n_iters, prev_cents)
-    _CACHE[key] = result
-    return result
+    return (cents, n_assigned, n_iters, prev_cents)
 
 
 CLUSTER_CAP_ITERS = 4  # Lloyd iteration budget for corpus-scaled k
@@ -339,22 +347,25 @@ def lloyd_capped(
     cents = _seed_cents(e, k)
     dim = len(cents[0])
 
-    e = e.persist()
+    # training-width persist + loop conf, same reasoning as
+    # lloyd_converged (r13)
+    e = e.repartition(_training_frame_width(e), "vec_id").persist()
     try:
-        for it in range(1, iters + 1):
-            rows = _lloyd_update(e, cents).collect()
-            new = [list(c) for c in cents]  # empty cells carry over
-            for r in rows:
-                new[r["cid"]][r["dim"]] = float(r["component"])
-            shift = max(
-                abs(_micro(new[c][d]) - _micro(cents[c][d]))
-                for c in range(k)
-                for d in range(dim)
-            )
-            cents = new
-            if shift <= tol_micro:
-                return cents, it
-        return cents, iters
+        with _training_loop_conf(e.sparkSession):
+            for it in range(1, iters + 1):
+                rows = _lloyd_update(e, cents).collect()
+                new = [list(c) for c in cents]  # empty cells carry over
+                for r in rows:
+                    new[r["cid"]][r["dim"]] = float(r["component"])
+                shift = max(
+                    abs(_micro(new[c][d]) - _micro(cents[c][d]))
+                    for c in range(k)
+                    for d in range(dim)
+                )
+                cents = new
+                if shift <= tol_micro:
+                    return cents, it
+            return cents, iters
     finally:
         e.unpersist()
 
