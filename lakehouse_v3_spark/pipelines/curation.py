@@ -93,6 +93,7 @@ from ..operators.dedup import (
     word_shingles,
 )
 from ..orchestrate import Dag, Skip
+from ..partitioning import fan_out_scan
 from ..tables import TableManager
 
 # Funnel thresholds — shared with the DuckDB oracle in
@@ -191,14 +192,22 @@ def ngrams8(df: DataFrame) -> DataFrame:
     )
 
 
-def decontaminate(docs: DataFrame, all_docs: DataFrame) -> DataFrame:
+def decontaminate(
+    docs: DataFrame, all_docs: DataFrame, materialize: bool = False
+) -> DataFrame:
     """Stage D — benchmark decontamination (decontaminate_ngram_overlap's
     rule): docs with doc_id % EVAL_MOD == 0 stand in for the held-out
     eval set and are removed from the corpus outright; any surviving doc
     sharing ≥1 8-gram with the eval set's distinct 8-grams is dropped.
     The eval n-gram set comes from ``all_docs`` (the eval benchmark is
     external — earlier funnel stages don't shrink it); it is tiny and
-    broadcast, so the corpus is never shuffled."""
+    broadcast, so the corpus is never shuffled.
+
+    ``materialize=True`` localCheckpoints the (tiny) contaminated-id
+    set: the stage's output appears several times in downstream plans
+    (split/leakage reference it per join side), and without truncation
+    every occurrence re-runs the corpus 8-gram explode — the one
+    expensive part of this stage."""
     ngrams_of = ngrams8
 
     ev = (
@@ -210,6 +219,8 @@ def decontaminate(docs: DataFrame, all_docs: DataFrame) -> DataFrame:
     contaminated = (
         ngrams_of(corpus).join(F.broadcast(ev), "ng").select("doc_id").distinct()
     )
+    if materialize:
+        contaminated = contaminated.localCheckpoint()
     return corpus.join(contaminated, "doc_id", "left_anti")
 
 
@@ -257,7 +268,10 @@ def cross_split_train_drops(pairs: DataFrame, docs_split: DataFrame) -> DataFram
 
 
 def leakage_drop(
-    docs_split: DataFrame, pairs: DataFrame, threshold: float = LEAK_JACCARD
+    docs_split: DataFrame,
+    pairs: DataFrame,
+    threshold: float = LEAK_JACCARD,
+    materialize: bool = False,
 ) -> DataFrame:
     """Stage L — close split_leakage_audit's loop (r9 verdict item #2):
     for every verified pair with jaccard ≥ ``threshold`` whose two
@@ -269,6 +283,11 @@ def leakage_drop(
     train_side = cross_split_train_drops(
         pairs.filter(F.col("jaccard") >= threshold), docs_split
     )
+    if materialize:
+        # the drop set is pair-bounded (tiny); truncating it here keeps
+        # the docs_split chain (which it references twice through the
+        # split-side joins) from re-executing per downstream consumer
+        train_side = train_side.localCheckpoint()
     return docs_split.join(train_side, "doc_id", "left_anti")
 
 
@@ -597,11 +616,25 @@ def run_funnel(
     it costs a driver partials job + localCheckpoint, so it runs only
     when a caller actually indexes it.
 
-    ``materialize_pairs=True`` localCheckpoints the verified pair set —
-    it feeds BOTH the near-dup drop and the leakage drop, and the
-    minhash job is the funnel's expensive step; the one-query catalog
-    composition uses this (the DAG persists the pairs as a table
-    instead, which serves the same purpose durably).
+    ``materialize_pairs=True`` localCheckpoints the funnel's SHARED
+    intermediates — the verified pair sets (text MinHash + embedding
+    GEMM), the exact-dedup survivor corpus, the cluster-assigned member
+    vectors, and every tiny decision set (semantic drops, contaminated
+    ids, cross-split train drops). This is the one-query catalog
+    composition's execution strategy (the DAG persists the same
+    intermediates as tables instead, which serves the same purpose
+    durably). Without truncation the composed plan re-executes each
+    shared subtree once per downstream reference — the r13 plan audit
+    measured the embed funnel's physical plan at 224 Exchange nodes and
+    80 ArrowEvalPython (assign_cells) nodes, i.e. the quality→dedup
+    chain and the cluster-assignment UDF ran dozens of times inside one
+    query (guide §2.4: remove shuffles outright; §5: cut lineage where
+    recomputation is the expensive path). With truncation every stage
+    body runs exactly once, which is also the honest 100 TB shape: the
+    corpus-width frames are materialized once per stage (exactly what
+    the warehouse DAG does durably), and every other checkpoint is
+    pair-bounded or id-width. Values are identical either way —
+    localCheckpoint is an execution boundary, not a semantic one.
 
     ``embeddings`` (the external (vec_id, embedding) feature table,
     vec_id ≡ doc_id) composes the embedding-side stages beside their
@@ -620,6 +653,16 @@ def run_funnel(
     extra returned stages: ``emb_pairs``, ``semantic``."""
     q = quality_filter(docs)
     e = exact_dedup(q)
+    if materialize_pairs:
+        # the exact-dedup survivor corpus feeds the minhash pair job,
+        # the near-dup stage and (through it) every stage below; one
+        # checkpoint here makes the tokenize→hash→dedup chain run once
+        # instead of once per downstream plan reference. Fan out BEFORE
+        # the checkpoint (r13, guide §2): the semi-join output inherits
+        # the scan's split count (ONE task on a one-file layout), and
+        # the checkpoint would otherwise pin that width for the minhash
+        # job — the funnel's expensive step — and every stage below.
+        e = fan_out_scan(e, "doc_id").localCheckpoint()
     pairs = verified_pairs(e.select("doc_id", "text"), LEAK_JACCARD)
     if materialize_pairs:
         pairs = pairs.localCheckpoint()
@@ -639,23 +682,37 @@ def run_funnel(
         # GEMM block key and the ccos reference
         cents = emb_cluster_model(embeddings)
         cdf = centroid_frame(docs.sparkSession, cents)
-        members = emb_clustered(emb_member_vectors(n, embeddings), cents)
+        member_vecs = emb_member_vectors(n, embeddings)
+        if materialize_pairs:
+            # fan out BEFORE assign_cells so the Arrow argmin runs at
+            # full width instead of the scan's split count (r13)
+            member_vecs = fan_out_scan(member_vecs, "doc_id")
+        members = emb_clustered(member_vecs, cents)
+        if materialize_pairs:
+            # one assign_cells (Arrow argmin) pass total: the member
+            # table feeds both the GEMM pair job and the centroid-cosine
+            # scoring — unmaterialized, the UDF re-runs per reference
+            members = members.localCheckpoint()
         epairs = emb_pairs_full(members)
         if materialize_pairs:
             epairs = epairs.localCheckpoint()
         scored = emb_scored(members, cdf)
-        m = n.join(semantic_drops(epairs, scored), "doc_id", "left_anti")
+        sdrops = semantic_drops(epairs, scored)
+        if materialize_pairs:
+            sdrops = sdrops.localCheckpoint()  # pair-bounded (tiny)
+        m = n.join(sdrops, "doc_id", "left_anti")
         out["emb_pairs"] = epairs
         out["semantic"] = m
     else:
         m = n
-    d = decontaminate(m, docs)
+    d = decontaminate(m, docs, materialize=materialize_pairs)
     s = assign_split(d)
-    l = leakage_drop(s, pairs)
+    l = leakage_drop(s, pairs, materialize=materialize_pairs)
     if embeddings is not None:
-        l = l.join(
-            cross_split_train_drops(out["emb_pairs"], s), "doc_id", "left_anti"
-        )
+        edrops = cross_split_train_drops(out["emb_pairs"], s)
+        if materialize_pairs:
+            edrops = edrops.localCheckpoint()  # pair-bounded (tiny)
+        l = l.join(edrops, "doc_id", "left_anti")
     out.update(
         {
             "decontaminate": d,
