@@ -34,6 +34,68 @@ import atexit as _atexit
 
 _atexit.register(_tws_sink_cleanup)
 
+
+def _stream_state_partitions(spark, nbytes: int) -> int:
+    """Scale-adaptive state-store partition count for one streaming run.
+
+    Structured Streaming pins its state-store partition count to
+    ``spark.sql.shuffle.partitions`` at the first micro-batch, and every
+    batch then pays a fixed per-partition cost — each store writes and
+    commits its own state files per batch regardless of data volume (a
+    stream-stream join keeps 4 stores per partition per side). On
+    local[32] that meant 128+ store commits per micro-batch to join a
+    2 MB fixture: measured 12.0 s → 3.5 s at 8 partitions → 2.4 s at 2,
+    identical output rows (r13, guide §1/§2: the fixed cost scales with
+    the partition COUNT, so derive the count from the data).
+
+    One partition per ``SPARK_GRAFT_STREAM_BYTES_PER_PART`` (default
+    512 KiB) of source input, capped at the session's configured
+    shuffle partitions: a production-sized source (GBs+ per trigger)
+    hits the cap and keeps the cluster's full configured parallelism;
+    only a tiny source shrinks. State is hash-partitioned by key, so
+    the count never changes streaming VALUES, only task granularity.
+    """
+    import os
+
+    per_part = int(
+        os.environ.get("SPARK_GRAFT_STREAM_BYTES_PER_PART", 512 * 1024)
+    )
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(cap, (nbytes + per_part - 1) // per_part))
+
+
+def _source_bytes(path: str) -> int:
+    """Total bytes of the parquet file(s) feeding a file-source stream."""
+    import glob
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    return sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+
+class _stream_run_partitions:
+    """Context manager: set shuffle partitions (= state partitions) for
+    the duration of one streaming drain, then restore the session value.
+    The batch plan of whatever the caller builds from the SINK afterwards
+    runs under the restored session setting."""
+
+    def __init__(self, spark, nbytes: int):
+        self._spark = spark
+        self._n = _stream_state_partitions(spark, nbytes)
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+        return self._n
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
 _TUMBLING_ORACLE = """
 SELECT time_bucket(INTERVAL '1 hour', ts)            AS window_start,
        event_type,
@@ -168,15 +230,18 @@ def stream_tws_distinct_type_counts(spark, sf_dir):
             .parquet(sf_dir)
         )
         with tempfile.TemporaryDirectory(prefix="tws_ckpt_") as ckpt:
-            q = (
-                distinct_type_counts(stream.select("user_id", "event_type"))
-                .writeStream.outputMode("update")
-                .foreachBatch(_sink_batch)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            with _stream_run_partitions(
+                spark, _source_bytes(f"{sf_dir}/events.parquet")
+            ):
+                q = (
+                    distinct_type_counts(stream.select("user_id", "event_type"))
+                    .writeStream.outputMode("update")
+                    .foreachBatch(_sink_batch)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
     finally:
         if old_prov is None:
             spark.conf.unset(prov_key)
@@ -221,7 +286,9 @@ def _events_stream(spark, sf_dir):
     )
 
 
-def _drain_to_parquet(spark, streaming_df, output_mode: str, tag: str):
+def _drain_to_parquet(
+    spark, streaming_df, output_mode: str, tag: str, source_bytes: int = 0
+):
     """Run ``streaming_df`` to completion under availableNow, landing
     every micro-batch (stamped with its batch_id as ``_bid``) in a fresh
     parquet sink dir — the production return path shared by all
@@ -243,14 +310,20 @@ def _drain_to_parquet(spark, streaming_df, output_mode: str, tag: str):
         )
 
     with tempfile.TemporaryDirectory(prefix=f"{tag}_ckpt_") as ckpt:
-        q = (
-            streaming_df.writeStream.outputMode(output_mode)
-            .foreachBatch(_sink_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # scale-adaptive state partitions for the whole drain (every
+        # micro-batch is planned inside awaitTermination, so the
+        # temporary setting covers them all); 0 bytes = caller opted out
+        with _stream_run_partitions(
+            spark, source_bytes or 2**63
+        ):
+            q = (
+                streaming_df.writeStream.outputMode(output_mode)
+                .foreachBatch(_sink_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     _TWS_SINK_DIRS.append(sink_dir)
     return sink_dir
 
@@ -320,7 +393,13 @@ def stream_stream_interval_join(spark, sf_dir):
         ),
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
 
-    sink_dir = _drain_to_parquet(spark, joined, "append", "ssjoin")
+    sink_dir = _drain_to_parquet(
+        spark,
+        joined,
+        "append",
+        "ssjoin",
+        source_bytes=_source_bytes(f"{sf_dir}/events.parquet"),
+    )
     return spark.read.parquet(sink_dir).select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
     )
@@ -365,7 +444,11 @@ def stream_state_running_totals(spark, sf_dir):
 
     ev = _events_stream(spark, sf_dir).select("user_id", "value")
     sink_dir = _drain_to_parquet(
-        spark, running_user_totals_exact(ev), "update", "aipws"
+        spark,
+        running_user_totals_exact(ev),
+        "update",
+        "aipws",
+        source_bytes=_source_bytes(f"{sf_dir}/events.parquet"),
     )
 
     from pyspark.sql import Window
@@ -408,32 +491,27 @@ def stream_dedup_within_watermark(spark, sf_dir):
     global-history dedup table is not. Sunk distributed via
     foreachBatch like every other streaming row here.
     """
-    import glob as _glob
     import os
-    import shutil
     import tempfile
     import uuid
 
     # build the duplicated source dir: the events table + a re-emission
-    # of every 5th event. BOTH files are written through load() so the
-    # ts column is micros regardless of the fixture's physical type —
+    # of every 5th event. BOTH writes go through load() so the ts
+    # column is micros regardless of the fixture's physical type —
     # copying the raw fixture file verbatim would feed the stream
     # TIMESTAMP(NANOS) on a nanos-generation testdata regen, exactly
-    # the hazard io_utils.load exists to absorb (r8 review).
+    # the hazard io_utils.load exists to absorb (r8 review). Written as
+    # two DISTRIBUTED parquet writes into one dir (append lands new
+    # part files beside the old; the file streaming source reads a
+    # directory, any part layout) — the previous coalesce(1)+rename
+    # staging funneled the whole table through one task twice (r13,
+    # guide §1.2: per-task work after plan shape).
     src_root = spark.sparkContext.getCheckpointDir() or tempfile.gettempdir()
     dup_dir = os.path.join(src_root, f"dedup_src_{uuid.uuid4().hex}")
-    os.makedirs(dup_dir)
-
-    def _one_file(df, name):
-        stage = f"{dup_dir}_stage_{name}"
-        df.coalesce(1).write.parquet(stage)
-        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(dup_dir, name))
-        shutil.rmtree(stage)
 
     ev = load(spark, sf_dir, "events")
-    _one_file(ev, "events_a.parquet")
-    _one_file(ev.filter("event_id % 5 = 0"), "events_dups.parquet")
+    ev.write.parquet(dup_dir)
+    ev.filter("event_id % 5 = 0").write.mode("append").parquet(dup_dir)
 
     stream = (
         spark.readStream.schema(
@@ -446,7 +524,9 @@ def stream_dedup_within_watermark(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
-    sink_dir = _drain_to_parquet(spark, stream, "append", "sdedup")
+    sink_dir = _drain_to_parquet(
+        spark, stream, "append", "sdedup", source_bytes=_source_bytes(dup_dir)
+    )
     _TWS_SINK_DIRS.append(dup_dir)  # clean up with the sinks at exit
     return spark.read.parquet(sink_dir).select(
         "event_id", "user_id", "event_type", "value"
