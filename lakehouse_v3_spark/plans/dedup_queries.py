@@ -232,11 +232,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ~25-byte strings (the same trick dup_ngram_doc_fraction uses). Both
     engines hash the identical shingle string, so intersection counts
     agree bit-exactly even in the (≈2^-60-per-pair) collision case."""
-    # the shingle+md5 explode is scan-side; guarded fan-out (r13)
-    d = fan_out_scan(
-        load(spark, sf_dir, "documents").filter(F.col("lang") == "de"),
-        "doc_id",
-    )
+    # NO scan fan-out here (r13, measured): the lang filter keeps only
+    # a small slice of the corpus, and the interleaved A/B put fan at
+    # 1.53 s vs off 1.28 s min — too little surviving hash work to pay
+    # for the exchange
+    d = load(spark, sf_dir, "documents").filter(F.col("lang") == "de")
     sh = word_shingles(tokens(F.col("text")), k=3)
     sh_h = F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
