@@ -53,9 +53,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..partitioning import (
-    training_frame_width as _training_frame_width,
-    training_loop_conf as _training_loop_conf,
+from ..partitioning import training_frame_width as _training_frame_width
+from .train_blocks import (
+    _cell_dists_mat,
+    build_blocks as _build_blocks,
+    lloyd_partial_sums as _lloyd_partial_sums,
+    make_round6 as _make_round6,
 )
 
 IVF_K = 8
@@ -64,28 +67,13 @@ IVF_MAX_ITER = 60
 
 
 def _cell_dists_np(emb_series, cents: list[list[float]]):
-    """(n × k) float64 distance matrix via an EXACT LEFT FOLD: for each
-    centroid, acc starts at 0.0 and the 64 per-dimension (v-c)² terms
-    are added SEQUENTIALLY (vectorized over rows, sequential over dims)
-    — each output element sees the identical IEEE operation sequence as
-    DuckDB's ``list_reduce(list_prepend(0.0, ...), +)`` fold and the
-    previous unrolled-expression implementation, so argmin/tie-break
-    decisions are bit-identical across engines. ``np.dot``/``np.sum``
-    would be faster but use pairwise/SIMD summation — a DIFFERENT
-    rounding order that can flip an argmin on near-ties and silently
-    diverge from the oracle."""
+    """pandas-Series front-end of train_blocks._cell_dists_mat (float32
+    widen, then the exact left-fold distance matrix — see that module
+    for the bit-identity rationale)."""
     import numpy as np
 
     M = np.vstack(emb_series.to_numpy()).astype(np.float64)  # float32 widen
-    n = M.shape[0]
-    dists = np.empty((n, len(cents)), dtype=np.float64)
-    for cid, cent in enumerate(cents):
-        acc = np.zeros(n, dtype=np.float64)
-        for d, c in enumerate(cent):
-            diff = M[:, d] - c
-            acc = acc + diff * diff
-        dists[:, cid] = acc
-    return dists
+    return _cell_dists_mat(M, cents)
 
 
 def assign_cells(
@@ -251,50 +239,55 @@ def lloyd_converged(
     cents = _seed_cents(e, k)
     dim = len(cents[0])
 
-    # persist at the TRAINING width (r13, guide §2): the scan is often
-    # a single split (one file / one row group), which would run EVERY
-    # iteration's Arrow argmin + posexplode single-task — but full
-    # session parallelism over-shards the tiny per-iteration jobs
-    # (dozens of ~2 ms task launches × tens of iterations), so the
-    # width is bytes-derived (see partitioning.training_frame_width;
-    # hash on vec_id skips round-robin's SPARK-23207 sort). The loop
-    # itself runs under training_loop_conf (AQE off + 8-partition
-    # reduce). Values are partition- and conf-independent (per-row
-    # assignment; decimal sums are order-independent).
-    e = e.repartition(_training_frame_width(e), "vec_id").persist()
+    # r14 (guide §1.2): the loop iterates over a PERSISTED RDD of numpy
+    # blocks (one single-stage mapPartitions → collect per iteration —
+    # no Catalyst plan, no pandas_udf pickle, no shuffle, no Arrow round
+    # trip), built once at the bytes-derived TRAINING width (r13: a
+    # one-split scan would run everything single-task, full session
+    # parallelism over-shards the tiny per-iteration jobs). Components
+    # are the exact int64 micro sums (= the decimal(30,6) sums, order-
+    # independent) finished with the identical ROUND(sum/n, 6) recipe;
+    # the lockstep harness (tools/probe_train_equiv.py) pins every
+    # iteration bit-identical to the r13 DataFrame loop.
+    blocks = _build_blocks(
+        e.repartition(_training_frame_width(e), "vec_id")
+    ).persist()
+    round6 = _make_round6(spark)
     try:
         prev_cents = cents
         n_iters = None
         n_assigned: list[int] = []
-        with _training_loop_conf(e.sparkSession):
-            for it in range(1, max_iter + 1):
-                rows = _lloyd_update(e, cents).collect()
-                new = [[0.0] * dim for _ in range(k)]
-                counts = [0] * k
-                for r in rows:
-                    new[r["cid"]][r["dim"]] = float(r["component"])
-                    counts[r["cid"]] = int(r["n_assigned"])
-                if min(counts) == 0 or len(rows) != k * dim:
-                    raise RuntimeError(
-                        f"lloyd_converged: empty cell at iteration {it} "
-                        f"(counts={counts}) — undefined vs the oracle"
-                    )
-                shift = max(
-                    abs(_micro(new[c][d]) - _micro(cents[c][d]))
-                    for c in range(k)
-                    for d in range(dim)
+        for it in range(1, max_iter + 1):
+            sums, counts_a = _lloyd_partial_sums(blocks, cents)
+            counts = [int(c) for c in counts_a]
+            if min(counts) == 0:
+                raise RuntimeError(
+                    f"lloyd_converged: empty cell at iteration {it} "
+                    f"(counts={counts}) — undefined vs the oracle"
                 )
-                prev_cents, cents, n_assigned = cents, new, counts
-                if shift <= tol_micro:
-                    n_iters = it
-                    break
+            new = [
+                [
+                    round6((int(sums[c][d]) / 1e6) / counts[c])
+                    for d in range(dim)
+                ]
+                for c in range(k)
+            ]
+            shift = max(
+                abs(_micro(new[c][d]) - _micro(cents[c][d]))
+                for c in range(k)
+                for d in range(dim)
+            )
+            prev_cents, cents, n_assigned = cents, new, counts
+            if shift <= tol_micro:
+                n_iters = it
+                break
         if n_iters is None:
             raise RuntimeError(
                 f"lloyd_converged: no convergence to {tol_micro} micro-units "
                 f"within {max_iter} iterations"
             )
     finally:
-        e.unpersist()
+        blocks.unpersist()
 
     return (cents, n_assigned, n_iters, prev_cents)
 
@@ -347,27 +340,35 @@ def lloyd_capped(
     cents = _seed_cents(e, k)
     dim = len(cents[0])
 
-    # training-width persist + loop conf, same reasoning as
-    # lloyd_converged (r13)
-    e = e.repartition(_training_frame_width(e), "vec_id").persist()
+    # r14: persisted numpy-blocks RDD + single-stage partial-sum job per
+    # iteration, same machinery and equality harness as lloyd_converged
+    blocks = _build_blocks(
+        e.repartition(_training_frame_width(e), "vec_id")
+    ).persist()
+    round6 = _make_round6(e.sparkSession)
     try:
-        with _training_loop_conf(e.sparkSession):
-            for it in range(1, iters + 1):
-                rows = _lloyd_update(e, cents).collect()
-                new = [list(c) for c in cents]  # empty cells carry over
-                for r in rows:
-                    new[r["cid"]][r["dim"]] = float(r["component"])
-                shift = max(
-                    abs(_micro(new[c][d]) - _micro(cents[c][d]))
-                    for c in range(k)
+        for it in range(1, iters + 1):
+            sums, counts = _lloyd_partial_sums(blocks, cents)
+            new = [
+                [
+                    round6((int(sums[c][d]) / 1e6) / int(counts[c]))
+                    if counts[c]
+                    else cents[c][d]  # empty cells carry over
                     for d in range(dim)
-                )
-                cents = new
-                if shift <= tol_micro:
-                    return cents, it
-            return cents, iters
+                ]
+                for c in range(k)
+            ]
+            shift = max(
+                abs(_micro(new[c][d]) - _micro(cents[c][d]))
+                for c in range(k)
+                for d in range(dim)
+            )
+            cents = new
+            if shift <= tol_micro:
+                return cents, it
+        return cents, iters
     finally:
-        e.unpersist()
+        blocks.unpersist()
 
 
 def _lloyd_update(e: DataFrame, cents: list[list[float]]) -> DataFrame:

@@ -323,12 +323,28 @@ def pq_train_codebooks(
     )
     w = len(seeds[0][0])
 
-    # training-width persist + loop conf (r13): see
-    # operators/ivf.lloyd_converged — same per-iteration job shape,
-    # same bytes-derived width and AQE-off/8-partition-reduce window
-    from ..partitioning import training_frame_width, training_loop_conf
+    # r14 (guide §1.2): the loop iterates over a PERSISTED RDD of numpy
+    # blocks — one single-stage mapPartitions → collect per iteration
+    # (no Catalyst plan, no pandas_udf pickle, no shuffle, no Arrow),
+    # built once at the bytes-derived training width (r13). The int64
+    # micro partial sums are EXACTLY the decimal(30,6) sums × 1e6 (the
+    # micro matrix is computed by Spark's own decimal cast), and the
+    # component recipe below is the identical (2a+n) DIV (2n) int64
+    # rational — the lockstep harness (tools/probe_train_equiv.py) pins
+    # every iteration bit-identical to the r13 _pq_update loop.
+    from ..partitioning import training_frame_width
+    from .train_blocks import build_blocks, pq_partial_sums
 
-    vecs = e.repartition(training_frame_width(e)).select(vec_col).persist()
+    blocks = build_blocks(
+        e.repartition(training_frame_width(e)), vec_col=vec_col
+    ).persist()
+
+    def _component(am: int, n: int) -> float:
+        rounded = (
+            (2 * am + n) // (2 * n) if am >= 0 else -((-2 * am + n) // (2 * n))
+        )
+        return rounded / 1e6
+
     try:
         active: dict[int, list[list[float]]] = {
             s: seeds[s] for s in range(n_sub)
@@ -336,44 +352,41 @@ def pq_train_codebooks(
         final: list = [None] * n_sub
         n_iters: list = [None] * n_sub
         prev_cbs: dict[int, list[list[float]]] = {}
-        with training_loop_conf(vecs.sparkSession):
-            for it in range(1, max_iter + 1):
-                if not active:
-                    break
-                rows = _pq_update(vecs, active, vec_col=vec_col).collect()
-                by_s: dict[int, dict] = {s: {} for s in active}
-                for r in rows:
-                    by_s[r["s"]][(r["j"], r["dim"])] = (
-                        float(r["component"]),
-                        int(r["n_assigned"]),
+        for it in range(1, max_iter + 1):
+            if not active:
+                break
+            merged = pq_partial_sums(blocks, active, w)
+            for s in list(active):
+                sums, counts = merged[s]
+                missing = sorted(
+                    j for j in range(k_codes) if int(counts[j]) == 0
+                )
+                if missing:
+                    raise RuntimeError(
+                        f"pq_train_codebooks: empty codeword(s) {missing} in "
+                        f"subspace {s} at iteration {it} — undefined vs the "
+                        "oracle (grow the training set or lower k_codes)"
                     )
-                for s in list(active):
-                    got = by_s[s]
-                    if len(got) != k_codes * w:
-                        seen_j = {j for (j, _) in got}
-                        missing = sorted(set(range(k_codes)) - seen_j)
-                        raise RuntimeError(
-                            f"pq_train_codebooks: empty codeword(s) {missing} in "
-                            f"subspace {s} at iteration {it} — undefined vs the "
-                            "oracle (grow the training set or lower k_codes)"
-                        )
-                    new = [
-                        [got[(j, d)][0] for d in range(w)]
-                        for j in range(k_codes)
-                    ]
-                    old = active[s]
-                    shift = max(
-                        abs(_micro(new[j][d]) - _micro(old[j][d]))
-                        for j in range(k_codes)
+                new = [
+                    [
+                        _component(int(sums[j][d]), int(counts[j]))
                         for d in range(w)
-                    )
-                    if shift <= tol_micro:
-                        final[s] = new
-                        n_iters[s] = it
-                        prev_cbs[s] = old
-                        del active[s]
-                    else:
-                        active[s] = new
+                    ]
+                    for j in range(k_codes)
+                ]
+                old = active[s]
+                shift = max(
+                    abs(_micro(new[j][d]) - _micro(old[j][d]))
+                    for j in range(k_codes)
+                    for d in range(w)
+                )
+                if shift <= tol_micro:
+                    final[s] = new
+                    n_iters[s] = it
+                    prev_cbs[s] = old
+                    del active[s]
+                else:
+                    active[s] = new
         if active:
             raise RuntimeError(
                 f"pq_train_codebooks: subspaces {sorted(active)} did not "
@@ -381,7 +394,7 @@ def pq_train_codebooks(
                 "iterations"
             )
     finally:
-        vecs.unpersist()
+        blocks.unpersist()
 
     return (final, n_iters, prev_cbs)
 

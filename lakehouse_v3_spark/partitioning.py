@@ -116,35 +116,55 @@ def training_frame_width(df: DataFrame) -> int:
     return max(1, min(cap, want))
 
 
-class training_loop_conf:
-    """Session-conf window for a driver-side training LOOP (tens of
-    tiny 2-stage jobs): AQE off (per-job re-optimization costs more
-    than it saves on a ≤k×dim-row reduce) and 8 shuffle partitions for
-    the per-iteration partial-sum merge (the reduce side is k×dim
-    GROUPS, never corpus-sized — 512 rows at IVF_K). Measured together
-    at sf0.1: 0.63 → 0.46 s/iteration before the width change (r13).
-    Restores both confs on exit; values are partition-count- and
-    AQE-independent (per-row assignment, order-independent exact
-    sums)."""
+PER_GROUP_WINDOW_BYTES = 256 * 1024 * 1024
 
-    TRAIN_SHUFFLE_PARTITIONS = 8
 
-    def __init__(self, spark):
-        self._spark = spark
+def fits_per_group_window(df: DataFrame) -> bool:
+    """True when the scan feeding ``df`` is small enough that a
+    per-LOW-CARDINALITY-group window (each group sorted in ONE task) is
+    safe — the size-derived dispatch between the plain window plan and
+    the two-phase range-partition machinery (guide §2: derive the
+    partitioning decision from input size, don't pin either shape).
 
-    def __enter__(self):
-        c = self._spark.conf
-        self._aqe = c.get("spark.sql.adaptive.enabled")
-        self._sp = c.get("spark.sql.shuffle.partitions")
-        c.set("spark.sql.adaptive.enabled", "false")
-        c.set(
-            "spark.sql.shuffle.partitions",
-            str(min(int(self._sp), self.TRAIN_SHUFFLE_PARTITIONS)),
-        )
-        return self
+    The range-partition formulation (ids.with_grouped_cumsum,
+    scale_extras._ranks_fused) exists because Window.partitionBy on a
+    single-digit-cardinality key sorts ~|rows|/|groups| of the corpus in
+    one task at 100 TB (SURVEY §4 anti-pattern #1) — but it costs 3
+    fixed driver-sequenced jobs (range sampling, partials collect,
+    output materialization), which DOMINATE when the whole table is a
+    few MB (measured r14 at sf0.1: window_ntile_ranks 0.30 s plain vs
+    1.97 s fused; pack_sequences_greedy 0.36 vs 1.30 s — identical
+    values, pinned by test). Below the threshold (total scan bytes ≤
+    ``SPARK_GRAFT_GROUP_WINDOW_BYTES``, default 256 MiB — a one-task
+    sort of ≤ a few hundred MB is routine) the plain window is the
+    better plan at ANY deployment size; above it, or whenever the input
+    size is unknowable (derived frames), the scale shape is used."""
+    import os
 
-    def __exit__(self, *exc):
-        c = self._spark.conf
-        c.set("spark.sql.adaptive.enabled", self._aqe)
-        c.set("spark.sql.shuffle.partitions", self._sp)
+    limit = int(
+        os.environ.get("SPARK_GRAFT_GROUP_WINDOW_BYTES", PER_GROUP_WINDOW_BYTES)
+    )
+    try:
+        files = df.inputFiles()
+    except Exception:
         return False
+    if not files:
+        return False
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        if "://" in p:
+            return False  # non-local store: no cheap size — scale shape
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return False
+    return total <= limit
+
+
+# r14: training_loop_conf (the r13 AQE-off + 8-partition-reduce session
+# window for the per-iteration DataFrame jobs) was removed along with
+# those jobs — the training loops now iterate over a persisted RDD of
+# numpy blocks with no SQL job in the loop at all (operators/
+# train_blocks.py), so there is no session conf to mutate and the
+# concurrency hazard of a shared-session conf window is gone with it.
