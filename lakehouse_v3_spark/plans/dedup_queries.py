@@ -503,30 +503,42 @@ def setsim_prefix_filter_join_block(spark, sf_dir):
     engines to one block keeps the oracle's Σ df² tractable at sf5+
     while the Spark side still runs the identical prefix-filter plan —
     giving value evidence for the operator above sf1 (ADVICE r3)."""
+    # r14: NO fan-out and NO checkpoint here — the lang filter leaves
+    # ~1/|langs| of the corpus, too little work to pay an exchange or a
+    # materialization (interleaved A/B at sf0.1: plain 1.51 s vs ckpt
+    # 1.85 s vs r13-fan 2.23 s at 32 cores; 1.73/1.69/1.84 at 8 — the
+    # same verdict as the reverted ngram-jaccard fan-out).
     return _setsim_join(
-        load(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+        load(spark, sf_dir, "documents").filter(F.col("lang") == "de"),
+        checkpoint=False,
+        fan=False,
     )
 
 
-def _setsim_join(d):
+def _setsim_join(d, checkpoint: bool = True, fan: bool = True):
     from pyspark.sql import Window
 
-    # the scan-side shingle+md5 explode re-runs per branch (sets is
-    # deliberately NOT checkpointed, see below) — fan out once so every
-    # branch's explode runs at full width on a one-split layout (r13)
-    d = fan_out_scan(d, "doc_id")
+    # fan out once so the ONE explode run below happens at full width on
+    # a one-split layout (no-op on a production multi-file layout)
+    if fan:
+        d = fan_out_scan(d, "doc_id")
     sh = word_shingles(tokens(F.col("text")), k=5)
     sh_h = F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )
-    # NOT checkpointed (unlike minhash's shingle set): measured at sf5,
-    # re-running the scan+md5 per branch is CHEAPER than pinning 37M
-    # hashed-shingle rows (48.3 s pinned vs 40.7 s recomputed) — the
-    # branches are shuffle-bound, not compute-bound, and the 8-byte
-    # hash keys make the recompute almost free.
     sets = d.select(
         "doc_id", F.explode(F.array_distinct(sh_h)).alias("shingle")
     ).distinct()
+    # checkpointed ONCE per invocation (within the timed region): five
+    # downstream branches (sizes, df, ranked, sa, sb) consume `sets`, and
+    # without the boundary each branch re-runs the scan+shingle+md5
+    # explode THROUGH the fan-out's full-width exchange — four extra
+    # 32-wide REPARTITION_BY_NUM exchanges feeding a memory-hungry
+    # prefix self-join (driver r13: 32.5 s at 32 cores vs 2.6 s at 8).
+    # The checkpointed rows are 16 bytes/shingle (two longs), far
+    # smaller than the documents they derive from.
+    if checkpoint:
+        sets = sets.localCheckpoint()
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     df_ = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
