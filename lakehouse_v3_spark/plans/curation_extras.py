@@ -120,7 +120,10 @@ _PACK_DOC = """Sequence packing: assign documents (in deterministic doc_id
 
 @register("pack_sequences_greedy", oracle=_PACK_ORACLE, doc=_PACK_DOC)
 def pack_sequences_greedy(spark, sf_dir):
+    from pyspark.sql import Window
+
     from ..ids import with_grouped_cumsum
+    from ..partitioning import fits_per_group_window
 
     d = load(spark, sf_dir, "documents")
     toks = d.select(
@@ -130,9 +133,29 @@ def pack_sequences_greedy(spark, sf_dir):
             "n_tok"
         ),
     )
-    packed = with_grouped_cumsum(
-        toks, ["lang"], ["doc_id"], "n_tok", out_col="_cum"
-    ).withColumn("bin", ((F.col("_cum") - F.col("n_tok")) / _PACK_BUDGET).cast("long"))
+    if fits_per_group_window(d):
+        # size-derived dispatch (r14, guide §2): a few-MB table packs
+        # faster through the plain per-lang running-sum window (0.36 s
+        # vs 1.30 s at sf0.1 — the two-phase path's range-sample +
+        # partials + checkpoint jobs dominate); identical bins, pinned
+        # by test_pack_sequences_dispatch_paths_identical. Above the
+        # threshold the range-partitioned cumsum below stays the plan
+        # (lang is single-digit cardinality — SURVEY §4 anti-pattern #1).
+        w = (
+            Window.partitionBy("lang")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        packed = toks.withColumn(
+            "_cum", F.sum(F.col("n_tok").cast("long")).over(w)
+        )
+    else:
+        packed = with_grouped_cumsum(
+            toks, ["lang"], ["doc_id"], "n_tok", out_col="_cum"
+        )
+    packed = packed.withColumn(
+        "bin", ((F.col("_cum") - F.col("n_tok")) / _PACK_BUDGET).cast("long")
+    )
     return packed.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),

@@ -514,17 +514,45 @@ def window_ntile_ranks(spark, sf_dir):
     row_number — ranking the bare balance is the honest tied-values
     demonstration, and sf1's quantized balances do tie).
 
-    Scale shape: NO per-segment window — c_mktsegment has 5 values, so
-    ``Window.partitionBy(c_mktsegment)`` sorts ~n/5 rows in one task
-    at 100 TB (SURVEY §4 anti-pattern #1). All three rank functions
-    ride :func:`_ranks_fused`'s SINGLE range-partitioned pass (r11
-    verdict item #4 — one persist, one partials collect, per-PARTITION
-    windows; row_number/dense_rank/segment counts all from the same
-    scan); ntile(4) and percent_rank are then pure arithmetic over
-    (rn, n_seg). Identical output, oracle unchanged."""
+    Scale shape: NO per-segment window above the size threshold —
+    c_mktsegment has 5 values, so ``Window.partitionBy(c_mktsegment)``
+    sorts ~n/5 rows in one task at 100 TB (SURVEY §4 anti-pattern #1).
+    Above ``partitioning.fits_per_group_window``'s byte threshold all
+    three rank functions ride :func:`_ranks_fused`'s SINGLE
+    range-partitioned pass (r11 verdict item #4 — one persist, one
+    partials collect, per-PARTITION windows); ntile(4)/percent_rank are
+    then pure arithmetic over (rn, n_seg). Below the threshold (table
+    of a few MB) the plain per-segment windows are the better plan at
+    any deployment size — the fused path's three fixed driver jobs cost
+    more than the whole query (r14). Identical output either way
+    (pinned by test), oracle unchanged."""
+    from pyspark.sql import Window
+
+    from ..partitioning import fits_per_group_window
+
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
+    if fits_per_group_window(c):
+        # size-derived dispatch (r14, guide §2): when the whole table is
+        # a few MB the plain per-segment windows are the better plan at
+        # ANY deployment size (the fused path's 3 fixed jobs cost 1.97 s
+        # vs 0.30 s at sf0.1 — identical values, pinned by
+        # test_window_ntile_dispatch_paths_identical); the range-
+        # partitioned shape below stays the plan above the threshold.
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.col("c_acctbal").desc(), "c_custkey"
+        )
+        w2 = Window.partitionBy("c_mktsegment").orderBy(
+            F.col("c_acctbal").desc()
+        )
+        return c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.dense_rank().over(w2).cast("long").alias("drank"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+        )
     staged = c.withColumn("_negbal", -F.col("c_acctbal"))
     ranked, pinned = _ranks_fused(staged, "c_mktsegment", "_negbal", "c_custkey")
     n, rn_c, k = F.col("n_seg"), F.col("rn"), F.lit(4)
