@@ -81,19 +81,38 @@ class _stream_run_partitions:
     """Context manager: set shuffle partitions (= state partitions) for
     the duration of one streaming drain, then restore the session value.
     The batch plan of whatever the caller builds from the SINK afterwards
-    runs under the restored session setting."""
+    runs under the restored session setting.
+
+    NOT concurrency-safe by design (r13 verdict item): it mutates a
+    session-wide conf, so two windows racing on ONE SparkSession would
+    restore each other's values and run under the wrong width. The
+    bench/oracle drivers run queries serially; the guard below turns an
+    accidental concurrent use into a loud error instead of a silent
+    misconfiguration (a cross-session alternative —
+    ``SparkSession.newSession()`` per drain — was rejected: streaming
+    queries registered on a child session outlive the window and the
+    fixture sinks are session-scoped)."""
+
+    _lock = __import__("threading").Lock()
 
     def __init__(self, spark, nbytes: int):
         self._spark = spark
         self._n = _stream_state_partitions(spark, nbytes)
 
     def __enter__(self):
+        if not self._lock.acquire(blocking=False):
+            raise RuntimeError(
+                "_stream_run_partitions: concurrent session-conf windows "
+                "on one SparkSession — run streaming drains serially or "
+                "scope them to separate sessions"
+            )
         self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
         self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
         return self._n
 
     def __exit__(self, *exc):
         self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        self._lock.release()
         return False
 
 _TUMBLING_ORACLE = """

@@ -150,18 +150,26 @@ try:  # the processor base class landed in Spark 4.0
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            # ONE streamed iterator() read of the key's map, then point
+            # updateValue writes for the touched types only (r14): the
+            # previous shape paid containsKey + getValue per type PLUS
+            # full keys() and values() iterations — ~35+ state-server
+            # RPC round trips per user per batch, which dominated the
+            # drain (the emission needs n_types/n_events over ALL types
+            # anyway, so one full read is the floor). State content and
+            # emitted values are identical.
+            counts = {k[0]: v[0] for k, v in self._counts.iterator()}
             for pdf in rows:
                 for etype, c in pdf["event_type"].value_counts().items():
-                    prev = (
-                        self._counts.getValue((etype,))[0]
-                        if self._counts.containsKey((etype,))
-                        else 0
-                    )
-                    self._counts.updateValue((etype,), (prev + int(c),))
-            n_types = sum(1 for _ in self._counts.keys())
-            n_events = sum(v[0] for v in self._counts.values())
+                    nxt = counts.get(etype, 0) + int(c)
+                    counts[etype] = nxt
+                    self._counts.updateValue((etype,), (nxt,))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_types": [n_types], "n_events": [n_events]}
+                {
+                    "user_id": [key[0]],
+                    "n_types": [len(counts)],
+                    "n_events": [sum(counts.values())],
+                }
             )
 
         def close(self) -> None:
