@@ -392,6 +392,13 @@ def profile_table_columns(spark, sf_dir):
         ("o_orderpriority", "nn_prio", "nd_prio", null_d, null_d),
         ("o_totalprice", "nn_price", "nd_price", F.col("min_price"), F.col("max_price")),
     ]
+    # r14 examined, kept as-is: a single-aggregate + explode-unpivot
+    # rewrite (one subtree instead of four union branches) LOST the
+    # interleaved A/B at sf0.1 (1.13 s vs 0.77 s min) — planning all
+    # four COUNT(DISTINCT)s in one aggregate forces one Expand×5 over
+    # every column, while each union branch prunes to ONE distinct
+    # column (Expand×2) and the branches share the scan via exchange
+    # reuse. The union form is the faster plan at either width.
     parts = [
         s.select(
             F.lit(name).alias("col_name"),
