@@ -728,10 +728,20 @@ def bpe_train_merges(spark, sf_dir):
     # loop cost is the per-round job count, not scan parallelism.
     words = d.select(F.explode(_spark_toks(F.col("text"))).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # narrow the per-round working set (r14, guide §2): the symbolization
+    # frame is DICTIONARY-sized (|vocab| rows — MBs even for a 100 TB
+    # corpus), but it inherits the vocab shuffle's full partition count
+    # (AQE's parallelismFirst keeps small shuffles at defaultParallelism),
+    # so every round's argmax job scheduled 32 tiny tasks per stage.
+    # coalesce (no shuffle) to ~P/8 — scales with the cluster, and the
+    # per-round job is latency-bound, not compute-bound (interleaved A/B
+    # minima at sf0.1: 3.34 s vs 4.35 s; values identical — pair counts
+    # are partitioning-independent sums).
+    _w = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 8)
     prev = vocab.select(
         "cnt",
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("s"),
-    ).persist()
+    ).coalesce(_w).persist()
     merges: list[tuple[int, str, int]] = []
     # One ACTION per round, not two: round k's argmax collect is itself
     # the job that materializes round k-1's persisted symbolization (it
@@ -781,7 +791,11 @@ def bpe_train_merges(spark, sf_dir):
                     F.concat(acc, x),
                 ).otherwise(F.concat(acc, F.lit(" "), x)),
             )
-            nxt = prev.select("cnt", F.split(folded, " ").alias("s")).persist()
+            nxt = (
+                prev.select("cnt", F.split(folded, " ").alias("s"))
+                .coalesce(_w)
+                .persist()
+            )
             stale, prev = prev, nxt
     finally:
         if stale is not None:
